@@ -1,0 +1,139 @@
+"""Host-side (numpy, f64) assembled-matrix oracle and CPU operator twin.
+
+Reference analogue: two components in one —
+- ``laplace_operator_cpu.h``: the CPU verification twin used for the 1e-10
+  parity acceptance test (SURVEY.md §2, §4.2);
+- the assembled ``SparseMatrix`` fed to the cuSPARSE SpMV baseline
+  (``cuda_sparse_matrix.h`` / ``bmspmv.cu``, SURVEY.md §2, §4.3) — here a
+  scipy CSR that also seeds the BCOO SpMV benchmark (tpufem.ops.sparse).
+
+Assembly is naive quadrature (no sum factorization) on purpose: an
+independent formulation, so agreement with the matrix-free device path is a
+meaningful cross-check.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from tpufem.fem.dof_handler import DoFHandler
+from tpufem.fem.mapping import Metric, compute_metric
+from tpufem.fem.quadrature import Quadrature
+from tpufem.fem.shapes import ShapeInfo
+
+
+def cell_basis_gradients(p: int, dim: int, quad: Quadrature) -> np.ndarray:
+    """G[q, j, a] = d phi_j / d xi_a at tensor qpoint q (reference cell).
+
+    j runs over the (p+1)^dim lexicographic local nodes (x fastest), q over
+    the nq1^dim lexicographic tensor qpoints (x fastest).
+    """
+    si = ShapeInfo(p, quad)
+    n1, nq1 = si.n1, si.nq1
+    S, D = si.S, si.D
+    nq, nn = nq1**dim, n1**dim
+    qi = np.arange(nq)
+    ji = np.arange(nn)
+    Q = np.stack([(qi // nq1**a) % nq1 for a in range(dim)], axis=-1)
+    Jn = np.stack([(ji // n1**a) % n1 for a in range(dim)], axis=-1)
+    G = np.empty((nq, nn, dim))
+    for a in range(dim):
+        val = np.ones((nq, nn))
+        for b in range(dim):
+            M = D if b == a else S
+            val *= M[Q[:, b]][:, Jn[:, b]]
+        G[:, :, a] = val
+    return G
+
+
+def cell_basis_values(p: int, dim: int, quad: Quadrature) -> np.ndarray:
+    """V[q, j] = phi_j(xi_q)."""
+    si = ShapeInfo(p, quad)
+    n1, nq1 = si.n1, si.nq1
+    nq, nn = nq1**dim, n1**dim
+    qi = np.arange(nq)
+    ji = np.arange(nn)
+    Q = np.stack([(qi // nq1**a) % nq1 for a in range(dim)], axis=-1)
+    Jn = np.stack([(ji // n1**a) % n1 for a in range(dim)], axis=-1)
+    V = np.ones((nq, nn))
+    for b in range(dim):
+        V *= si.S[Q[:, b]][:, Jn[:, b]]
+    return V
+
+
+def assemble_laplace(
+    dofs: DoFHandler,
+    quad: Quadrature | None = None,
+    coefficient=None,
+    metric: Metric | None = None,
+) -> sp.csr_matrix:
+    """Assemble the (unconstrained) global Laplace stiffness matrix.
+
+    K[i,j] = sum_cells int coef * grad(phi_i) . grad(phi_j) dx, evaluated by
+    per-cell quadrature with the same metric data the device path caches.
+    """
+    mesh, p = dofs.mesh, dofs.degree
+    d = mesh.dim
+    if quad is None:
+        quad = Quadrature.gauss(p + 1)
+    if metric is None:
+        metric = compute_metric(mesh, quad, need_points=coefficient is not None)
+    gen = metric.to_general()
+    G = cell_basis_gradients(p, d, quad)  # (nq, nn, d)
+    # physical gradients: Gp[c,q,j,a] = inv_jac[c,q,b,a] * G[q,j,b]
+    Gp = np.einsum("cqba,qjb->cqja", gen.inv_jac, G)
+    w = gen.jxw  # (nc, nq)
+    if coefficient is not None:
+        if gen.quad_points is None:
+            gen2 = compute_metric(mesh, quad, need_points=True)
+            pts = gen2.quad_points
+        else:
+            pts = gen.quad_points
+        w = w * coefficient(pts.reshape(-1, d)).reshape(w.shape)
+    Ke = np.einsum("cqja,cqka,cq->cjk", Gp, Gp, w)
+    nn = Ke.shape[1]
+    rows = np.repeat(dofs.cell_dofs, nn, axis=1).ravel()
+    cols = np.tile(dofs.cell_dofs, (1, nn)).ravel()
+    K = sp.coo_matrix(
+        (Ke.ravel(), (rows, cols)), shape=(dofs.n_dofs, dofs.n_dofs)
+    ).tocsr()
+    return K
+
+
+def assemble_rhs(
+    dofs: DoFHandler, f, quad: Quadrature | None = None
+) -> np.ndarray:
+    """b[i] = sum_cells int f * phi_i dx (host quadrature).
+
+    Reference analogue: the host-assembled RHS in poisson.cu (SURVEY.md §3.1).
+    """
+    mesh, p = dofs.mesh, dofs.degree
+    d = mesh.dim
+    if quad is None:
+        quad = Quadrature.gauss(p + 2)
+    metric = compute_metric(mesh, quad, need_points=True).to_general()
+    V = cell_basis_values(p, d, quad)  # (nq, nn)
+    fvals = f(metric.quad_points.reshape(-1, d)).reshape(mesh.n_cells, -1)
+    be = np.einsum("qj,cq,cq->cj", V, fvals, metric.jxw)
+    b = np.zeros(dofs.n_dofs)
+    np.add.at(b, dofs.cell_dofs.ravel(), be.ravel())
+    return b
+
+
+def integrate_difference(
+    dofs: DoFHandler, u_h: np.ndarray, u_exact, quad: Quadrature | None = None
+) -> float:
+    """L2 norm of (u_h - u_exact) by quadrature — VectorTools::
+    integrate_difference analogue (SURVEY.md §3.1 last line)."""
+    mesh, p = dofs.mesh, dofs.degree
+    d = mesh.dim
+    if quad is None:
+        quad = Quadrature.gauss(p + 2)
+    metric = compute_metric(mesh, quad, need_points=True).to_general()
+    V = cell_basis_values(p, d, quad)
+    u_loc = u_h[dofs.cell_dofs]  # (nc, nn)
+    uh_q = u_loc @ V.T  # (nc, nq)
+    ue_q = u_exact(metric.quad_points.reshape(-1, d)).reshape(uh_q.shape)
+    err2 = np.sum((uh_q - ue_q) ** 2 * metric.jxw)
+    return float(np.sqrt(err2))

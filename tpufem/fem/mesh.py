@@ -1,0 +1,257 @@
+"""Structured quad/hex meshes with optional 2:1 adaptive refinement.
+
+Reference analogue: the role deal.II's ``Triangulation``/``GridGenerator``
+plays for the reference (SURVEY.md L0): ``hyper_cube`` + ``refine_global`` and
+the adaptive variant that produces hanging nodes (SURVEY.md §3.1).
+
+Design: cells live in a forest of quadtrees/octrees over an ``nbase``^dim base
+grid of the unit cube. Every cell is identified by integer origin coordinates
+in units of ``1 / U`` per axis, where ``U = nbase * 2**max_level``, plus its
+integer size ``s = 2**(max_level - level)``. All topology queries (shared
+vertices/edges/faces, coarse-fine neighbors) reduce to exact integer
+arithmetic — no floating-point geometry. Physical geometry is a separate
+concern: ``lower + (upper-lower) * logical`` plus an optional smooth
+``transform`` producing curved meshes (deal.II MappingQ analogue).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+
+class Mesh:
+    """Leaf cells of a 2:1-balanced structured refinement forest.
+
+    Attributes:
+      dim:        2 or 3
+      nbase:      base grid cells per axis (int)
+      max_level:  deepest refinement level present (defines the integer unit)
+      origins:    (ncells, dim) int64 — cell origin in 1/U units
+      sizes:      (ncells,) int64 — cell edge length in 1/U units
+      lower/upper:(dim,) float64 physical bounding box
+      transform:  optional map [0,1]^dim logical -> physical (vectorized)
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        nbase: int,
+        max_level: int,
+        origins: np.ndarray,
+        sizes: np.ndarray,
+        lower: Optional[Sequence[float]] = None,
+        upper: Optional[Sequence[float]] = None,
+        transform: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+    ):
+        self.dim = dim
+        self.nbase = nbase
+        self.max_level = max_level
+        self.origins = np.asarray(origins, dtype=np.int64)
+        self.sizes = np.asarray(sizes, dtype=np.int64)
+        self.lower = np.asarray(
+            lower if lower is not None else [0.0] * dim, dtype=np.float64
+        )
+        self.upper = np.asarray(
+            upper if upper is not None else [1.0] * dim, dtype=np.float64
+        )
+        self.transform = transform
+
+    # ------------------------------------------------------------------
+    @property
+    def n_cells(self) -> int:
+        return len(self.sizes)
+
+    @property
+    def U(self) -> int:
+        """Integer extent of the mesh per axis (1/U is the coordinate unit)."""
+        return self.nbase * (1 << self.max_level)
+
+    @property
+    def is_uniform(self) -> bool:
+        return bool(np.all(self.sizes == self.sizes[0]))
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def hyper_cube(
+        cls,
+        dim: int,
+        refinements: int = 0,
+        lower: float | Sequence[float] = 0.0,
+        upper: float | Sequence[float] = 1.0,
+        nbase: int = 1,
+    ) -> "Mesh":
+        """Uniformly refined cube — GridGenerator::hyper_cube +
+        refine_global(refinements) (SURVEY.md §3.1)."""
+        n = nbase * (1 << refinements)
+        axes = [np.arange(n, dtype=np.int64)] * dim
+        grids = np.meshgrid(*axes, indexing="ij")
+        # x fastest in cell ordering (matches dof/qpoint lexicographic rule)
+        origins = np.stack([g.ravel(order="F") for g in grids], axis=-1)
+        sizes = np.ones(n**dim, dtype=np.int64)
+        if np.isscalar(lower):
+            lower = [float(lower)] * dim
+        if np.isscalar(upper):
+            upper = [float(upper)] * dim
+        return cls(dim, nbase, refinements, origins, sizes, lower, upper)
+
+    # ------------------------------------------------------------------
+    def cell_vertices_logical(self) -> np.ndarray:
+        """(ncells, 2**dim, dim) logical coords of cell corner vertices,
+        corner ordering lexicographic (x fastest)."""
+        d, U = self.dim, self.U
+        corners = _corner_offsets(d)  # (2^d, d) in {0,1}
+        pts = self.origins[:, None, :] + self.sizes[:, None, None] * corners[None]
+        return pts.astype(np.float64) / U
+
+    def cell_vertices(self) -> np.ndarray:
+        """(ncells, 2**dim, dim) physical coords of cell corner vertices."""
+        return self.to_physical(self.cell_vertices_logical())
+
+    def to_physical(self, logical: np.ndarray) -> np.ndarray:
+        phys = self.lower + (self.upper - self.lower) * logical
+        if self.transform is not None:
+            shape = phys.shape
+            phys = self.transform(phys.reshape(-1, self.dim)).reshape(shape)
+        return phys
+
+    # ------------------------------------------------------------------
+    def refine(self, flags: np.ndarray) -> "Mesh":
+        """Isotropically refine flagged cells and re-establish 2:1 balance.
+
+        Reference analogue: adaptive ``triangulation.refine`` producing
+        hanging nodes (SURVEY.md §3.1 adaptive variant).
+        """
+        flags = np.asarray(flags, dtype=bool)
+        if flags.shape != (self.n_cells,):
+            raise ValueError("flags must have one entry per cell")
+        d = self.dim
+        # Represent with one extra level of resolution available.
+        origins = self.origins * 2
+        sizes = self.sizes * 2
+        max_level = self.max_level + 1
+
+        new_origins = [origins[~flags]]
+        new_sizes = [sizes[~flags]]
+        if flags.any():
+            par_o = origins[flags]
+            par_s = sizes[flags]
+            child = _corner_offsets(d)  # (2^d, d)
+            ch_o = (par_o[:, None, :] + (par_s[:, None, None] // 2) * child[None])
+            new_origins.append(ch_o.reshape(-1, d))
+            new_sizes.append(np.repeat(par_s // 2, 2**d))
+        origins = np.concatenate(new_origins, axis=0)
+        sizes = np.concatenate(new_sizes, axis=0)
+        m = Mesh(
+            d, self.nbase, max_level, origins, sizes,
+            self.lower, self.upper, self.transform,
+        )
+        return m._balance()._normalized()
+
+    def _balance(self) -> "Mesh":
+        """Enforce 2:1 size balance between face-or-corner neighbors by
+        refining too-coarse cells until fixed point."""
+        m = self
+        while True:
+            flags = m._unbalanced_cells()
+            if not flags.any():
+                return m
+            m = m._refine_no_balance(flags)
+
+    def _refine_no_balance(self, flags: np.ndarray) -> "Mesh":
+        d = self.dim
+        need_split = self.sizes[flags]
+        if np.any(need_split == 1):
+            origins = self.origins * 2
+            sizes = self.sizes * 2
+            max_level = self.max_level + 1
+        else:
+            origins, sizes, max_level = self.origins, self.sizes, self.max_level
+        new_o = [origins[~flags]]
+        new_s = [sizes[~flags]]
+        par_o, par_s = origins[flags], sizes[flags]
+        child = _corner_offsets(d)
+        ch_o = par_o[:, None, :] + (par_s[:, None, None] // 2) * child[None]
+        new_o.append(ch_o.reshape(-1, d))
+        new_s.append(np.repeat(par_s // 2, 2**d))
+        return Mesh(
+            d, self.nbase, max_level,
+            np.concatenate(new_o), np.concatenate(new_s),
+            self.lower, self.upper, self.transform,
+        )
+
+    def _unbalanced_cells(self) -> np.ndarray:
+        """Cells with a (closed-bbox-)touching neighbor more than 2x smaller.
+
+        Exact integer test exploiting octree alignment: every cell of size S
+        has origin on the S-grid, so adjacency of a size-s cell to size-S
+        leaves reduces to membership tests in a hash set of S-grid indices.
+        Vertex-touching balance (stricter than face balance) keeps the
+        hanging-node constraint structure one-level-deep everywhere.
+        """
+        nc = self.n_cells
+        flags = np.zeros(nc, dtype=bool)
+        sizes_present = np.unique(self.sizes)
+        d = self.dim
+        # index of coarse cells of size S by their S-grid coordinates
+        by_size: dict[int, tuple[dict[int, int], np.ndarray]] = {}
+        for S in sizes_present.tolist():
+            sel = np.nonzero(self.sizes == S)[0]
+            grid_idx = self.origins[sel] // S
+            keys = _pack_coords(grid_idx, self.U // S + 1)
+            by_size[S] = (dict(zip(keys.tolist(), sel.tolist())), sel)
+        for S in sizes_present.tolist():
+            coarse_map, _ = by_size[S]
+            for s in sizes_present.tolist():
+                if S < 4 * s:
+                    continue
+                fine_sel = np.nonzero(self.sizes == s)[0]
+                of = self.origins[fine_sel]
+                i_min = (of + S - 1) // S - 1
+                i_max = (of + s) // S
+                np.clip(i_min, 0, self.U // S - 1, out=i_min)
+                np.clip(i_max, 0, self.U // S - 1, out=i_max)
+                for box in range(2**d):
+                    off = np.stack(
+                        [(box >> a) & 1 for a in range(d)], axis=-1
+                    ).astype(np.int64)
+                    probe = np.minimum(i_min + off, i_max)
+                    keys = _pack_coords(probe, self.U // S + 1)
+                    for k in keys.tolist():
+                        c = coarse_map.get(k)
+                        if c is not None:
+                            flags[c] = True
+        return flags
+
+    def _normalized(self) -> "Mesh":
+        """Reduce max_level if all sizes are even (keeps ints small), and
+        sort cells by (size desc, origin lexicographic) for determinism."""
+        origins, sizes, max_level = self.origins, self.sizes, self.max_level
+        while max_level > 0 and np.all(sizes % 2 == 0) and np.all(origins % 2 == 0):
+            origins = origins // 2
+            sizes = sizes // 2
+            max_level -= 1
+        key = _pack_coords(origins, self.nbase * (1 << max_level) + 1)
+        order = np.lexsort((key, -sizes))
+        return Mesh(
+            self.dim, self.nbase, max_level, origins[order], sizes[order],
+            self.lower, self.upper, self.transform,
+        )
+
+
+def _corner_offsets(dim: int) -> np.ndarray:
+    """(2^dim, dim) corner offsets in {0,1}, x fastest."""
+    idx = np.arange(2**dim)
+    return np.stack([(idx >> a) & 1 for a in range(dim)], axis=-1).astype(np.int64)
+
+
+def _pack_coords(coords: np.ndarray, base: int) -> np.ndarray:
+    """Pack integer coordinate rows into single int64 keys (collision-free
+    for coordinates in [0, base))."""
+    coords = np.asarray(coords, dtype=np.int64)
+    key = np.zeros(len(coords), dtype=np.int64)
+    b = np.int64(base + 1)
+    for a in range(coords.shape[1]):
+        key = key * b + coords[:, a]
+    return key

@@ -1,0 +1,46 @@
+"""Run-time configuration.
+
+Reference analogue: the reference's compile-time configuration surface —
+template parameters (dim, fe_degree), ``defs.h`` macros (parallelization
+scheme, coloring on/off) and argv refinement levels (SURVEY.md §5 "Config /
+flag system"). Here dim/degree become jit-static fields; the jit cache per
+(dim, p, scheme) mirrors the reference's template instantiation strategy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal
+
+ScatterScheme = Literal["incidence", "colored"]
+MetricMode = Literal["cartesian", "affine", "general"]
+
+
+@dataclasses.dataclass(frozen=True)
+class FemConfig:
+    """Static configuration of a matrix-free operator instance."""
+
+    dim: int = 2
+    degree: int = 1
+    n_q_1d: int | None = None  # default: degree + 1 (QGauss(p+1))
+    scatter: ScatterScheme = "incidence"
+    use_pallas: bool = False
+    dtype: str = "float64"  # compute dtype for device arrays
+
+    def __post_init__(self):
+        if self.dim not in (2, 3):
+            raise ValueError("dim must be 2 or 3")
+        if not (1 <= self.degree <= 12):
+            raise ValueError("degree out of supported range")
+
+    @property
+    def n_dofs_per_cell(self) -> int:
+        return (self.degree + 1) ** self.dim
+
+    @property
+    def nq1(self) -> int:
+        return self.n_q_1d if self.n_q_1d is not None else self.degree + 1
+
+    @property
+    def n_q_points(self) -> int:
+        return self.nq1**self.dim
