@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Headline benchmark: 3D Poisson Q4 matrix-free Laplace apply (GDoF/s).
+
+The reference's ``bmop.cu`` protocol (SURVEY.md §2): time N repeated vmults,
+report DoF/s.  BASELINE.json headline metric: "3D Poisson Q4 matrix-free
+apply GDoF/s".  vs_baseline is measured against the literature anchor of
+~1 GDoF/s for 3D high-order Laplace apply on V100-class GPUs (BASELINE.md,
+approximate — no published reference numbers were recoverable).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "GDoF/s", "vs_baseline": N}
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+BASELINE_GDOFS = 1.0  # V100-class anchor, BASELINE.md (approximate)
+
+
+def main():
+    from tpufem.fem.dof_handler import DoFHandler
+    from tpufem.fem.mesh import Mesh
+    from tpufem.operators.laplace import LaplaceOperator
+    from tpufem.ops.matrix_free import MatrixFree
+    from tpufem.utils.config import FemConfig
+
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    refine = 6 if on_tpu else 3  # 64^3 cells / 17M dofs on the chip
+    dtype = "float32"
+
+    mesh = Mesh.hyper_cube(3, refine)
+    dofs = DoFHandler(mesh, 4)
+    mf = MatrixFree.build(mesh, dofs, FemConfig(dim=3, degree=4, dtype=dtype))
+    op = LaplaceOperator(mf)
+
+    x = jnp.ones(dofs.n_dofs, jnp.dtype(dtype))
+    y = op.vmult_raw(x)
+    y.block_until_ready()  # compile
+
+    reps = 50 if on_tpu else 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        y = op.vmult_raw(y)
+    y.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    gdofs = dofs.n_dofs / dt / 1e9
+    print(json.dumps({
+        "metric": "3d_q4_laplace_matrix_free_apply",
+        "value": round(gdofs, 4),
+        "unit": "GDoF/s",
+        "vs_baseline": round(gdofs / BASELINE_GDOFS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

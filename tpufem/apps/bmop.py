@@ -1,0 +1,82 @@
+"""Operator-apply benchmark across degrees and refinements.
+
+Reference analogue: ``bmop.cu`` (SURVEY.md §2): N repeated vmults per
+(degree, refinement), report s/apply and DoF/s — the GDoF/s north-star
+table.  Optionally also times the assembled-SpMV baseline (``bmspmv.cu``)
+for the matrix-free-vs-assembled comparison (BASELINE config 3).
+
+Run:  python -m tpufem.apps.bmop --dim 3 --degrees 1 2 3 4 --refine 4
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpufem.fem.dof_handler import DoFHandler
+from tpufem.fem.mesh import Mesh
+from tpufem.operators.laplace import LaplaceOperator
+from tpufem.ops.matrix_free import MatrixFree
+from tpufem.utils.config import FemConfig
+from tpufem.utils.metrics import emit
+from tpufem.utils.timer import time_fn
+
+
+def bench_config(dim, p, refine, dtype, scatter, reps, with_spmv=False):
+    mesh = Mesh.hyper_cube(dim, refine)
+    dofs = DoFHandler(mesh, p)
+    mf = MatrixFree.build(
+        mesh, dofs, FemConfig(dim=dim, degree=p, dtype=dtype, scatter=scatter)
+    )
+    op = LaplaceOperator(mf)
+    x = jnp.ones(dofs.n_dofs, jnp.dtype(dtype))
+    dt = time_fn(op.vmult_raw, x, reps=reps)
+    rec = {
+        "bench": "bmop",
+        "dim": dim,
+        "degree": p,
+        "refine": refine,
+        "n_dofs": dofs.n_dofs,
+        "scheme": mf.scheme,
+        "dtype": dtype,
+        "s_per_apply": dt,
+        "gdofs_per_s": dofs.n_dofs / dt / 1e9,
+    }
+    if with_spmv:
+        from tpufem.fem.assemble import assemble_laplace
+        from tpufem.ops.sparse import EllMatrix
+
+        A = EllMatrix.from_csr(assemble_laplace(dofs), jnp.dtype(dtype))
+        import jax
+
+        mv = jax.jit(A.matvec)
+        dt_s = time_fn(mv, x, reps=reps)
+        rec["spmv_s_per_apply"] = dt_s
+        rec["spmv_gdofs_per_s"] = dofs.n_dofs / dt_s / 1e9
+        rec["mf_speedup_vs_spmv"] = dt_s / dt
+    return rec
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--dim", type=int, default=3)
+    ap.add_argument("--degrees", type=int, nargs="+", default=[1, 2, 3, 4])
+    ap.add_argument("--refine", type=int, default=4)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--scatter", default="auto")
+    ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--spmv", action="store_true",
+                    help="also run the assembled-SpMV baseline (bmspmv)")
+    args = ap.parse_args(argv)
+    for p in args.degrees:
+        rec = bench_config(
+            args.dim, p, args.refine, args.dtype, args.scatter, args.reps,
+            with_spmv=args.spmv,
+        )
+        emit(rec)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,183 @@
+"""End-to-end Poisson solver application.
+
+Reference analogue: ``poisson.cu`` / ``poisson_common.h`` (SURVEY.md §2,
+§3.1): mesh → FE_Q(p) DoFs → constraints → MatrixFree reinit → host RHS →
+device CG with diagonal preconditioner → L2 error vs manufactured solution,
+with the same printed table (DoFs, setup/solve time, iterations, L2 error).
+
+Run:  python -m tpufem.apps.poisson --dim 2 --degree 4 --refine 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpufem.fem.assemble import assemble_rhs, integrate_difference
+from tpufem.fem.dof_handler import DoFHandler
+from tpufem.fem.mesh import Mesh
+from tpufem.operators.laplace import LaplaceOperator
+from tpufem.ops.matrix_free import MatrixFree
+from tpufem.solvers.cg import cg_solve, make_jacobi
+from tpufem.utils.config import FemConfig
+
+
+def _ensure_dtype(dtype: str) -> None:
+    """Requesting f64 without x64 enabled silently truncates every device
+    array to f32 (observed: warning spam + stagnating CG) — enable it."""
+    if dtype == "float64":
+        import jax
+
+        if not jax.config.jax_enable_x64:
+            jax.config.update("jax_enable_x64", True)
+
+
+def default_solution(dim: int):
+    """Manufactured solution u = prod sin(pi x_a); f = dim pi^2 u."""
+    u = lambda x: np.prod(np.sin(np.pi * x), axis=1)
+    f = lambda x: dim * np.pi**2 * np.prod(np.sin(np.pi * x), axis=1)
+    return u, f
+
+
+def dirichlet_setup(op: LaplaceOperator, b: np.ndarray,
+                    boundary_values: np.ndarray):
+    """Turn an unconstrained RHS into the constrained system's RHS + x0.
+
+    Standard inhomogeneous-Dirichlet handling with a symmetric operator
+    (the reference's constraint save/zero/restore makes A identity on
+    constrained DoFs — SURVEY.md §3.4):
+      x0 = g on the boundary (hanging DoFs interpolated from it);
+      b' = mask * C^T (b - A_raw x0) + (1-mask) x0.
+    CG on the constrained operator then keeps constrained values exact.
+    """
+    mf = op.mf
+    mask = mf.interior_mask
+    g = jnp.asarray(boundary_values, mask.dtype)
+    x0 = mf.distribute((1.0 - mask) * g)
+    b_dev = jnp.asarray(b, mask.dtype)
+    b1 = mf.distribute_transpose(b_dev - op.vmult_raw(x0))
+    b_con = mask * b1 + (1.0 - mask) * x0
+    return b_con, x0
+
+
+@dataclasses.dataclass
+class PoissonResult:
+    n_dofs: int
+    n_cells: int
+    iterations: int
+    l2_error: float
+    residual: float
+    setup_time: float
+    solve_time: float
+    solution: np.ndarray
+
+
+def solve_poisson(
+    dim: int = 2,
+    degree: int = 1,
+    refine: int = 3,
+    scatter: str = "auto",
+    dtype: str = "float64",
+    coefficient: Optional[Callable] = None,
+    adaptive_steps: int = 0,
+    rtol: float | None = None,
+    exact=None,
+    rhs=None,
+    use_pallas: bool = False,
+) -> PoissonResult:
+    _ensure_dtype(dtype)
+    if rtol is None:
+        # f32 CG cannot reach f64-grade residuals; pick a reachable default
+        rtol = 1e-10 if dtype == "float64" else 1e-6
+    t0 = time.perf_counter()
+    mesh = Mesh.hyper_cube(dim, refine)
+    for _ in range(adaptive_steps):
+        centers = (mesh.origins + mesh.sizes[:, None] * 0.5) / mesh.U
+        flags = np.linalg.norm(centers - 0.5, axis=1) < 0.3
+        mesh = mesh.refine(flags)
+    dofs = DoFHandler(mesh, degree)
+    cfg = FemConfig(dim=dim, degree=degree, scatter=scatter, dtype=dtype,
+                    use_pallas=use_pallas)
+    constraints = None
+    if not mesh.is_uniform:
+        from tpufem.fem.constraints import make_hanging_node_constraints
+
+        constraints = make_hanging_node_constraints(dofs)
+    mf = MatrixFree.build(mesh, dofs, cfg, coefficient=coefficient,
+                          constraints=constraints)
+    op = LaplaceOperator(mf)
+    diag = op.diagonal()
+    u_exact, f = default_solution(dim)
+    if exact is not None:
+        u_exact = exact
+    if rhs is not None:
+        f = rhs
+    b = assemble_rhs(dofs, f)
+    g = np.zeros(dofs.n_dofs)
+    bv = dofs.boundary_mask
+    if np.any(bv):
+        g[bv] = u_exact(dofs.dof_coords[bv])
+    b_con, x0 = dirichlet_setup(op, b, g)
+    setup_time = time.perf_counter() - t0
+
+    t1 = time.perf_counter()
+    res = cg_solve(op.vmult, b_con, M_inv=make_jacobi(diag), x0=x0,
+                   rtol=rtol)
+    x = np.asarray(mf.distribute(res.x))
+    iters = int(res.iterations)
+    solve_time = time.perf_counter() - t1
+
+    err = integrate_difference(dofs, x.astype(np.float64), u_exact)
+    return PoissonResult(
+        n_dofs=dofs.n_dofs,
+        n_cells=mesh.n_cells,
+        iterations=iters,
+        l2_error=err,
+        residual=float(res.residual),
+        setup_time=setup_time,
+        solve_time=solve_time,
+        solution=x,
+    )
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--dim", type=int, default=2)
+    ap.add_argument("--degree", type=int, default=1)
+    ap.add_argument("--refine", type=int, default=3)
+    ap.add_argument("--scatter", default="incidence",
+                    choices=["incidence", "colored"])
+    ap.add_argument("--dtype", default="float64")
+    ap.add_argument("--adaptive-steps", type=int, default=0)
+    ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--json", action="store_true",
+                    help="emit a JSON metrics line (SURVEY.md §5 metrics)")
+    args = ap.parse_args(argv)
+    r = solve_poisson(
+        dim=args.dim, degree=args.degree, refine=args.refine,
+        scatter=args.scatter, dtype=args.dtype,
+        adaptive_steps=args.adaptive_steps, use_pallas=args.pallas,
+    )
+    if args.json:
+        print(json.dumps({
+            "n_dofs": r.n_dofs, "n_cells": r.n_cells,
+            "iterations": r.iterations, "l2_error": r.l2_error,
+            "setup_time": r.setup_time, "solve_time": r.solve_time,
+        }))
+    else:
+        print(f"cells:      {r.n_cells}")
+        print(f"dofs:       {r.n_dofs}")
+        print(f"setup:      {r.setup_time:.3f} s")
+        print(f"solve:      {r.solve_time:.3f} s   ({r.iterations} CG iters)")
+        print(f"L2 error:   {r.l2_error:.6e}")
+    return r
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Poisson solver with geometric-multigrid-preconditioned CG.
+
+Reference analogue: ``poisson_mg.cu`` (SURVEY.md §2, §3.5): CG
+preconditioned by a GMG V-cycle with Chebyshev smoothing per level and
+sum-factorized level transfer — BASELINE config 5 (variable-coefficient
+operator + Chebyshev-smoothed GMG V-cycle CG).
+
+Run:  python -m tpufem.apps.poisson_mg --dim 2 --degree 2 --refine 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpufem.fem.assemble import assemble_rhs, integrate_difference
+from tpufem.apps.poisson import default_solution, dirichlet_setup
+from tpufem.operators.laplace import LaplaceOperator
+from tpufem.solvers.cg import cg_solve
+from tpufem.solvers.multigrid import GeometricMultigrid
+
+
+def solve_poisson_mg(
+    dim: int = 2,
+    degree: int = 2,
+    refine: int = 5,
+    coarsest: int = 1,
+    dtype: str = "float64",
+    smoother_degree: int = 4,
+    coefficient=None,
+    rtol: float | None = None,
+):
+    from tpufem.apps.poisson import _ensure_dtype
+
+    _ensure_dtype(dtype)
+    if rtol is None:
+        rtol = 1e-10 if dtype == "float64" else 1e-6
+    t0 = time.perf_counter()
+    gmg = GeometricMultigrid(
+        dim=dim, degree=degree, finest_refine=refine,
+        coarsest_refine=coarsest, dtype=dtype,
+        smoother_degree=smoother_degree, coefficient=coefficient,
+    )
+    fine = gmg.fine
+    mf = fine.mf
+    dofs = mf.dofs
+    op = fine.op
+    u_exact, f = default_solution(dim)
+    b = assemble_rhs(dofs, f)
+    g = np.zeros(dofs.n_dofs)
+    bv = dofs.boundary_mask
+    g[bv] = u_exact(dofs.dof_coords[bv])
+    b_con, x0 = dirichlet_setup(op, b, g)
+    setup_time = time.perf_counter() - t0
+
+    t1 = time.perf_counter()
+    res = cg_solve(op.vmult, b_con, M_inv=gmg.preconditioner(), x0=x0,
+                   rtol=rtol)
+    x = np.asarray(res.x)
+    solve_time = time.perf_counter() - t1
+    err = integrate_difference(dofs, x.astype(np.float64), u_exact)
+    return {
+        "n_dofs": dofs.n_dofs,
+        "iterations": int(res.iterations),
+        "residual": float(res.residual),
+        "l2_error": err,
+        "setup_time": setup_time,
+        "solve_time": solve_time,
+        "solution": x,
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--dim", type=int, default=2)
+    ap.add_argument("--degree", type=int, default=2)
+    ap.add_argument("--refine", type=int, default=5)
+    ap.add_argument("--coarsest", type=int, default=1)
+    ap.add_argument("--smoother-degree", type=int, default=4)
+    ap.add_argument("--variable-coefficient", action="store_true")
+    args = ap.parse_args(argv)
+    coef = None
+    if args.variable_coefficient:
+        coef = lambda x: 1.0 + np.sum(x**2, axis=1)
+    r = solve_poisson_mg(
+        dim=args.dim, degree=args.degree, refine=args.refine,
+        coarsest=args.coarsest, smoother_degree=args.smoother_degree,
+        coefficient=coef,
+    )
+    print(f"dofs:       {r['n_dofs']}")
+    print(f"setup:      {r['setup_time']:.3f} s")
+    print(f"solve:      {r['solve_time']:.3f} s   ({r['iterations']} CG iters)")
+    print(f"L2 error:   {r['l2_error']:.6e}")
+
+
+if __name__ == "__main__":
+    main()

@@ -48,6 +48,9 @@ class DoFHandler:
         n1 = p + 1
         nc = mesh.n_cells
         U = mesh.U
+        if mesh.is_uniform:
+            self._build_uniform()
+            return
 
         # local node lattice (x fastest): node j has per-axis index i_a
         node_idx = np.arange(n1**d)
@@ -105,6 +108,50 @@ class DoFHandler:
             on_bdry |= lo | hi
         self.boundary_mask = np.zeros(self.n_dofs, dtype=bool)
         self.boundary_mask[self.cell_dofs[on_bdry]] = True
+
+    # ------------------------------------------------------------------
+    def _build_uniform(self):
+        """Uniform-mesh fast path: global lexicographic tensor numbering on
+        the (p*n+1)^dim node grid — no hashing, O(ncells * nn) arithmetic.
+
+        This is the SoA local_to_global layout the reference precomputes in
+        MatrixFreeGpu::reinit (SURVEY.md §3.2), built in closed form.
+        """
+        mesh, p = self.mesh, self.degree
+        d = mesh.dim
+        n1 = p + 1
+        nc = mesh.n_cells
+        s = int(mesh.sizes[0])
+        n = mesh.U // s  # cells per axis
+        npts = n * p + 1  # global nodes per axis
+
+        node_idx = np.arange(n1**d)
+        I = np.stack([(node_idx // n1**a) % n1 for a in range(d)], axis=-1)
+        cell_idx = mesh.origins // s  # (nc, d)
+        # global per-axis node index: cell_idx*p + i
+        g = cell_idx[:, None, :] * p + I[None, :, :]  # (nc, nn, d)
+        # x fastest: dof = gx + npts*gy + npts^2*gz
+        dof = np.zeros((nc, n1**d), dtype=np.int64)
+        for a in range(d):
+            dof += g[:, :, a] * npts**a
+        self.n_dofs = npts**d
+        self.cell_dofs = dof.astype(np.int32)
+
+        gll = support_points_1d(p)
+        # coordinates of global node grid: per axis, node k = cell k//p,
+        # offset gll[k%p] (and the last node is the far endpoint)
+        axis_coord = np.empty(npts)
+        k = np.arange(npts)
+        cell_of = np.minimum(k // p, n - 1)
+        off = k - cell_of * p
+        axis_coord = (cell_of + gll[off]) / n
+        di = np.arange(self.n_dofs)
+        logical = np.stack(
+            [axis_coord[(di // npts**a) % npts] for a in range(d)], axis=-1
+        )
+        self.dof_coords = mesh.to_physical(logical)
+        gi = np.stack([(di // npts**a) % npts for a in range(d)], axis=-1)
+        self.boundary_mask = ((gi == 0) | (gi == npts - 1)).any(axis=1)
 
     # ------------------------------------------------------------------
     def face_local_dofs(self, axis: int, side: int) -> np.ndarray:

@@ -1,0 +1,194 @@
+"""Matrix-free Laplace operator: vmult and diagonal.
+
+Reference analogue: ``laplace_operator_gpu.h`` —
+``LaplaceOperatorGpu<dim,fe_degree,Number>::vmult`` = constraint save/zero →
+``cell_loop(LocalLaplace)`` → constraint restore, with the quadrature-point
+functor ``submit_gradient(coef(q) * get_gradient(q), q)`` and
+``compute_diagonal()`` via the unit-basis trick (SURVEY.md §2, §3.4).
+
+TPU-native form: the whole §3.4 box is one traced function — gather,
+sum-factorized contractions (MXU batched matmuls over the cell batch),
+pointwise metric application, transposed contractions, race-free scatter —
+fused by XLA (or handed to the fused Pallas kernel, tpufem.ops.pallas_kernels,
+when config.use_pallas).  The constraint save/zero/restore mechanism of
+``constraint_handler_gpu.h`` becomes pure mask algebra:
+``y = mask * A(mask .* x) + (1-mask) .* x`` — identity on constrained DoFs,
+keeping the operator symmetric (same semantics, zero index bookkeeping).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufem.fem.assemble import cell_basis_gradients
+from tpufem.ops.matrix_free import MatrixFree
+from tpufem.ops import tensor_ops as tops
+
+
+def _apply_metric_to_gradients(mf: MatrixFree, g):
+    """g (nc, d, nq) reference gradients -> submitted reference gradients
+    t[b] = sum_a invJ[b,a] * jxw * coef * (sum_b' invJ[b',a] g[b'])."""
+    if mf.metric_kind == "cartesian":
+        # J diagonal: t[a] = inv_h[a]^2 * det * w_q * coef * g[a]
+        scale = mf.inv_h**2 * mf.det[:, None]  # (nc, d)
+        t = g * scale[:, :, None] * mf.w_q[None, None, :]
+        if mf.coef_q is not None:
+            t = t * mf.coef_q[:, None, :]
+        return t
+    hp = jax.lax.Precision.HIGHEST
+    gp = jnp.einsum("cqba,cbq->caq", mf.inv_jac, g, precision=hp)
+    w = mf.jxw if mf.coef_q is None else mf.jxw * mf.coef_q
+    gp = gp * w[:, None, :]
+    return jnp.einsum("cqba,caq->cbq", mf.inv_jac, gp, precision=hp)
+
+
+def laplace_cell_apply(mf: MatrixFree, u_loc):
+    """The per-cell-batch pipeline: evaluate -> quad op -> integrate.
+
+    u_loc: (nc, nn) local values -> (nc, nn) local integrals.  This is the
+    FEEvaluationGpu evaluate/submit_gradient/integrate sequence (SURVEY.md
+    §3.4) over the whole cell batch at once.
+    """
+    dim = mf.config.dim
+    if mf.D_col is not None:
+        _, g = tops.eval_gradients_collocation(u_loc, mf.S, mf.D_col, dim)
+        t = _apply_metric_to_gradients(mf, g)
+        return tops.integrate_collocation(None, t, mf.S, mf.D_col, dim)
+    g = tops.eval_gradients_basis(u_loc, mf.S, mf.D, dim)
+    t = _apply_metric_to_gradients(mf, g)
+    return tops.integrate_gradients_basis(t, mf.S, mf.D, dim)
+
+
+class LaplaceOperator:
+    """vmult-able Laplace operator with constrained-DoF identity semantics."""
+
+    def __init__(self, mf: MatrixFree):
+        self.mf = mf
+        self.n_dofs = mf.n_dofs
+        self._vmult = jax.jit(partial(_vmult, mf))
+        self._vmult_raw = jax.jit(partial(_vmult_raw, mf))
+
+    def vmult(self, x):
+        """y = A x with identity rows/cols on constrained DoFs (the
+        reference's save/zero/restore around cell_loop, SURVEY.md §3.4)."""
+        return self._vmult(x)
+
+    def vmult_raw(self, x):
+        """y = A x without any constraint handling (oracle comparisons)."""
+        return self._vmult_raw(x)
+
+    def __call__(self, x):
+        return self.vmult(x)
+
+    # ------------------------------------------------------------------
+    def diagonal(self) -> jnp.ndarray:
+        """Diagonal of the (constrained) operator, for Jacobi/Chebyshev.
+
+        Host-side exact computation (f64) of
+        diag_e[c,j] = sum_q |J^-T grad phi_j|^2 coef JxW, scattered — the
+        unit-basis trick of the reference's compute_diagonal() evaluated in
+        closed form (each unit basis vector's bilinear form).  Constrained
+        DoFs get 1 (identity rows).
+        """
+        mf = self.mf
+        p, d = mf.config.degree, mf.config.dim
+        if mf.has_hanging:
+            # exact diagonal of C^T A C via the assembled oracle (host,
+            # one-time; fine at adaptive-mesh scales — device-side
+            # unit-basis variant is a future optimization)
+            from tpufem.fem.assemble import assemble_laplace
+
+            coef_fn = None
+            if mf.coef_q is not None:
+                raise NotImplementedError(
+                    "diagonal with hanging nodes + coefficient: pass the "
+                    "coefficient through assemble_laplace directly"
+                )
+            K = assemble_laplace(mf.dofs, quad=mf.quad)
+            Kc = mf.constraints_obj.condense_matrix(K)
+            diag = Kc.diagonal()
+            mask = np.asarray(mf.interior_mask, dtype=np.float64)
+            diag = diag * mask + (1.0 - mask)
+            return jnp.asarray(diag, jnp.dtype(mf.config.dtype))
+        G = cell_basis_gradients(p, d, mf.quad)  # (nq, nn, d) f64
+        metric = mf.host_metric
+        coef = (
+            np.asarray(mf.coef_q, dtype=np.float64)
+            if mf.coef_q is not None
+            else None
+        )
+        if metric.kind == "cartesian":
+            # sum_q G[q,j,a]^2 w_q (optionally * coef[c,q]) pre-contracted
+            G2 = G**2  # (nq, nn, d)
+            if coef is None:
+                B = np.einsum("qja,q->ja", G2, metric.w_q)  # (nn, d)
+                diag_e = np.einsum(
+                    "ja,ca,c->cj", B, metric.inv_h**2, metric.det
+                )
+            else:
+                B = np.einsum("qja,cq->cja", G2, metric.w_q[None] * coef)
+                diag_e = np.einsum(
+                    "cja,ca,c->cj", B, metric.inv_h**2, metric.det
+                )
+        else:
+            w = metric.jxw if coef is None else metric.jxw * coef
+            # chunk over cells to bound memory
+            nc = mf.n_cells
+            diag_e = np.empty((nc, G.shape[1]))
+            step = max(1, int(2e7 // (G.shape[0] * G.shape[1] * d)))
+            for c0 in range(0, nc, step):
+                c1 = min(nc, c0 + step)
+                Gp = np.einsum(
+                    "cqba,qjb->cqja", metric.inv_jac[c0:c1], G
+                )
+                diag_e[c0:c1] = np.einsum(
+                    "cqja,cqja,cq->cj", Gp, Gp, w[c0:c1]
+                )
+        diag = np.zeros(mf.n_dofs)
+        np.add.at(diag, np.asarray(mf.cell_dofs).ravel(), diag_e.ravel())
+        mask = np.asarray(mf.interior_mask, dtype=np.float64)
+        diag = diag * mask + (1.0 - mask)
+        return jnp.asarray(diag, jnp.dtype(mf.config.dtype))
+
+
+def _vmult_raw(mf: MatrixFree, x):
+    if mf.scheme == "separable":
+        from tpufem.ops.separable import laplace_apply_separable
+
+        Ks, Ms = mf.sep_ops
+        npts = mf.uniform_n * mf.config.degree + 1
+        return laplace_apply_separable(x, mf.config.dim, npts, Ks, Ms)
+    if mf.scheme == "dense":
+        from tpufem.ops.dense_local import laplace_apply_dense
+
+        return laplace_apply_dense(
+            x, mf.config.dim, mf.uniform_n, mf.config.degree, mf.dense_A
+        )
+    if mf.scheme == "structured":
+        from tpufem.ops.structured import laplace_apply_structured
+
+        return laplace_apply_structured(
+            x, mf.config.dim, mf.uniform_n, mf.config.degree,
+            mf.S, mf.D_col, mf.struct_scale, mf.struct_w,
+        )
+    u_loc = mf.gather(x)
+    v_loc = laplace_cell_apply(mf, u_loc)
+    return mf.scatter(v_loc)
+
+
+def _vmult(mf: MatrixFree, x):
+    """Constrained apply: y = m * C^T A C (m x) + (1-m) x.
+
+    m zeroes all constrained DoFs (Dirichlet + hanging), C fills hanging
+    DoFs by interpolation from their masters (resolve_hanging_nodes on
+    read), C^T accumulates hanging-row results into masters (transposed
+    resolution on write) — SURVEY.md §3.4."""
+    m = mf.interior_mask
+    xh = mf.distribute(m * x)
+    y = _vmult_raw(mf, xh)
+    y = mf.distribute_transpose(y)
+    return m * y + (1.0 - m) * x

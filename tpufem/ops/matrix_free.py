@@ -1,0 +1,310 @@
+"""MatrixFree: device-resident data for matrix-free operator evaluation.
+
+Reference analogue: ``MatrixFreeGpu<dim,Number>`` (SURVEY.md §2, §3.2) — the
+``reinit`` that walks cells on the host and bakes flat device arrays:
+SoA ``local_to_global`` cell→DoF maps, cached inverse Jacobians / JxW,
+per-cell constraint masks, per-color cell ranges.  Here ``reinit`` is
+numpy precompute in ``MatrixFree.build`` and the device arrays are jnp;
+``cell_loop`` becomes a traced function (tpufem.ops.cell_loop) whose whole
+gather→contract→metric→contract→scatter pipeline XLA fuses.
+
+Scatter schemes (both first-class, mirroring the reference's
+atomics-vs-coloring duality, SURVEY.md §7 "Scatter"):
+- ``incidence``: transpose gather — each DoF sums its (padded, fixed-K)
+  list of (cell, local) contributions; race-free by construction, fully
+  dense gathers, usually fastest on one chip.
+- ``colored``: per-color unique-indices scatter-add, the reference's
+  graph-coloring design; also the basis for the Pallas in-place kernels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpufem.fem.coloring import color_cells
+from tpufem.fem.dof_handler import DoFHandler
+from tpufem.fem.mapping import Metric, compute_metric
+from tpufem.fem.mesh import Mesh
+from tpufem.fem.quadrature import Quadrature
+from tpufem.fem.shapes import ShapeInfo
+from tpufem.utils.config import FemConfig
+
+
+@dataclasses.dataclass
+class MatrixFree:
+    """Static + device data for one (mesh, degree, quadrature) instance."""
+
+    config: FemConfig
+    mesh: Mesh
+    dofs: DoFHandler
+    n_dofs: int
+    n_cells: int
+    # device arrays (jnp, config.dtype unless noted)
+    cell_dofs: Any  # (nc, nn) int32
+    S: Any  # (nq1, n1)
+    D: Any  # (nq1, n1)
+    D_col: Any | None  # (nq1, nq1) if nq1 == n1
+    metric_kind: str  # 'cartesian' | 'general'
+    inv_h: Any | None  # (nc, d)      [cartesian]
+    det: Any | None  # (nc,)          [cartesian]
+    w_q: Any | None  # (nq,)          [cartesian]
+    inv_jac: Any | None  # (nc, nq, d, d)  [general]
+    jxw: Any | None  # (nc, nq)       [general]
+    incidence: Any  # (n_dofs, K) int32 flat positions into padded locals
+    colors: list[np.ndarray]  # static cell-index arrays per color
+    interior_mask: Any  # (n_dofs,) dtype — 1 for unconstrained, 0 constrained
+    coef_q: Any | None  # (nc, nq) coefficient at quadrature points
+    quad: Quadrature
+    # host copies for setup-side computations (f64)
+    host_metric: Metric
+    # resolved scatter scheme ('auto' resolved at build time)
+    scheme: str = "incidence"
+    # structured (gather-free) fast-path data — uniform Cartesian grids only
+    uniform_n: int | None = None  # cells per axis
+    struct_scale: Any | None = None  # (dim,) inv_h^2 * det
+    struct_w: Any | None = None  # broadcastable quadrature(+coef) weights
+    # hanging-node constraint application data (None on uniform meshes):
+    # the reference's hanging_nodes.cuh resolution, as C / C^T application
+    con_dofs: Any | None = None  # (ncon,) int32
+    con_masters: Any | None = None  # (ncon, K) int32
+    con_weights: Any | None = None  # (ncon, K)
+    con_inhom: Any | None = None  # (ncon,)
+    constraints_obj: Any | None = None  # host AffineConstraints (setup use)
+    dense_A: Any | None = None  # (nn, nn) shared local matrix (dense tier)
+    sep_ops: Any | None = None  # ([K1_a], [M1_a]) global 1D operators
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        mesh: Mesh,
+        dofs: DoFHandler,
+        config: FemConfig,
+        coefficient: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+        constrained_mask: Optional[np.ndarray] = None,
+        constraints=None,  # AffineConstraints (hanging nodes etc.)
+    ) -> "MatrixFree":
+        """The reference's ``reinit`` (SURVEY.md §3.2): host-side walk over
+        cells producing flat device arrays. Amortized one-time setup."""
+        p, d = config.degree, config.dim
+        assert mesh.dim == d and dofs.degree == p
+        dtype = jnp.dtype(config.dtype)
+        quad = Quadrature.gauss(config.nq1)
+        si = ShapeInfo(p, quad)
+        nn = config.n_dofs_per_cell
+        nc = mesh.n_cells
+
+        metric = compute_metric(mesh, quad, need_points=coefficient is not None)
+
+        # incidence (transpose) map: positions of each dof in flat locals
+        flat = dofs.cell_dofs.ravel()
+        order = np.argsort(flat, kind="stable")
+        sorted_dofs = flat[order]
+        counts = np.bincount(sorted_dofs, minlength=dofs.n_dofs)
+        K = int(counts.max())
+        pad_pos = nc * nn  # flat index of the zero pad slot
+        incidence = np.full((dofs.n_dofs, K), pad_pos, dtype=np.int32)
+        col = np.concatenate([np.arange(c) for c in counts])
+        incidence[sorted_dofs, col] = order.astype(np.int32)
+
+        colors = color_cells(mesh, dofs.cell_dofs)
+
+        coef_q = None
+        if coefficient is not None:
+            pts = metric.quad_points.reshape(-1, d)
+            coef_q = coefficient(pts).reshape(nc, -1)
+
+        if constrained_mask is None:
+            constrained_mask = dofs.boundary_mask
+        con_arrays = (None,) * 4
+        if constraints is not None and constraints.lines:
+            constrained_mask = constrained_mask | constraints.constrained_mask()
+            c, m, w, ih = constraints.padded_arrays()
+            con_arrays = (
+                jnp.asarray(c),
+                jnp.asarray(m),
+                jnp.asarray(w, dtype),
+                jnp.asarray(ih, dtype),
+            )
+        interior = (~constrained_mask).astype(np.float64)
+
+        # resolve scatter scheme; build structured fast-path data if usable
+        structured_ok = (
+            mesh.is_uniform
+            and metric.kind == "cartesian"
+            and si.nq1 == si.n1
+        )
+        dense_ok = structured_ok and coef_q is None
+        scheme = config.scatter
+        if scheme == "auto":
+            # separable global factorization is the MXU-optimal tier
+            # (see tpufem.ops.separable); structured is the gather-free
+            # fallback when a coefficient varies per quadrature point
+            scheme = (
+                "separable" if dense_ok
+                else "structured" if structured_ok
+                else "incidence"
+            )
+        if scheme == "structured" and not structured_ok:
+            raise ValueError(
+                "structured scheme needs a uniform Cartesian mesh and "
+                "nq1 == p+1"
+            )
+        if scheme in ("dense", "separable") and not dense_ok:
+            raise ValueError(
+                f"{scheme} scheme needs a uniform Cartesian mesh, "
+                "nq1 == p+1 and no variable coefficient"
+            )
+        uniform_n = None
+        struct_scale = None
+        struct_w = None
+        dense_A = None
+        sep_ops = None
+        if scheme in ("structured", "dense", "separable"):
+            uniform_n = int(mesh.U // mesh.sizes[0])
+            inv_h0 = metric.inv_h[0]  # identical for all cells
+            struct_scale = jnp.asarray(inv_h0**2 * metric.det[0], dtype)
+            # weight block broadcastable against blocked layout
+            # ([nz,qz,]ny,qy,nx,qx): quadrature dims at odd positions,
+            # axis order z..x (slowest first, see ops.structured)
+            w1 = np.asarray(Quadrature.gauss(config.nq1).weights_1d)
+            wb = np.ones([1] * (2 * d))
+            for a in range(d):
+                sh = [1] * (2 * d)
+                sh[2 * (d - 1 - a) + 1] = config.nq1
+                wb = wb * w1.reshape(sh)
+            if scheme == "dense":
+                from tpufem.ops.dense_local import build_dense_local_matrix
+
+                dense_A = build_dense_local_matrix(
+                    p, d, config.nq1, np.asarray(struct_scale), dtype
+                )
+            if scheme == "separable":
+                from tpufem.ops.separable import build_separable_operators
+
+                h = 1.0 / metric.inv_h[0]  # (d,) physical cell widths
+                sep_ops = build_separable_operators(
+                    p, d, config.nq1, uniform_n, np.asarray(h), dtype
+                )
+            if coef_q is not None:
+                n = uniform_n
+                q1 = config.nq1
+                # (nc, nq) with cells (cz,cy,cx) and qpoints (qz,qy,qx)
+                cq = coef_q.reshape((n,) * d + (q1,) * d)
+                # -> ([nz,qz,]ny,qy,nx,qx): interleave cell/quad per axis
+                perm = []
+                for i in range(d):
+                    perm += [i, d + i]
+                cq = np.transpose(cq, perm)
+                wb = wb * cq
+            struct_w = jnp.asarray(wb, dtype)
+
+        kwargs = dict(
+            inv_h=None, det=None, w_q=None, inv_jac=None, jxw=None
+        )
+        if metric.kind == "cartesian":
+            kwargs.update(
+                inv_h=jnp.asarray(metric.inv_h, dtype),
+                det=jnp.asarray(metric.det, dtype),
+                w_q=jnp.asarray(metric.w_q, dtype),
+            )
+        else:
+            kwargs.update(
+                inv_jac=jnp.asarray(metric.inv_jac, dtype),
+                jxw=jnp.asarray(metric.jxw, dtype),
+            )
+
+        return cls(
+            config=config,
+            mesh=mesh,
+            dofs=dofs,
+            n_dofs=dofs.n_dofs,
+            n_cells=nc,
+            cell_dofs=jnp.asarray(dofs.cell_dofs),
+            S=jnp.asarray(si.S, dtype),
+            D=jnp.asarray(si.D, dtype),
+            D_col=jnp.asarray(si.D_col, dtype) if si.D_col is not None else None,
+            metric_kind=metric.kind,
+            incidence=jnp.asarray(incidence),
+            colors=colors,
+            interior_mask=jnp.asarray(interior, dtype),
+            coef_q=jnp.asarray(coef_q, dtype) if coef_q is not None else None,
+            quad=quad,
+            host_metric=metric,
+            scheme=scheme,
+            uniform_n=uniform_n,
+            struct_scale=struct_scale,
+            struct_w=struct_w,
+            con_dofs=con_arrays[0],
+            con_masters=con_arrays[1],
+            con_weights=con_arrays[2],
+            con_inhom=con_arrays[3],
+            constraints_obj=constraints,
+            dense_A=dense_A,
+            sep_ops=sep_ops,
+            **kwargs,
+        )
+
+    # ------------------------------------------------------------------
+    def gather(self, u):
+        """read_dof_values for all cells: (n_dofs,) -> (nc, nn)."""
+        return u[self.cell_dofs]
+
+    def scatter_incidence(self, v_loc):
+        """distribute_local_to_global, transpose-gather scheme.
+
+        v_loc: (nc, nn) -> (n_dofs,).  Each DoF gathers its fixed-K padded
+        incidence list from the flattened locals and sums — race-free, no
+        scatter primitive at all (SURVEY.md §2 parallelism item 4).
+        """
+        flat = jnp.concatenate(
+            [v_loc.reshape(-1), jnp.zeros((1,), v_loc.dtype)]
+        )
+        return jnp.sum(flat[self.incidence], axis=1)
+
+    def scatter_colored(self, v_loc):
+        """distribute_local_to_global, graph-colored scheme: one
+        unique-indices scatter-add per color (reference's colored plain
+        store, SURVEY.md §3.4)."""
+        dst = jnp.zeros((self.n_dofs,), v_loc.dtype)
+        for cells in self.colors:
+            idx = self.cell_dofs[cells].reshape(-1)
+            vals = v_loc[cells].reshape(-1)
+            dst = dst.at[idx].add(vals, unique_indices=True)
+        return dst
+
+    def scatter(self, v_loc):
+        if self.scheme == "colored":
+            return self.scatter_colored(v_loc)
+        return self.scatter_incidence(v_loc)
+
+    # ------------------------------------------------------------------
+    # hanging-node constraint application (C and C^T) — the TPU form of
+    # the reference's resolve_hanging_nodes<false/true> (SURVEY.md §3.4)
+    @property
+    def has_hanging(self) -> bool:
+        return self.con_dofs is not None
+
+    def distribute(self, u, homogeneous: bool = True):
+        """u -> C u: constrained entries replaced by their interpolation."""
+        if not self.has_hanging:
+            return u
+        vals = jnp.sum(self.con_weights * u[self.con_masters], axis=1)
+        if not homogeneous:
+            vals = vals + self.con_inhom
+        return u.at[self.con_dofs].set(vals, unique_indices=True)
+
+    def distribute_transpose(self, y):
+        """y -> C^T y: constrained contributions accumulated to masters,
+        constrained entries zeroed."""
+        if not self.has_hanging:
+            return y
+        yc = y[self.con_dofs]  # (ncon,)
+        y = y.at[self.con_dofs].set(0.0, unique_indices=True)
+        return y.at[self.con_masters.reshape(-1)].add(
+            (self.con_weights * yc[:, None]).reshape(-1)
+        )

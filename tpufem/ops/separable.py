@@ -1,0 +1,98 @@
+"""Separable global-operator apply: the zero-bookkeeping MXU tier.
+
+On a uniform Cartesian tensor grid with constant coefficient, the
+*assembled global* Laplace operator factors exactly:
+
+  A  =  K1 (x) M1 (x) M1  +  M1 (x) K1 (x) M1  +  M1 (x) M1 (x) K1
+
+where K1/M1 are the assembled 1D stiffness/mass matrices (npts x npts,
+built with the same Gauss(p+1) quadrature as everything else, so parity
+with the oracle is exact).  The apply is then 2d+2 dense contractions of
+the plain (npts, npts[, npts]) grid array with 1D operator matrices —
+no gather, no scatter, no blocked layouts, and every matmul has a
+128-class contraction width that keeps the MXU busy (unlike (p+1)-wide
+sum-factorization contractions, which use ~p/128 of the array).
+
+This supersedes both the blocked-structured and dense-local tiers for the
+flagship uniform-grid benchmark; those remain for per-cell metric variation
+(adaptive/curved/variable-coefficient), where A does not globally factor.
+
+Memory/FLOP note: each contraction costs O(N * npts) FLOPs — linear in
+resolution — so this tier is MXU-bound only beyond npts ~ O(1000).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufem.fem.quadrature import Quadrature
+from tpufem.fem.shapes import ShapeInfo
+
+
+@lru_cache(maxsize=None)
+def global_1d_matrices(p: int, n: int, nq1: int) -> tuple[np.ndarray, np.ndarray]:
+    """Assembled 1D reference matrices on n cells (unit interval):
+    K1[i,j] = sum_cells int phi_i' phi_j' dxi (cell width 1/n folded in by
+    the caller via per-axis scale), M1 likewise for values.  f64.
+    Returned UNSCALED for the unit cell: caller multiplies K1 by n (1/h)
+    and M1 by 1/n (h) per axis.
+    """
+    si = ShapeInfo(p, Quadrature.gauss(nq1))
+    w = si.quad.weights_1d
+    k1 = np.einsum("qi,q,qj->ij", si.D, w, si.D)  # reference-cell 1D stiffness
+    m1 = np.einsum("qi,q,qj->ij", si.S, w, si.S)
+    npts = n * p + 1
+    K1 = np.zeros((npts, npts))
+    M1 = np.zeros((npts, npts))
+    for c in range(n):
+        sl = slice(c * p, c * p + p + 1)
+        K1[sl, sl] += k1
+        M1[sl, sl] += m1
+    return K1, M1
+
+
+def build_separable_operators(p, dim, nq1, n, h, dtype):
+    """Per-axis scaled (K1_a, M1_a) device constants.
+
+    h: (dim,) physical cell widths. K scales by 1/h (phi' Jacobian^2 times
+    h volume), M scales by h.
+    """
+    K1u, M1u = global_1d_matrices(p, n, nq1)
+    Ks, Ms = [], []
+    for a in range(dim):
+        Ks.append(jnp.asarray(K1u / h[a], dtype))
+        Ms.append(jnp.asarray(M1u * h[a], dtype))
+    return Ks, Ms
+
+
+def _contract_grid(t, M, axis: int, dim: int):
+    """Contract grid dim holding spatial axis `axis` (0 = x) with M."""
+    pos = dim - 1 - axis
+    t2 = jnp.moveaxis(t, pos, -1)
+    out = jnp.einsum("...i,oi->...o", t2, M, preferred_element_type=t.dtype,
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.moveaxis(out, -1, pos)
+
+
+def laplace_apply_separable(u, dim: int, npts: int, Ks, Ms):
+    """y = A u via the separable factorization (8 contractions in 3D,
+    4 in 2D, with shared partials)."""
+    t = u.reshape((npts,) * dim)
+    if dim == 2:
+        r = _contract_grid(_contract_grid(t, Ms[0], 0, dim), Ks[1], 1, dim)
+        r = r + _contract_grid(_contract_grid(t, Ks[0], 0, dim), Ms[1], 1, dim)
+        return r.reshape(-1)
+    # dim == 3
+    a = _contract_grid(t, Ms[0], 0, dim)  # Mx u
+    b = _contract_grid(a, Ms[1], 1, dim)  # My Mx u
+    r = _contract_grid(b, Ks[2], 2, dim)  # Kz My Mx u
+    c = _contract_grid(a, Ks[1], 1, dim)  # Ky Mx u
+    r = r + _contract_grid(c, Ms[2], 2, dim)
+    e = _contract_grid(t, Ks[0], 0, dim)  # Kx u
+    f = _contract_grid(e, Ms[1], 1, dim)
+    r = r + _contract_grid(f, Ms[2], 2, dim)
+    return r.reshape(-1)

@@ -1,0 +1,128 @@
+"""Gather-free cell loop on uniform tensor-product grids.
+
+The TPU answer to the reference's coalesced SoA gather + colored scatter
+(SURVEY.md §2 "MatrixFreeGpu", §3.4): on a *uniform* hyper_cube grid the
+cell→DoF map is affine, so
+
+- ``read_dof_values`` = extracting overlapping (p+1)-point patches with
+  stride p along each axis — pure reshape/slice/concat ("blocking"), no
+  gather primitive;
+- ``distribute_local_to_global`` = the transposed overlap-add — slicing,
+  padding and one add per axis, no scatter primitive.
+
+XLA lowers these to dense copies at HBM bandwidth, which beats any generic
+gather/scatter lowering by ~2 orders of magnitude on TPU (measured: generic
+incidence path 166 ms vs structured path ~ms for 3D Q4 at 2.1M DoFs).
+
+Blocked layout after blocking all axes (3D): (nz, pz, ny, py, nx, px) —
+spatial axis a (0 = x innermost) has its cell dim at 2*(dim-1-a) and its
+local dim at 2*(dim-1-a)+1.  The slowest axis (z) leads so a multi-chip
+slab decomposition shards the leading dim (tpufem.parallel).  All
+sum-factorization contractions act on the local dims; on the uniform grid
+the Cartesian metric is *constant across cells*, so the quadrature-point
+scaling is a broadcast of an (q1,)*dim weight block — zero per-cell metric
+memory traffic.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def block_axis(t, axis: int, n: int, p: int):
+    """Split grid axis (length n*p+1) into overlapping cell patches
+    (..., n, p+1); the split pair lands at the END of the dim list."""
+    t = jnp.moveaxis(t, axis, -1)
+    main = t[..., :-1].reshape(t.shape[:-1] + (n, p))
+    last = t[..., p::p][..., None]
+    return jnp.concatenate([main, last], axis=-1)
+
+
+def unblock_axis_add(t, n: int, p: int):
+    """Transpose of block_axis: overlap-add (..., n, p+1) -> (..., n*p+1),
+    result at the LAST dim position."""
+    npts = n * p + 1
+    main = t[..., :p].reshape(t.shape[:-2] + (n * p,))
+    main = jnp.concatenate(
+        [main, jnp.zeros(t.shape[:-2] + (1,), t.dtype)], axis=-1
+    )  # (..., npts)
+    carry = t[..., p]  # (..., n)
+    z = jnp.zeros(t.shape[:-2] + (n, p), t.dtype)
+    z = z.at[..., 0].set(carry)
+    shifted = jnp.concatenate(
+        [jnp.zeros(t.shape[:-2] + (p,), t.dtype), z.reshape(t.shape[:-2] + (n * p,))],
+        axis=-1,
+    )[..., :npts]  # carry[k] lands at (k+1)*p; drop p-1 trailing zeros
+    return main + shifted
+
+
+def block_all(u, dim: int, ns, p: int):
+    """Grid vector/array -> blocked layout (nz,pz,ny,py,nx,px).
+
+    ns: cells per grid axis in (z, y, x) order — axes may differ (slab-local
+    shards have fewer z cells).  u may be flat (prod(npts)) or grid-shaped.
+    """
+    npts = tuple(n * p + 1 for n in ns)
+    t = u.reshape(npts)
+    # z (the outermost grid dim) is blocked first; unblocked grid dims stay
+    # at the front in (z, y, x) order, so the target is always position 0.
+    for k in range(dim):
+        t = block_axis(t, 0, ns[k], p)
+    return t
+
+
+def unblock_all_add(t, dim: int, ns, p: int):
+    """Inverse (transpose) of block_all: blocked -> flat grid vector.
+
+    block_all consumed the leading grid dim each step and appended its
+    (cell, local) pair; the inverse unblocks the LEADING pair each step and
+    moves the resulting grid axis to the back.
+    """
+    for k in range(dim):
+        t = jnp.moveaxis(t, (0, 1), (t.ndim - 2, t.ndim - 1))
+        t = unblock_axis_add(t, ns[k], p)
+    return t.reshape(-1)
+
+
+def contract_local(t, M, a: int, dim: int):
+    """Contract blocked local dim of spatial axis a (0 = x) with M (q, m)."""
+    pos = 2 * (dim - 1 - a) + 1
+    t2 = jnp.moveaxis(t, pos, -1)
+    out = jnp.einsum("...i,qi->...q", t2, M, preferred_element_type=t.dtype,
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.moveaxis(out, -1, pos)
+
+
+def laplace_apply_structured(
+    u,
+    dim: int,
+    ns,
+    p: int,
+    S,
+    D_col,
+    scale,  # (dim,) = inv_h[a]^2 * det  (uniform Cartesian metric)
+    w_block,  # (q1,)*dim quadrature weight block (possibly * coefficient,
+    #           then shaped (nx,qx,ny,qy,...) broadcastable instead)
+):
+    """Full Laplace vmult on the uniform grid: block -> S-transform ->
+    collocation gradients -> metric scale -> transpose -> overlap-add.
+
+    This is the reference's whole §3.4 kernel box in gather-free form.
+    """
+    if isinstance(ns, int):
+        ns = (ns,) * dim
+    t = block_all(u, dim, ns, p)
+    # values at quadrature points: contract every local dim with S
+    for a in range(dim):
+        t = contract_local(t, S, a, dim)
+    # gradient components + metric + accumulate transposed application
+    acc = None
+    for a in range(dim):
+        g = contract_local(t, D_col, a, dim)
+        g = g * (scale[a] * w_block)
+        g = contract_local(g, D_col.T, a, dim)
+        acc = g if acc is None else acc + g
+    for a in range(dim):
+        acc = contract_local(acc, S.T, a, dim)
+    return unblock_all_add(acc, dim, ns, p)

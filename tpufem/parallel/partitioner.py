@@ -1,0 +1,163 @@
+"""Slab-decomposition partitioner for uniform tensor grids.
+
+Reference analogue: ``GpuPartitioner`` + ``MultiGpuVector`` (SURVEY.md §2
+"Multi-GPU vector + partitioner", §3.6): split cells/DoFs across devices
+with owned/ghost index sets and two-phase exchange
+(``update_ghost_values`` / ``compress``).
+
+TPU-native design: the mesh is cut into slabs of cells along the slowest
+grid axis (z).  Each shard stores the node planes of its own cells
+*including both interface planes* — i.e. the single shared interface plane
+is duplicated on the two neighboring shards (deal.II's "ghosted vector"
+with one ghost plane).  The invariant between operations is that duplicate
+planes hold identical values.
+
+- ``update_ghost_values``: free — duplicates are maintained by compress.
+- ``compress(add)``: each shard's first/last plane holds a *partial* sum
+  after a cell loop; one ``ppermute`` in each direction adds the neighbor's
+  partial plane so both copies hold the full sum (SURVEY.md §3.6, the
+  cudaMemcpyPeerAsync exchange, now riding ICI).
+- dots: each shard reduces its owned planes (all but the last, except the
+  last shard) and ``psum``s — fixed tree, bitwise deterministic.
+
+The distributed vector is a jax.Array of shape (n_shards, local_npts_z,
+npts, ...) sharded on axis 0.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh as DeviceMesh
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class Partitioner:
+    """Static description of the slab decomposition."""
+
+    dim: int
+    n: int  # cells per axis (global)
+    p: int  # polynomial degree
+    n_shards: int
+    axis_name: str = "shard"
+
+    def __post_init__(self):
+        if self.n % self.n_shards != 0:
+            raise ValueError(
+                f"cells per axis ({self.n}) must be divisible by the shard "
+                f"count ({self.n_shards})"
+            )
+
+    @property
+    def npts(self) -> int:
+        return self.n * self.p + 1
+
+    @property
+    def local_cells_z(self) -> int:
+        return self.n // self.n_shards
+
+    @property
+    def local_npts_z(self) -> int:
+        """Node planes per shard, including both interface planes."""
+        return self.local_cells_z * self.p + 1
+
+    @property
+    def local_shape(self) -> tuple[int, ...]:
+        return (self.local_npts_z,) + (self.npts,) * (self.dim - 1)
+
+    @property
+    def global_shape(self) -> tuple[int, ...]:
+        return (self.n_shards,) + self.local_shape
+
+    # ------------------------------------------------------------------
+    def device_mesh(self, devices=None) -> DeviceMesh:
+        if devices is None:
+            devices = jax.devices()[: self.n_shards]
+        devices = np.asarray(devices)
+        if devices.size != self.n_shards:
+            raise ValueError(
+                f"need {self.n_shards} devices, have {devices.size} "
+                f"(backend: {jax.default_backend()})"
+            )
+        return DeviceMesh(devices, (self.axis_name,))
+
+    def sharding(self, mesh: DeviceMesh) -> NamedSharding:
+        return NamedSharding(mesh, P(self.axis_name))
+
+    # ------------------------------------------------------------------
+    def to_local(self, u_global: np.ndarray) -> np.ndarray:
+        """(npts**dim,) -> (n_shards, local_npts_z, npts, ...) with the
+        interface planes duplicated (ghost import)."""
+        g = np.asarray(u_global).reshape((self.npts,) * self.dim)
+        lz = self.local_npts_z
+        out = np.empty(self.global_shape, dtype=g.dtype)
+        for k in range(self.n_shards):
+            z0 = k * self.local_cells_z * self.p
+            out[k] = g[z0 : z0 + lz]
+        return out
+
+    def to_global(self, u_local: np.ndarray) -> np.ndarray:
+        """Inverse of to_local (uses the owner copy of each plane)."""
+        u_local = np.asarray(u_local)
+        g = np.empty((self.npts,) + (self.npts,) * (self.dim - 1),
+                     dtype=u_local.dtype)
+        for k in range(self.n_shards):
+            z0 = k * self.local_cells_z * self.p
+            g[z0 : z0 + self.local_npts_z] = u_local[k]
+        return g.reshape(-1)
+
+    # ------------------------------------------------------------------
+    # collectives used inside shard_map (axis_name must be in scope)
+    def _plane_from(self, plane, delta: int):
+        """The neighbor plane from shard (my_index + delta), zeros at ends.
+
+        On TPU meshes this is a single-neighbor ``ppermute`` over ICI; the
+        CPU backend of this JAX version rejects partial/ring permutations
+        (lowering bug), so the host-device test rig uses an all_gather +
+        select with identical semantics (planes are tiny).
+        """
+        ax = self.axis_name
+        ns = self.n_shards
+        if jax.devices()[0].platform != "cpu":
+            if delta == 1:
+                perm = [(k, k - 1) for k in range(1, ns)]
+            else:
+                perm = [(k, k + 1) for k in range(ns - 1)]
+            return jax.lax.ppermute(plane, ax, perm)
+        g = jax.lax.all_gather(plane, ax)  # (ns, ...)
+        idx = jax.lax.axis_index(ax)
+        src = idx + delta
+        ok = jnp.logical_and(src >= 0, src < ns)
+        safe = jnp.clip(src, 0, ns - 1)
+        return jnp.where(ok, g[safe], jnp.zeros_like(plane))
+
+    def compress_add(self, y_local):
+        """Sum duplicated interface planes across neighbors.
+
+        y_local: (local_npts_z, ...) per-shard block whose first/last plane
+        hold partial sums; returns the block with full sums on both
+        interface planes (SURVEY.md §3.6 compress(add)).
+        """
+        if self.n_shards == 1:
+            return y_local
+        # my last plane needs the first plane of shard (idx+1);
+        # my first plane needs the last plane of shard (idx-1)
+        from_next = self._plane_from(y_local[:1], +1)
+        from_prev = self._plane_from(y_local[-1:], -1)
+        y_local = y_local.at[-1:].add(from_next)
+        y_local = y_local.at[:1].add(from_prev)
+        return y_local
+
+    def dot(self, a_local, b_local):
+        """Deterministic global dot: owned planes (drop the duplicated last
+        plane except on the last shard) then psum."""
+        ax = self.axis_name
+        full = jnp.sum(a_local * b_local)
+        dup = jnp.sum(a_local[-1] * b_local[-1])
+        is_last = jax.lax.axis_index(ax) == self.n_shards - 1
+        local = full - jnp.where(is_last, 0.0, dup)
+        return jax.lax.psum(local, ax)

@@ -1,0 +1,96 @@
+"""Preconditioned conjugate-gradient solver, fully device-resident.
+
+Reference analogue: deal.II ``SolverCG<GpuVector<double>>`` driven from the
+host, where every dot product forces a device sync (SURVEY.md §3.3).  The
+TPU-native design runs the *entire* iteration in one ``lax.while_loop``
+inside jit — no host round-trips; the host gets (x, iters, residual) once at
+the end.  Dot products use a fixed reduction order (single jnp.dot per
+device; jax.lax.psum tree across shards via the injectable ``dot``), which
+is what makes CG iteration counts bitwise-reproducible run-to-run
+(BASELINE.md "bitwise-stable iteration counts").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class CGResult(NamedTuple):
+    x: jnp.ndarray
+    iterations: jnp.ndarray  # int32 scalar
+    residual: jnp.ndarray  # final ||r||
+
+
+def _default_dot(a, b):
+    return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
+def cg_solve(
+    A: Callable,
+    b,
+    M_inv: Optional[Callable] = None,
+    x0=None,
+    rtol: float = 1e-10,
+    atol: float = 0.0,
+    maxiter: int = 10000,
+    dot: Callable = _default_dot,
+) -> CGResult:
+    """Solve A x = b with (optionally preconditioned) CG.
+
+    A and M_inv are traced callables; the whole solve is one jitted
+    while_loop.  ``dot`` is injectable so the distributed path can use a
+    per-shard dot + psum (SURVEY.md §3.6).
+    """
+    if M_inv is None:
+        M_inv = lambda r: r
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+
+    bnorm = jnp.sqrt(dot(b, b))
+    tol = jnp.maximum(rtol * bnorm, atol)
+
+    r0 = b - A(x0)
+    z0 = M_inv(r0)
+    rz0 = dot(r0, z0)
+    state0 = (x0, r0, z0, z0, rz0, jnp.sqrt(dot(r0, r0)), jnp.int32(0))
+    # state: x, r, z, p, rz, rnorm, k
+
+    def cond(s):
+        _, _, _, _, _, rnorm, k = s
+        return jnp.logical_and(rnorm > tol, k < maxiter)
+
+    def body(s):
+        x, r, z, p, rz, rnorm, k = s
+        v = A(p)
+        pv = dot(p, v)
+        alpha = rz / pv
+        x = x + alpha * p
+        r = r - alpha * v
+        rnorm = jnp.sqrt(dot(r, r))
+        z = M_inv(r)
+        rz_new = dot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        return (x, r, z, p, rz_new, rnorm, k + 1)
+
+    x, r, _, _, _, rnorm, k = jax.lax.while_loop(cond, body, state0)
+    return CGResult(x, k, rnorm)
+
+
+def make_jacobi(diag) -> Callable:
+    """Diagonal (Jacobi) preconditioner — the reference's
+    diagonal-preconditioned CG (SURVEY.md §2 'Laplace operator')."""
+    inv = 1.0 / diag
+    return lambda r: inv * r
+
+
+@partial(jax.jit, static_argnames=("A", "M_inv", "maxiter"))
+def cg_solve_jit(A, b, M_inv=None, x0=None, rtol=1e-10, atol=0.0,
+                 maxiter=10000):
+    """Convenience jitted wrapper when A/M_inv are hashable callables."""
+    return cg_solve(A, b, M_inv=M_inv, x0=x0, rtol=rtol, atol=atol,
+                    maxiter=maxiter)

@@ -1,0 +1,195 @@
+"""Geometric multigrid V-cycle preconditioner on uniform level hierarchies.
+
+Reference analogue: the GMG stack of ``poisson_mg.cu`` — deal.II
+``Multigrid`` + ``PreconditionMG`` driving ``MGTransferMatrixFreeGpu``
+(sum-factorized level transfer kernels) and Chebyshev-smoothed
+``LaplaceOperatorGpu`` per level (SURVEY.md §2 "GMG transfer", §3.5).
+
+TPU-native design decisions:
+- Levels are the uniformly refined hyper_cube grids; the FE spaces nest
+  exactly, so each level operator is the true Galerkin operator without
+  assembling P^T A P.
+- Transfer uses the *global separable* form: on a tensor-product node grid
+  the prolongation is P1d ⊗ ... ⊗ P1d, applied as one batched matmul per
+  axis (MXU) — mathematically identical to the reference's per-cell
+  child-gather kernels with DoF weights, but with the weight bookkeeping
+  eliminated by construction.
+- The whole V-cycle is a traced function: level loop unrolled at trace
+  time (shapes are static per level), so CG + GMG preconditioner runs as a
+  single XLA computation with zero host round-trips per iteration.
+- Coarsest level solved with a precomputed dense inverse (constrained
+  rows = identity) — deterministic, and a single small matmul on device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufem.fem.assemble import assemble_laplace
+from tpufem.fem.dof_handler import DoFHandler
+from tpufem.fem.mesh import Mesh
+from tpufem.fem.shapes import subface_interpolation_1d, support_points_1d
+from tpufem.operators.laplace import LaplaceOperator
+from tpufem.ops.matrix_free import MatrixFree
+from tpufem.solvers.chebyshev import (
+    ChebyshevParams,
+    chebyshev_smooth,
+    make_chebyshev_params,
+)
+from tpufem.utils.config import FemConfig
+
+
+def prolongation_1d(p: int, n_coarse_cells: int) -> np.ndarray:
+    """1D node-grid prolongation (2n cells from n cells), dense
+    (2*n*p+1, n*p+1).
+
+    Rows for child c of coarse cell k interpolate via the subface matrix
+    (tpufem.fem.shapes.subface_interpolation_1d) — the same 1D embedding
+    the reference loads for MGTransferMatrixFreeGpu (SURVEY.md §2).
+    Overlapping rows (shared fine nodes) receive identical values, so
+    "set" semantics are well-defined.
+    """
+    n = n_coarse_cells
+    nc_pts = n * p + 1
+    nf_pts = 2 * n * p + 1
+    P = np.zeros((nf_pts, nc_pts))
+    C = [subface_interpolation_1d(p, 0), subface_interpolation_1d(p, 1)]
+    for k in range(n):
+        for c in (0, 1):
+            rows = (2 * k + c) * p + np.arange(p + 1)
+            cols = k * p + np.arange(p + 1)
+            P[np.ix_(rows, cols)] = C[c]
+    return P
+
+
+@dataclasses.dataclass
+class MGLevel:
+    mf: MatrixFree
+    op: LaplaceOperator
+    inv_diag: jnp.ndarray
+    cheb: ChebyshevParams
+    mask: jnp.ndarray  # interior mask (homogeneous constraints per level)
+    npts: int  # nodes per axis of this level's tensor grid
+
+
+class GeometricMultigrid:
+    """V-cycle preconditioner over uniformly refined hyper_cube levels."""
+
+    def __init__(
+        self,
+        dim: int,
+        degree: int,
+        finest_refine: int,
+        coarsest_refine: int = 1,
+        dtype: str = "float64",
+        smoother_degree: int = 4,
+        coefficient: Optional[Callable] = None,
+        scatter: str = "incidence",
+        n_cycles: int = 1,
+    ):
+        if coarsest_refine > finest_refine:
+            raise ValueError("coarsest_refine must be <= finest_refine")
+        self.dim, self.degree = dim, degree
+        self.n_cycles = n_cycles
+        self.levels: list[MGLevel] = []
+        for r in range(coarsest_refine, finest_refine + 1):
+            mesh = Mesh.hyper_cube(dim, r)
+            dofs = DoFHandler(mesh, degree)
+            cfg = FemConfig(dim=dim, degree=degree, dtype=dtype,
+                            scatter=scatter)
+            mf = MatrixFree.build(mesh, dofs, cfg, coefficient=coefficient)
+            op = LaplaceOperator(mf)
+            diag = op.diagonal()
+            cheb = make_chebyshev_params(
+                op.vmult, diag, dofs.n_dofs, degree=smoother_degree
+            )
+            self.levels.append(MGLevel(
+                mf=mf, op=op, inv_diag=1.0 / diag, cheb=cheb,
+                mask=mf.interior_mask, npts=(1 << r) * degree + 1,
+            ))
+        # 1D prolongations between consecutive levels (jnp constants)
+        self.P1d = []
+        for r in range(coarsest_refine, finest_refine):
+            P = prolongation_1d(degree, 1 << r)
+            self.P1d.append(jnp.asarray(P, jnp.dtype(dtype)))
+        # coarse dense inverse (constrained rows/cols -> identity)
+        lvl0 = self.levels[0]
+        K = assemble_laplace(
+            lvl0.mf.dofs, coefficient=coefficient
+        ).toarray()
+        m = np.asarray(lvl0.mask, dtype=np.float64)
+        Kc = (m[:, None] * K * m[None, :]) + np.diag(1.0 - m)
+        self.coarse_inv = jnp.asarray(
+            np.linalg.inv(Kc), jnp.dtype(dtype)
+        )
+
+    # ------------------------------------------------------------------
+    def _tensor_apply(self, P, x, npts_in: int, npts_out: int):
+        """Apply P (npts_out, npts_in) along each axis of the tensor grid."""
+        d = self.dim
+        t = x.reshape((npts_in,) * d)  # index order (z, y, x): x fastest
+        for axis in range(d):
+            t = jnp.moveaxis(
+                jnp.einsum("fi,...i->...f", P,
+                           jnp.moveaxis(t, d - 1 - axis, -1),
+                           preferred_element_type=t.dtype,
+                           precision=jax.lax.Precision.HIGHEST),
+                -1, d - 1 - axis,
+            )
+        return t.reshape(-1)
+
+    def prolongate(self, level: int, xc):
+        """Coarse level-1 -> fine level (MGTransfer prolongate)."""
+        P = self.P1d[level - 1]
+        return self._tensor_apply(
+            P, xc, self.levels[level - 1].npts, self.levels[level].npts
+        )
+
+    def restrict(self, level: int, xf):
+        """Fine level -> coarse level-1 (restrict_and_add analogue = P^T)."""
+        P = self.P1d[level - 1].T
+        return self._tensor_apply(
+            P, xf, self.levels[level].npts, self.levels[level - 1].npts
+        )
+
+    # ------------------------------------------------------------------
+    def vcycle(self, b):
+        """One V-cycle as a traced function of the fine-level RHS."""
+        return self._cycle(len(self.levels) - 1, b)
+
+    def _cycle(self, l: int, b):
+        lvl = self.levels[l]
+        if l == 0:
+            return jnp.dot(self.coarse_inv, b,
+                           precision=jax.lax.Precision.HIGHEST)
+        b = lvl.mask * b
+        x = chebyshev_smooth(lvl.op.vmult, lvl.inv_diag, lvl.cheb, b)
+        r = lvl.mask * (b - lvl.op.vmult(x))
+        rc = self.levels[l - 1].mask * self.restrict(l, r)
+        xc = self._cycle(l - 1, rc)
+        x = x + lvl.mask * self.prolongate(l, xc)
+        x = chebyshev_smooth(lvl.op.vmult, lvl.inv_diag, lvl.cheb, b, x0=x)
+        return x
+
+    def preconditioner(self) -> Callable:
+        """M_inv callable for cg_solve (PreconditionMG analogue)."""
+        if self.n_cycles == 1:
+            return self.vcycle
+
+        def m_inv(b):
+            x = self.vcycle(b)
+            for _ in range(self.n_cycles - 1):
+                x = x + self.vcycle(b - self.levels[-1].op.vmult(x))
+            return x
+
+        return m_inv
+
+    @property
+    def fine(self) -> MGLevel:
+        return self.levels[-1]

@@ -12,7 +12,9 @@ from __future__ import annotations
 import dataclasses
 from typing import Literal
 
-ScatterScheme = Literal["incidence", "colored"]
+ScatterScheme = Literal[
+    "auto", "incidence", "colored", "structured", "dense", "separable"
+]
 MetricMode = Literal["cartesian", "affine", "general"]
 
 
@@ -23,7 +25,9 @@ class FemConfig:
     dim: int = 2
     degree: int = 1
     n_q_1d: int | None = None  # default: degree + 1 (QGauss(p+1))
-    scatter: ScatterScheme = "incidence"
+    # auto -> "structured" on uniform Cartesian meshes (gather-free blocked
+    # cell loop, the TPU fast path), else "incidence"
+    scatter: ScatterScheme = "auto"
     use_pallas: bool = False
     dtype: str = "float64"  # compute dtype for device arrays
 
