@@ -69,7 +69,14 @@ def main(argv=None):
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--spmv", action="store_true",
                     help="also run the assembled-SpMV baseline (bmspmv)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (some TPU plugins ignore "
+                         "JAX_PLATFORMS; this flag always works)")
     args = ap.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     for p in args.degrees:
         rec = bench_config(
             args.dim, p, args.refine, args.dtype, args.scatter, args.reps,

@@ -76,6 +76,7 @@ class PoissonResult:
     setup_time: float
     solve_time: float
     solution: np.ndarray
+    dofs: object = None  # DoFHandler (for output writers)
 
 
 def solve_poisson(
@@ -143,6 +144,7 @@ def solve_poisson(
         setup_time=setup_time,
         solve_time=solve_time,
         solution=x,
+        dofs=dofs,
     )
 
 
@@ -151,19 +153,33 @@ def main(argv=None):
     ap.add_argument("--dim", type=int, default=2)
     ap.add_argument("--degree", type=int, default=1)
     ap.add_argument("--refine", type=int, default=3)
-    ap.add_argument("--scatter", default="incidence",
-                    choices=["incidence", "colored"])
+    ap.add_argument("--scatter", default="auto",
+                    choices=["auto", "incidence", "colored", "structured",
+                             "dense", "separable"])
     ap.add_argument("--dtype", default="float64")
     ap.add_argument("--adaptive-steps", type=int, default=0)
     ap.add_argument("--pallas", action="store_true")
     ap.add_argument("--json", action="store_true",
                     help="emit a JSON metrics line (SURVEY.md §5 metrics)")
+    ap.add_argument("--vtu", metavar="PATH",
+                    help="write the solution as a VTU file (DataOut analogue)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (note: some TPU plugins "
+                         "ignore JAX_PLATFORMS; this flag always works)")
     args = ap.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     r = solve_poisson(
         dim=args.dim, degree=args.degree, refine=args.refine,
         scatter=args.scatter, dtype=args.dtype,
         adaptive_steps=args.adaptive_steps, use_pallas=args.pallas,
     )
+    if args.vtu:
+        from tpufem.utils.output import write_vtu
+
+        write_vtu(args.vtu, r.dofs, {"u": r.solution})
     if args.json:
         print(json.dumps({
             "n_dofs": r.n_dofs, "n_cells": r.n_cells,

@@ -81,7 +81,14 @@ def main(argv=None):
     ap.add_argument("--coarsest", type=int, default=1)
     ap.add_argument("--smoother-degree", type=int, default=4)
     ap.add_argument("--variable-coefficient", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (some TPU plugins ignore "
+                         "JAX_PLATFORMS; this flag always works)")
     args = ap.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     coef = None
     if args.variable_coefficient:
         coef = lambda x: 1.0 + np.sum(x**2, axis=1)

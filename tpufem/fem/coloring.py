@@ -32,27 +32,12 @@ def color_cells(mesh: Mesh, cell_dofs: np.ndarray) -> list[np.ndarray]:
         return [np.nonzero(color == c)[0].astype(np.int32)
                 for c in range(2**mesh.dim) if np.any(color == c)]
 
+    from tpufem.utils.native import greedy_color
+
     n_dofs = int(cell_dofs.max()) + 1
-    dof_used = np.zeros(n_dofs, dtype=np.int64)  # bitmask of colors per dof
-    nc = cell_dofs.shape[0]
-    colors = np.empty(nc, dtype=np.int64)
-    for c in range(nc):
-        d = cell_dofs[c]
-        used = np.bitwise_or.reduce(dof_used[d])
-        col = _lowest_clear_bit(used)
-        colors[c] = col
-        dof_used[d] |= np.int64(1) << np.int64(col)
+    colors = greedy_color(cell_dofs, n_dofs)  # C++ with numpy fallback
     ncol = int(colors.max()) + 1
     return [np.nonzero(colors == c)[0].astype(np.int32) for c in range(ncol)]
-
-
-def _lowest_clear_bit(mask: int) -> int:
-    b = 0
-    while (int(mask) >> b) & 1:
-        b += 1
-        if b >= 62:
-            raise RuntimeError("coloring exceeded 62 colors")
-    return b
 
 
 def verify_coloring(colors: list[np.ndarray], cell_dofs: np.ndarray) -> None:

@@ -183,25 +183,20 @@ def make_hanging_node_constraints(dofs: DoFHandler) -> AffineConstraints:
 
     n1 = p + 1
     # ---- face constraints (2D: the only kind; 3D: face interiors+edges) --
+    # coarse-neighbor table from the native setup runtime (C++ w/ fallback)
+    from tpufem.utils.native import coarse_face_neighbors
+
+    face_nbr = coarse_face_neighbors(mesh.origins, mesh.sizes, mesh.U)
     for c in range(mesh.n_cells):
         s = int(mesh.sizes[c])
         o = mesh.origins[c]
         S = 2 * s
         for axis in range(d):
             for side in (0, 1):
-                w = int(o[axis]) + s * side
-                if w == 0 or w == mesh.U:
+                cc = int(face_nbr[c, axis, side])
+                if cc < 0:
                     continue
-                # coarse neighbor candidate on the other side of the face:
-                # side=1 -> neighbor spans [w, w+S]; side=0 -> [w-S, w]
-                ax_origin = w if side == 1 else w - S
-                if ax_origin % S != 0 or ax_origin < 0:
-                    continue  # no S-aligned coarse cell can touch here
-                co = (np.array(o, dtype=np.int64) // S) * S
-                co[axis] = ax_origin
-                cc = coarse_at(S, co // S)
-                if cc is None:
-                    continue
+                co = mesh.origins[cc]
                 # fine face nodes constrained to coarse face nodes
                 fine_local = dofs.face_local_dofs(axis, side)
                 coarse_local = dofs.face_local_dofs(axis, 1 - side)

@@ -157,6 +157,8 @@ class LaplaceOperator:
 
 def _vmult_raw(mf: MatrixFree, x):
     if mf.scheme == "separable":
+        if len(mf.sep_ops) == 3:  # (Ks, Ms, pallas_kernel)
+            return mf.sep_ops[2](x)
         from tpufem.ops.separable import laplace_apply_separable
 
         Ks, Ms = mf.sep_ops

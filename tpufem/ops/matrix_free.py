@@ -184,12 +184,28 @@ class MatrixFree:
                     p, d, config.nq1, np.asarray(struct_scale), dtype
                 )
             if scheme == "separable":
-                from tpufem.ops.separable import build_separable_operators
+                from tpufem.ops.separable import (
+                    build_separable_operators,
+                    global_1d_matrices,
+                )
 
                 h = 1.0 / metric.inv_h[0]  # (d,) physical cell widths
                 sep_ops = build_separable_operators(
                     p, d, config.nq1, uniform_n, np.asarray(h), dtype
                 )
+                if config.use_pallas:
+                    from tpufem.ops.pallas_separable import PallasSeparable
+
+                    K1u, M1u = global_1d_matrices(p, uniform_n, config.nq1)
+                    import jax
+
+                    sep_ops = sep_ops + (PallasSeparable(
+                        d, uniform_n * p + 1, p,
+                        [np.asarray(K1u / h[a]) for a in range(d)],
+                        [np.asarray(M1u * h[a]) for a in range(d)],
+                        dtype,
+                        interpret=jax.default_backend() == "cpu",
+                    ),)
             if coef_q is not None:
                 n = uniform_n
                 q1 = config.nq1
