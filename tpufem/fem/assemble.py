@@ -101,6 +101,38 @@ def assemble_laplace(
     return K
 
 
+def assemble_mass(
+    dofs: DoFHandler,
+    quad: Quadrature | None = None,
+    coefficient=None,
+) -> sp.csr_matrix:
+    """Assemble the global mass matrix M[i,j] = int coef phi_i phi_j dx
+    with the same quadrature the device path uses (oracle for the generic
+    mass/Helmholtz operators)."""
+    mesh, p = dofs.mesh, dofs.degree
+    d = mesh.dim
+    if quad is None:
+        quad = Quadrature.gauss(p + 1)
+    metric = compute_metric(mesh, quad, need_points=coefficient is not None)
+    gen = metric.to_general()
+    V = cell_basis_values(p, d, quad)  # (nq, nn)
+    w = gen.jxw
+    if coefficient is not None:
+        pts = (
+            gen.quad_points
+            if gen.quad_points is not None
+            else compute_metric(mesh, quad, need_points=True).quad_points
+        )
+        w = w * coefficient(pts.reshape(-1, d)).reshape(w.shape)
+    Me = np.einsum("qj,qk,cq->cjk", V, V, w)
+    nn = Me.shape[1]
+    rows = np.repeat(dofs.cell_dofs, nn, axis=1).ravel()
+    cols = np.tile(dofs.cell_dofs, (1, nn)).ravel()
+    return sp.coo_matrix(
+        (Me.ravel(), (rows, cols)), shape=(dofs.n_dofs, dofs.n_dofs)
+    ).tocsr()
+
+
 def assemble_rhs(
     dofs: DoFHandler, f, quad: Quadrature | None = None
 ) -> np.ndarray:
