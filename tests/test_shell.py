@@ -1,0 +1,71 @@
+"""Curved-domain (hyper_shell) solves — the reference's shell geometry
+(SURVEY.md §3.1) on the general-metric path.
+
+Geometry note: cells are Q1-mapped (bilinear) images of the polar
+transform of their vertices, so the computational domain is a polygonal
+approximation of the annulus refined with the mesh — the manufactured
+solution is evaluated on the same mapped geometry, making the test exact
+up to FE approximation on that geometry.
+"""
+
+import numpy as np
+import pytest
+
+from tpufem.apps.poisson import solve_poisson
+from tpufem.fem.assemble import assemble_laplace
+from tpufem.fem.dof_handler import DoFHandler
+from tpufem.fem.mesh import Mesh
+from tpufem.operators.laplace import LaplaceOperator
+from tpufem.ops.matrix_free import MatrixFree
+from tpufem.utils.config import FemConfig
+
+RNG = np.random.default_rng(21)
+
+
+def test_shell_metric_is_general():
+    mesh = Mesh.hyper_shell_2d(2)
+    dofs = DoFHandler(mesh, 2)
+    mf = MatrixFree.build(mesh, dofs, FemConfig(2, 2))
+    assert mf.metric_kind == "general"
+    assert mf.scheme == "incidence"  # curved -> gather-based scheme
+
+
+@pytest.mark.parametrize("p", [1, 2, 4])
+def test_shell_vmult_parity(p):
+    mesh = Mesh.hyper_shell_2d(3)
+    dofs = DoFHandler(mesh, p)
+    mf = MatrixFree.build(mesh, dofs, FemConfig(2, p))
+    op = LaplaceOperator(mf)
+    K = assemble_laplace(dofs)
+    x = RNG.standard_normal(dofs.n_dofs)
+    import jax.numpy as jnp
+
+    y = np.asarray(op.vmult_raw(jnp.asarray(x)))
+    assert np.linalg.norm(y - K @ x) / np.linalg.norm(K @ x) < 1e-10
+
+
+def test_shell_solve_converges():
+    """u = x^2 - y^2 is harmonic; Q2 on bilinear cells converges ~O(h^2-3)."""
+    exact = lambda x: x[:, 0] ** 2 - x[:, 1] ** 2
+    zero = lambda x: np.zeros(len(x))
+    errs = []
+    for r in (2, 3, 4):
+        mesh = Mesh.hyper_shell_2d(r)
+        from tpufem.fem.assemble import assemble_rhs, integrate_difference
+        from tpufem.solvers.cg import cg_solve, make_jacobi
+        import jax.numpy as jnp
+
+        dofs = DoFHandler(mesh, 2)
+        mf = MatrixFree.build(mesh, dofs, FemConfig(2, 2))
+        op = LaplaceOperator(mf)
+        b = assemble_rhs(dofs, zero)
+        g = np.zeros(dofs.n_dofs)
+        g[dofs.boundary_mask] = exact(dofs.dof_coords[dofs.boundary_mask])
+        from tpufem.apps.poisson import dirichlet_setup
+
+        b_con, x0 = dirichlet_setup(op, b, g)
+        res = cg_solve(op.vmult, b_con, M_inv=make_jacobi(op.diagonal()),
+                       x0=x0, rtol=1e-12)
+        errs.append(integrate_difference(dofs, np.asarray(res.x), exact))
+    rate = np.log2(errs[-2] / errs[-1])
+    assert rate > 1.8, (errs, rate)

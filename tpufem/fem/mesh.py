@@ -96,6 +96,29 @@ class Mesh:
             upper = [float(upper)] * dim
         return cls(dim, nbase, refinements, origins, sizes, lower, upper)
 
+    @classmethod
+    def hyper_shell_2d(
+        cls,
+        refinements: int = 0,
+        r_inner: float = 0.5,
+        r_outer: float = 1.0,
+        wedge: float = 0.5 * np.pi,
+    ) -> "Mesh":
+        """Annulus wedge (polar map of the unit square) — the reference's
+        GridGenerator::hyper_shell analogue (SURVEY.md §3.1), exercising
+        the curved/general metric path.  logical (s, t) -> physical
+        (r cos(theta), r sin(theta)) with r = r_inner + s (r_outer-r_inner),
+        theta = t * wedge."""
+
+        def polar(x):
+            r = r_inner + x[:, 0] * (r_outer - r_inner)
+            th = x[:, 1] * wedge
+            return np.stack([r * np.cos(th), r * np.sin(th)], axis=-1)
+
+        m = cls.hyper_cube(2, refinements)
+        m.transform = polar
+        return m
+
     # ------------------------------------------------------------------
     def cell_vertices_logical(self) -> np.ndarray:
         """(ncells, 2**dim, dim) logical coords of cell corner vertices,
