@@ -58,8 +58,9 @@ def test_coloring_valid_uniform_and_adaptive():
     mesh = Mesh.hyper_cube(2, 3)
     dofs = DoFHandler(mesh, 2)
     mf = MatrixFree.build(mesh, dofs, FemConfig(2, 2))
-    verify_coloring(mf.colors, dofs.cell_dofs)
-    assert sum(len(c) for c in mf.colors) == mesh.n_cells
+    colors_u = mf._ensure_colors()  # built lazily now
+    verify_coloring(colors_u, dofs.cell_dofs)
+    assert sum(len(c) for c in colors_u) == mesh.n_cells
     # adaptive: greedy coloring
     centers = (mesh.origins + mesh.sizes[:, None] * 0.5) / mesh.U
     amesh = mesh.refine(np.linalg.norm(centers, axis=1) < 0.5)

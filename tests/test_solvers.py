@@ -75,6 +75,27 @@ def test_golden_iteration_counts(dim, p, refine):
     )
 
 
+def test_cg_f32_stagnation_guard():
+    """f32 CG with an unreachable tolerance must stop at the rounding
+    floor (returning its best iterate), not spin to maxiter."""
+    mesh = Mesh.hyper_cube(2, 4)
+    dofs = DoFHandler(mesh, 2)
+    mf = MatrixFree.build(mesh, dofs, FemConfig(2, 2, dtype="float32"))
+    op = LaplaceOperator(mf)
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(
+        np.asarray(mf.interior_mask) * rng.standard_normal(dofs.n_dofs),
+        jnp.float32,
+    )
+    res = cg_solve(op.vmult, b, M_inv=make_jacobi(op.diagonal()),
+                   rtol=1e-14, maxiter=5000, stall_iters=60)
+    assert int(res.iterations) < 2000  # stopped at the floor, not maxiter
+    assert np.isfinite(np.asarray(res.x)).all()
+    # and the returned iterate is an actual solution to f32 accuracy
+    r = np.asarray(b) - np.asarray(op.vmult(res.x))
+    assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1e-4
+
+
 # ------------------------------------------------------ end-to-end solves
 def test_poisson_2d_q1_config1():
     """BASELINE config 1: 2D Q1 uniformly refined square, Jacobi-CG."""

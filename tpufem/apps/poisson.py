@@ -91,6 +91,7 @@ def solve_poisson(
     exact=None,
     rhs=None,
     use_pallas: bool = False,
+    warm: bool = False,
 ) -> PoissonResult:
     _ensure_dtype(dtype)
     if rtol is None:
@@ -127,9 +128,15 @@ def solve_poisson(
     b_con, x0 = dirichlet_setup(op, b, g)
     setup_time = time.perf_counter() - t0
 
+    solve = lambda: cg_solve(op.vmult, b_con, M_inv=make_jacobi(diag),
+                             x0=x0, rtol=rtol)
+    if warm:
+        # compile + run once so solve_time reports the steady state
+        import jax
+
+        jax.block_until_ready(solve().x)
     t1 = time.perf_counter()
-    res = cg_solve(op.vmult, b_con, M_inv=make_jacobi(diag), x0=x0,
-                   rtol=rtol)
+    res = solve()
     x = np.asarray(mf.distribute(res.x))
     iters = int(res.iterations)
     solve_time = time.perf_counter() - t1
@@ -166,6 +173,9 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (note: some TPU plugins "
                          "ignore JAX_PLATFORMS; this flag always works)")
+    ap.add_argument("--warm", action="store_true",
+                    help="run the solve twice and time the second "
+                         "(steady-state benchmark; excludes compilation)")
     args = ap.parse_args(argv)
     if args.cpu:
         import jax
@@ -175,6 +185,7 @@ def main(argv=None):
         dim=args.dim, degree=args.degree, refine=args.refine,
         scatter=args.scatter, dtype=args.dtype,
         adaptive_steps=args.adaptive_steps, use_pallas=args.pallas,
+        warm=args.warm,
     )
     if args.vtu:
         from tpufem.utils.output import write_vtu

@@ -54,8 +54,11 @@ class MatrixFree:
     w_q: Any | None  # (nq,)          [cartesian]
     inv_jac: Any | None  # (nc, nq, d, d)  [general]
     jxw: Any | None  # (nc, nq)       [general]
-    incidence: Any  # (n_dofs, K) int32 flat positions into padded locals
-    colors: list[np.ndarray]  # static cell-index arrays per color
+    # incidence/colors are built lazily on first use (the fast uniform
+    # tiers never touch them; at 17M DoFs the incidence map alone is
+    # ~0.5 GB of HBM)
+    incidence: Any  # (n_dofs, K) int32, lazy (None until first use)
+    colors: Any  # list of per-color cell-index arrays, lazy
     interior_mask: Any  # (n_dofs,) dtype — 1 for unconstrained, 0 constrained
     coef_q: Any | None  # (nc, nq) coefficient at quadrature points
     quad: Quadrature
@@ -99,19 +102,6 @@ class MatrixFree:
         nc = mesh.n_cells
 
         metric = compute_metric(mesh, quad, need_points=coefficient is not None)
-
-        # incidence (transpose) map: positions of each dof in flat locals
-        flat = dofs.cell_dofs.ravel()
-        order = np.argsort(flat, kind="stable")
-        sorted_dofs = flat[order]
-        counts = np.bincount(sorted_dofs, minlength=dofs.n_dofs)
-        K = int(counts.max())
-        pad_pos = nc * nn  # flat index of the zero pad slot
-        incidence = np.full((dofs.n_dofs, K), pad_pos, dtype=np.int32)
-        col = np.concatenate([np.arange(c) for c in counts])
-        incidence[sorted_dofs, col] = order.astype(np.int32)
-
-        colors = color_cells(mesh, dofs.cell_dofs)
 
         coef_q = None
         if coefficient is not None:
@@ -245,8 +235,8 @@ class MatrixFree:
             D=jnp.asarray(si.D, dtype),
             D_col=jnp.asarray(si.D_col, dtype) if si.D_col is not None else None,
             metric_kind=metric.kind,
-            incidence=jnp.asarray(incidence),
-            colors=colors,
+            incidence=None,
+            colors=None,
             interior_mask=jnp.asarray(interior, dtype),
             coef_q=jnp.asarray(coef_q, dtype) if coef_q is not None else None,
             quad=quad,
@@ -270,6 +260,25 @@ class MatrixFree:
         """read_dof_values for all cells: (n_dofs,) -> (nc, nn)."""
         return u[self.cell_dofs]
 
+    def _ensure_incidence(self):
+        if self.incidence is None:
+            from tpufem.utils.native import build_incidence
+
+            nc, nn = self.dofs.cell_dofs.shape
+            pad_pos = nc * nn
+            # cache as NUMPY: jnp.asarray under an active trace would stage
+            # a tracer, and caching a tracer on self leaks it out of the
+            # transformation (UnexpectedTracerError)
+            self.incidence = build_incidence(
+                self.dofs.cell_dofs, self.n_dofs, pad_pos
+            )
+        return self.incidence
+
+    def _ensure_colors(self):
+        if self.colors is None:
+            self.colors = color_cells(self.mesh, self.dofs.cell_dofs)
+        return self.colors
+
     def scatter_incidence(self, v_loc):
         """distribute_local_to_global, transpose-gather scheme.
 
@@ -277,17 +286,18 @@ class MatrixFree:
         incidence list from the flattened locals and sums — race-free, no
         scatter primitive at all (SURVEY.md §2 parallelism item 4).
         """
+        inc = self._ensure_incidence()
         flat = jnp.concatenate(
             [v_loc.reshape(-1), jnp.zeros((1,), v_loc.dtype)]
         )
-        return jnp.sum(flat[self.incidence], axis=1)
+        return jnp.sum(flat[inc], axis=1)
 
     def scatter_colored(self, v_loc):
         """distribute_local_to_global, graph-colored scheme: one
         unique-indices scatter-add per color (reference's colored plain
         store, SURVEY.md §3.4)."""
         dst = jnp.zeros((self.n_dofs,), v_loc.dtype)
-        for cells in self.colors:
+        for cells in self._ensure_colors():
             idx = self.cell_dofs[cells].reshape(-1)
             vals = v_loc[cells].reshape(-1)
             dst = dst.at[idx].add(vals, unique_indices=True)

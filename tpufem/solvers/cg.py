@@ -38,12 +38,18 @@ def cg_solve(
     atol: float = 0.0,
     maxiter: int = 10000,
     dot: Callable = _default_dot,
+    stall_iters: int = 100,
 ) -> CGResult:
     """Solve A x = b with (optionally preconditioned) CG.
 
     A and M_inv are traced callables; the whole solve is one jitted
     while_loop.  ``dot`` is injectable so the distributed path can use a
     per-shard dot + psum (SURVEY.md §3.6).
+
+    ``stall_iters``: f32 solves can plateau above rtol (residual hits the
+    rounding floor); the loop exits once no new residual minimum has been
+    seen for this many iterations, returning the best iterate.  Has no
+    effect on solves that converge (a new minimum resets the counter).
     """
     if M_inv is None:
         M_inv = lambda r: r
@@ -56,15 +62,20 @@ def cg_solve(
     r0 = b - A(x0)
     z0 = M_inv(r0)
     rz0 = dot(r0, z0)
-    state0 = (x0, r0, z0, z0, rz0, jnp.sqrt(dot(r0, r0)), jnp.int32(0))
-    # state: x, r, z, p, rz, rnorm, k
+    rn0 = jnp.sqrt(dot(r0, r0))
+    state0 = (x0, r0, z0, z0, rz0, rn0, jnp.int32(0),
+              x0, rn0, jnp.int32(0))
+    # state: x, r, z, p, rz, rnorm, k, x_best, rn_best, since_best
 
     def cond(s):
-        _, _, _, _, _, rnorm, k = s
-        return jnp.logical_and(rnorm > tol, k < maxiter)
+        rnorm, k, since_best = s[5], s[6], s[9]
+        ok = jnp.logical_and(rnorm > tol, k < maxiter)
+        # NaN-safe: a non-finite residual also exits
+        ok = jnp.logical_and(ok, jnp.isfinite(rnorm))
+        return jnp.logical_and(ok, since_best < stall_iters)
 
     def body(s):
-        x, r, z, p, rz, rnorm, k = s
+        x, r, z, p, rz, rnorm, k, xb, rnb, sb = s
         v = A(p)
         pv = dot(p, v)
         alpha = rz / pv
@@ -75,9 +86,20 @@ def cg_solve(
         rz_new = dot(r, z)
         beta = rz_new / rz
         p = z + beta * p
-        return (x, r, z, p, rz_new, rnorm, k + 1)
+        improved = rnorm < rnb
+        xb = jnp.where(improved, x, xb)
+        rnb = jnp.where(improved, rnorm, rnb)
+        sb = jnp.where(improved, 0, sb + 1)
+        return (x, r, z, p, rz_new, rnorm, k + 1, xb, rnb, sb)
 
-    x, r, _, _, _, rnorm, k = jax.lax.while_loop(cond, body, state0)
+    (x, r, _, _, _, rnorm, k, xb, rnb, sb) = jax.lax.while_loop(
+        cond, body, state0
+    )
+    # if we exited on stall/NaN, return the best iterate seen
+    use_best = jnp.logical_or(sb >= stall_iters,
+                              jnp.logical_not(jnp.isfinite(rnorm)))
+    x = jnp.where(use_best, xb, x)
+    rnorm = jnp.where(use_best, rnb, rnorm)
     return CGResult(x, k, rnorm)
 
 
