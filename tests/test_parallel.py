@@ -95,6 +95,78 @@ def test_distributed_cg_matches_single_device():
     assert iters == int(res.iterations)
 
 
+def test_distributed_vmult_2d_mesh_matches_single_device():
+    """Two-axis (2 x 4) device-mesh decomposition of a 3D problem."""
+    from tpufem.parallel.distributed import make_local_laplace_2d
+    from tpufem.parallel.partitioner import Partitioner2D
+    from functools import partial
+    from jax.sharding import PartitionSpec as P
+
+    dim, p, refine = 3, 2, 3
+    mesh, dofs, mf = build(dim, p, refine)
+    part = Partitioner2D(dim=dim, n=1 << refine, p=p, shards_z=2,
+                         shards_y=4)
+    op = LaplaceOperator(mf)
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal(dofs.n_dofs)
+    y_single = np.asarray(op.vmult_raw(jnp.asarray(x)))
+
+    dmesh = part.device_mesh()
+    vl = make_local_laplace_2d(part, mf.S, mf.D_col, mf.struct_scale,
+                               mf.struct_w)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=dmesh,
+             in_specs=P(part.axis_z, part.axis_y),
+             out_specs=P(part.axis_z, part.axis_y))
+    def dist_vmult(x_blk):
+        return vl(x_blk[0, 0])[None, None]
+
+    x_loc = jax.device_put(jnp.asarray(part.to_local(x)),
+                           part.sharding(dmesh))
+    y_dist = part.to_global(np.asarray(dist_vmult(x_loc)))
+    rel = np.linalg.norm(y_dist - y_single) / np.linalg.norm(y_single)
+    assert rel < 1e-13, rel
+
+    # dot over the 2D mesh
+    b = rng.standard_normal(dofs.n_dofs)
+
+    @jax.jit
+    @partial(jax.shard_map, mesh=dmesh,
+             in_specs=(P(part.axis_z, part.axis_y),) * 2, out_specs=P())
+    def ddot(a_blk, b_blk):
+        return part.dot(a_blk[0, 0], b_blk[0, 0])
+
+    al = jax.device_put(jnp.asarray(part.to_local(x)), part.sharding(dmesh))
+    bl = jax.device_put(jnp.asarray(part.to_local(b)), part.sharding(dmesh))
+    assert np.isclose(float(ddot(al, bl)), float(np.dot(x, b)), rtol=1e-12)
+
+
+def test_distributed_cg_2d_mesh_matches_single_device():
+    from tpufem.parallel.distributed import distributed_cg_solve_2d
+    from tpufem.parallel.partitioner import Partitioner2D
+
+    dim, p, refine = 3, 1, 3
+    mesh, dofs, mf = build(dim, p, refine)
+    op = LaplaceOperator(mf)
+    diag = np.asarray(op.diagonal())
+    mask = np.asarray(mf.interior_mask)
+    rng = np.random.default_rng(17)
+    b = mask * rng.standard_normal(dofs.n_dofs)
+    res = cg_solve(op.vmult, jnp.asarray(b),
+                   M_inv=make_jacobi(jnp.asarray(diag)), rtol=1e-10)
+    part = Partitioner2D(dim=dim, n=1 << refine, p=p, shards_z=2,
+                         shards_y=4)
+    x_dist, iters, _ = distributed_cg_solve_2d(
+        part, mf.S, mf.D_col, mf.struct_scale, mf.struct_w,
+        mask, diag, b, rtol=1e-10,
+    )
+    rel = np.linalg.norm(x_dist - np.asarray(res.x)) / np.linalg.norm(
+        np.asarray(res.x))
+    assert rel < 1e-9, rel
+    assert iters == int(res.iterations)
+
+
 def test_distributed_dot_deterministic_and_correct():
     part = Partitioner(dim=2, n=8, p=1, n_shards=4)
     rng = np.random.default_rng(2)

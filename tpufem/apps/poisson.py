@@ -128,15 +128,18 @@ def solve_poisson(
     b_con, x0 = dirichlet_setup(op, b, g)
     setup_time = time.perf_counter() - t0
 
-    solve = lambda: cg_solve(op.vmult, b_con, M_inv=make_jacobi(diag),
-                             x0=x0, rtol=rtol)
+    import jax
+
+    # jit once: re-calling must not re-trace (a 5-level V-cycle/while_loop
+    # trace alone costs tens of seconds on a small host)
+    solve = jax.jit(lambda b_, x0_: cg_solve(
+        op.vmult, b_, M_inv=make_jacobi(diag), x0=x0_, rtol=rtol))
     if warm:
         # compile + run once so solve_time reports the steady state
-        import jax
-
-        jax.block_until_ready(solve().x)
+        jax.block_until_ready(solve(b_con, x0).x)
     t1 = time.perf_counter()
-    res = solve()
+    res = solve(b_con, x0)
+    jax.block_until_ready(res.x)
     x = np.asarray(mf.distribute(res.x))
     iters = int(res.iterations)
     solve_time = time.perf_counter() - t1

@@ -32,6 +32,7 @@ def solve_poisson_mg(
     smoother_degree: int = 4,
     coefficient=None,
     rtol: float | None = None,
+    warm: bool = False,
 ):
     from tpufem.apps.poisson import _ensure_dtype
 
@@ -56,9 +57,16 @@ def solve_poisson_mg(
     b_con, x0 = dirichlet_setup(op, b, g)
     setup_time = time.perf_counter() - t0
 
+    import jax
+
+    M_inv = gmg.preconditioner()
+    solve = jax.jit(lambda b_, x0_: cg_solve(
+        op.vmult, b_, M_inv=M_inv, x0=x0_, rtol=rtol))
+    if warm:
+        jax.block_until_ready(solve(b_con, x0).x)
     t1 = time.perf_counter()
-    res = cg_solve(op.vmult, b_con, M_inv=gmg.preconditioner(), x0=x0,
-                   rtol=rtol)
+    res = solve(b_con, x0)
+    jax.block_until_ready(res.x)
     x = np.asarray(res.x)
     solve_time = time.perf_counter() - t1
     err = integrate_difference(dofs, x.astype(np.float64), u_exact)
@@ -84,6 +92,9 @@ def main(argv=None):
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (some TPU plugins ignore "
                          "JAX_PLATFORMS; this flag always works)")
+    ap.add_argument("--dtype", default="float64")
+    ap.add_argument("--warm", action="store_true",
+                    help="time the second solve (steady state)")
     args = ap.parse_args(argv)
     if args.cpu:
         import jax
@@ -95,7 +106,7 @@ def main(argv=None):
     r = solve_poisson_mg(
         dim=args.dim, degree=args.degree, refine=args.refine,
         coarsest=args.coarsest, smoother_degree=args.smoother_degree,
-        coefficient=coef,
+        coefficient=coef, dtype=args.dtype, warm=args.warm,
     )
     print(f"dofs:       {r['n_dofs']}")
     print(f"setup:      {r['setup_time']:.3f} s")

@@ -46,6 +46,22 @@ def make_local_laplace(
     return vmult_local
 
 
+def make_local_laplace_2d(part, S, D_col, scale, w_block) -> Callable:
+    """Per-shard raw vmult on a 2-axis (z, y) slab decomposition
+    (Partitioner2D): local structured apply + sequential z/y interface
+    compress."""
+    dim, p = part.dim, part.p
+
+    def vmult_local(x_blk):
+        y = laplace_apply_structured(
+            x_blk, dim, part.local_cells, p, S, D_col, scale, w_block
+        )
+        y = y.reshape(part.local_shape)
+        return part.compress_add(y)
+
+    return vmult_local
+
+
 def make_constrained(vmult_local: Callable, mask_blk) -> Callable:
     """Wrap a raw local vmult with constrained-DoF identity semantics
     (same mask algebra as tpufem.operators.laplace)."""
@@ -118,3 +134,48 @@ def distributed_cg_solve(
     res = solve(b_l, mask_l, diag_l, x0_l)
     x_global = part.to_global(np.asarray(res.x))
     return x_global, int(res.iterations), float(res.residual)
+
+
+def distributed_cg_solve_2d(
+    part,  # Partitioner2D
+    S,
+    D_col,
+    scale,
+    w_block,
+    mask: np.ndarray,
+    diag: np.ndarray,
+    b: np.ndarray,
+    rtol: float = 1e-10,
+    maxiter: int = 10000,
+    device_mesh=None,
+):
+    """Jacobi-CG over a two-axis (z, y) device mesh (Partitioner2D)."""
+    dtype = S.dtype
+    mesh = device_mesh if device_mesh is not None else part.device_mesh()
+    sh = part.sharding(mesh)
+
+    def to_dev(g):
+        return jax.device_put(jnp.asarray(part.to_local(
+            np.asarray(g, dtype))), sh)
+
+    b_l, mask_l, diag_l = to_dev(b), to_dev(mask), to_dev(diag)
+    spec = P(part.axis_z, part.axis_y)
+
+    @jax.jit
+    @partial(
+        jax.shard_map, mesh=mesh, in_specs=(spec,) * 3,
+        out_specs=CGResult(spec, P(), P()),
+    )
+    def solve(b_blk, mask_blk, diag_blk):
+        b_loc, m, dg = b_blk[0, 0], mask_blk[0, 0], diag_blk[0, 0]
+        A = make_constrained(
+            make_local_laplace_2d(part, S, D_col, scale, w_block), m
+        )
+        inv_diag = 1.0 / dg
+        res = cg_solve(A, b_loc, M_inv=lambda r: inv_diag * r,
+                       rtol=rtol, maxiter=maxiter, dot=part.dot)
+        return CGResult(res.x[None, None], res.iterations, res.residual)
+
+    res = solve(b_l, mask_l, diag_l)
+    return (part.to_global(np.asarray(res.x)), int(res.iterations),
+            float(res.residual))

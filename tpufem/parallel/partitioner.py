@@ -161,3 +161,132 @@ class Partitioner:
         is_last = jax.lax.axis_index(ax) == self.n_shards - 1
         local = full - jnp.where(is_last, 0.0, dup)
         return jax.lax.psum(local, ax)
+
+
+@dataclasses.dataclass(frozen=True)
+class Partitioner2D:
+    """Two-axis slab decomposition: z sharded over axis 'sz', y over 'sy'.
+
+    The 2D analogue of the reference's single-axis GpuPartitioner — a
+    (sz x sy) device mesh over ICI.  Ghost semantics per axis are identical
+    to Partitioner; ``compress_add`` applies the z exchange THEN the y
+    exchange: after the z pass the y-interface rows already contain full
+    z-sums, so the sequential composition also resolves the four corner
+    lines exactly (no separate diagonal exchange needed).
+    """
+
+    dim: int
+    n: int
+    p: int
+    shards_z: int
+    shards_y: int
+    axis_z: str = "sz"
+    axis_y: str = "sy"
+
+    def __post_init__(self):
+        if self.n % self.shards_z or self.n % self.shards_y:
+            raise ValueError("cells per axis must divide both shard counts")
+        if self.dim < 2:
+            raise ValueError("Partitioner2D needs dim >= 2")
+
+    @property
+    def npts(self) -> int:
+        return self.n * self.p + 1
+
+    def _ax(self, which: str) -> Partitioner:
+        ns = self.shards_z if which == "z" else self.shards_y
+        name = self.axis_z if which == "z" else self.axis_y
+        return Partitioner(self.dim, self.n, self.p, ns, axis_name=name)
+
+    @property
+    def local_shape(self) -> tuple[int, ...]:
+        lz = (self.n // self.shards_z) * self.p + 1
+        ly = (self.n // self.shards_y) * self.p + 1
+        return (lz, ly) + (self.npts,) * (self.dim - 2)
+
+    @property
+    def local_cells(self) -> tuple[int, ...]:
+        return (self.n // self.shards_z, self.n // self.shards_y) + (
+            (self.n,) * (self.dim - 2)
+        )
+
+    def device_mesh(self, devices=None) -> DeviceMesh:
+        need = self.shards_z * self.shards_y
+        if devices is None:
+            devices = jax.devices()[:need]
+        devices = np.asarray(devices)
+        if devices.size != need:
+            raise ValueError(f"need {need} devices, have {devices.size}")
+        return DeviceMesh(
+            devices.reshape(self.shards_z, self.shards_y),
+            (self.axis_z, self.axis_y),
+        )
+
+    def sharding(self, mesh: DeviceMesh) -> NamedSharding:
+        return NamedSharding(mesh, P(self.axis_z, self.axis_y))
+
+    # ------------------------------------------------------------------
+    def to_local(self, u_global: np.ndarray) -> np.ndarray:
+        """(npts**dim,) -> (sz, sy, lz, ly, ...) ghosted local blocks."""
+        g = np.asarray(u_global).reshape((self.npts,) * self.dim)
+        lz, ly = self.local_shape[:2]
+        cz = (self.n // self.shards_z) * self.p
+        cy = (self.n // self.shards_y) * self.p
+        out = np.empty(
+            (self.shards_z, self.shards_y) + self.local_shape, dtype=g.dtype
+        )
+        for i in range(self.shards_z):
+            for j in range(self.shards_y):
+                out[i, j] = g[i * cz : i * cz + lz, j * cy : j * cy + ly]
+        return out
+
+    def to_global(self, u_local: np.ndarray) -> np.ndarray:
+        u_local = np.asarray(u_local)
+        g = np.empty((self.npts,) * self.dim, dtype=u_local.dtype)
+        lz, ly = self.local_shape[:2]
+        cz = (self.n // self.shards_z) * self.p
+        cy = (self.n // self.shards_y) * self.p
+        for i in range(self.shards_z):
+            for j in range(self.shards_y):
+                g[i * cz : i * cz + lz, j * cy : j * cy + ly] = u_local[i, j]
+        return g.reshape(-1)
+
+    # ------------------------------------------------------------------
+    def _exchange(self, y_local, axis_name: str, n_shards: int, dim0: int):
+        """Add the neighbor's partial interface plane along tensor dim0."""
+        if n_shards == 1:
+            return y_local
+        yl = jnp.moveaxis(y_local, dim0, 0)
+        part = Partitioner(self.dim, self.n, self.p, n_shards,
+                           axis_name=axis_name)
+        first = part._plane_from(yl[:1], +1)
+        last = part._plane_from(yl[-1:], -1)
+        yl = yl.at[-1:].add(first)
+        yl = yl.at[:1].add(last)
+        return jnp.moveaxis(yl, 0, dim0)
+
+    def compress_add(self, y_local):
+        y_local = self._exchange(y_local, self.axis_z, self.shards_z, 0)
+        y_local = self._exchange(y_local, self.axis_y, self.shards_y, 1)
+        return y_local
+
+    def dot(self, a_local, b_local):
+        """Owned-region dot: drop the duplicated last plane along each
+        sharded axis (except on that axis's last shard), then psum over
+        both mesh axes."""
+        prod = a_local * b_local
+        full = jnp.sum(prod)
+        dup_z = jnp.sum(prod[-1])
+        dup_y = jnp.sum(prod[:, -1])
+        dup_zy = jnp.sum(prod[-1, -1])  # subtracted twice -> add back
+        last_z = jax.lax.axis_index(self.axis_z) == self.shards_z - 1
+        last_y = jax.lax.axis_index(self.axis_y) == self.shards_y - 1
+        local = (
+            full
+            - jnp.where(last_z, 0.0, dup_z)
+            - jnp.where(last_y, 0.0, dup_y)
+            + jnp.where(jnp.logical_or(last_z, last_y), 0.0, dup_zy)
+        )
+        return jax.lax.psum(
+            jax.lax.psum(local, self.axis_z), self.axis_y
+        )

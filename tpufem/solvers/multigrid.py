@@ -90,7 +90,7 @@ class GeometricMultigrid:
         dtype: str = "float64",
         smoother_degree: int = 4,
         coefficient: Optional[Callable] = None,
-        scatter: str = "incidence",
+        scatter: str = "auto",
         n_cycles: int = 1,
     ):
         if coarsest_refine > finest_refine:
