@@ -12,7 +12,10 @@ Prints exactly one JSON line:
 """
 
 import json
+import os
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +43,8 @@ def main():
     def measure(use_pallas):
         mf = MatrixFree.build(
             mesh, dofs,
-            FemConfig(dim=3, degree=4, dtype=dtype, use_pallas=use_pallas),
+            FemConfig(dim=3, degree=4, dtype=dtype, use_pallas=use_pallas,
+                      scatter="separable"),
         )
         op = LaplaceOperator(mf)
         y = op.vmult_raw(x)

@@ -95,6 +95,26 @@ def test_curved_mesh_general_metric_parity():
     assert rel_err(np.asarray(op.vmult_raw(jnp.asarray(x))), K @ x) < 1e-10
 
 
+@pytest.mark.parametrize("dim,p", [(2, 2), (3, 2)])
+def test_over_integration_parity(dim, p):
+    """QGauss(p+2) over-integration: exercises the basis (non-collocation)
+    evaluation scheme, nq1 != n1."""
+    from tpufem.fem.quadrature import Quadrature
+
+    mesh = Mesh.hyper_cube(dim, 2)
+    dofs = DoFHandler(mesh, p)
+    cfg = FemConfig(dim=dim, degree=p, n_q_1d=p + 2)
+    mf = MatrixFree.build(mesh, dofs, cfg)
+    assert mf.D_col is None and mf.scheme == "incidence"
+    op = LaplaceOperator(mf)
+    K = assemble_laplace(dofs, quad=Quadrature.gauss(p + 2))
+    x = RNG.standard_normal(dofs.n_dofs)
+    assert rel_err(np.asarray(op.vmult_raw(jnp.asarray(x))), K @ x) < 1e-10
+    dg = np.asarray(op.diagonal())
+    mask = ~dofs.boundary_mask
+    assert rel_err(dg[mask], K.diagonal()[mask]) < 1e-12
+
+
 @pytest.mark.parametrize("dim,p", [(2, 1), (2, 4), (3, 2)])
 def test_diagonal_parity(dim, p):
     mesh, dofs, mf = build(dim, p, 2)

@@ -131,14 +131,12 @@ class MatrixFree:
         dense_ok = structured_ok and coef_q is None
         scheme = config.scatter
         if scheme == "auto":
-            # separable global factorization is the MXU-optimal tier
-            # (see tpufem.ops.separable); structured is the gather-free
-            # fallback when a coefficient varies per quadrature point
-            scheme = (
-                "separable" if dense_ok
-                else "structured" if structured_ok
-                else "incidence"
-            )
+            # structured (gather-free blocked cell loop) is the default on
+            # uniform Cartesian grids: near-separable speed in solves with
+            # per-cell-short f32 reductions (measured L2 5e-8 vs 2e-5 for
+            # the separable tier at 2M DoFs).  'separable' remains the raw
+            # apply-throughput choice (bench.py measures both).
+            scheme = "structured" if structured_ok else "incidence"
         if scheme == "structured" and not structured_ok:
             raise ValueError(
                 "structured scheme needs a uniform Cartesian mesh and "
