@@ -73,6 +73,18 @@ def test_gmg_iterations_mesh_independent():
     assert max(iters) - min(iters) <= 2, iters
 
 
+def test_gmg_mixed_precision_bf16_preconditioner():
+    """bf16 V-cycle inside an f32 outer CG: more iterations, same final
+    accuracy (the preconditioner's precision never limits the solution —
+    the TPU-native mixed-precision recipe)."""
+    r16 = solve_poisson_mg(dim=2, degree=2, refine=4, dtype="float32",
+                           precond_dtype="bfloat16")
+    r32 = solve_poisson_mg(dim=2, degree=2, refine=4, dtype="float32")
+    assert r16["iterations"] <= 3 * max(1, r32["iterations"])
+    # same discretization-limited accuracy
+    assert r16["l2_error"] < 2.0 * r32["l2_error"] + 1e-8
+
+
 def test_gmg_variable_coefficient():
     """config 5: -div(c grad u) = f with c varying; verify vs the assembled
     direct solve (u = prod sin is NOT the exact solution of this operator,

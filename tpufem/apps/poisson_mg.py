@@ -33,7 +33,16 @@ def solve_poisson_mg(
     coefficient=None,
     rtol: float | None = None,
     warm: bool = False,
+    precond_dtype: str | None = None,
 ):
+    """GMG-preconditioned CG.
+
+    precond_dtype: run the ENTIRE V-cycle hierarchy in a lower precision
+    (e.g. "bfloat16") while the outer CG stays in ``dtype``.  The
+    preconditioner's precision affects only the iteration count, never the
+    attainable accuracy — the TPU-native mixed-precision play (bf16 MXU
+    passes are the fast path the hardware is built for).
+    """
     from tpufem.apps.poisson import _ensure_dtype
 
     _ensure_dtype(dtype)
@@ -42,13 +51,36 @@ def solve_poisson_mg(
     t0 = time.perf_counter()
     gmg = GeometricMultigrid(
         dim=dim, degree=degree, finest_refine=refine,
-        coarsest_refine=coarsest, dtype=dtype,
+        coarsest_refine=coarsest, dtype=precond_dtype or dtype,
         smoother_degree=smoother_degree, coefficient=coefficient,
     )
-    fine = gmg.fine
-    mf = fine.mf
+    if precond_dtype is not None and precond_dtype != dtype:
+        # the outer operator runs in the solve dtype
+        import jax.numpy as _jnp
+
+        from tpufem.fem.dof_handler import DoFHandler as _DH
+        from tpufem.fem.mesh import Mesh as _Mesh
+        from tpufem.operators.laplace import LaplaceOperator as _LO
+        from tpufem.ops.matrix_free import MatrixFree as _MF
+        from tpufem.utils.config import FemConfig as _FC
+
+        mesh_f = _Mesh.hyper_cube(dim, refine)
+        dofs_f = _DH(mesh_f, degree)
+        mf_f = _MF.build(mesh_f, dofs_f,
+                         _FC(dim=dim, degree=degree, dtype=dtype),
+                         coefficient=coefficient)
+        op_f = _LO(mf_f)
+        solve_dt = _jnp.dtype(dtype)
+        pre_dt = _jnp.dtype(precond_dtype)
+        inner = gmg.preconditioner()
+        precond = lambda r: inner(r.astype(pre_dt)).astype(solve_dt)
+        fine_mf, fine_op = mf_f, op_f
+    else:
+        precond = gmg.preconditioner()
+        fine_mf, fine_op = gmg.fine.mf, gmg.fine.op
+    mf = fine_mf
     dofs = mf.dofs
-    op = fine.op
+    op = fine_op
     u_exact, f = default_solution(dim)
     b = assemble_rhs(dofs, f)
     g = np.zeros(dofs.n_dofs)
@@ -59,7 +91,7 @@ def solve_poisson_mg(
 
     import jax
 
-    M_inv = gmg.preconditioner()
+    M_inv = precond
     solve = jax.jit(lambda b_, x0_: cg_solve(
         op.vmult, b_, M_inv=M_inv, x0=x0_, rtol=rtol))
     if warm:
@@ -93,6 +125,9 @@ def main(argv=None):
                     help="force the CPU backend (some TPU plugins ignore "
                          "JAX_PLATFORMS; this flag always works)")
     ap.add_argument("--dtype", default="float64")
+    ap.add_argument("--precond-dtype", default=None,
+                    help="run the V-cycle in this dtype (e.g. bfloat16) "
+                         "while the outer CG stays in --dtype")
     ap.add_argument("--warm", action="store_true",
                     help="time the second solve (steady state)")
     args = ap.parse_args(argv)
@@ -107,6 +142,7 @@ def main(argv=None):
         dim=args.dim, degree=args.degree, refine=args.refine,
         coarsest=args.coarsest, smoother_degree=args.smoother_degree,
         coefficient=coef, dtype=args.dtype, warm=args.warm,
+        precond_dtype=args.precond_dtype,
     )
     print(f"dofs:       {r['n_dofs']}")
     print(f"setup:      {r['setup_time']:.3f} s")
