@@ -1,0 +1,35 @@
+"""CLI smoke tests: the apps as a user invokes them (subprocess)."""
+
+import json
+import subprocess
+import sys
+
+
+def run(args, timeout=240):
+    return subprocess.run(
+        [sys.executable, "-m"] + args, capture_output=True, text=True,
+        timeout=timeout,
+    )
+
+
+def test_poisson_cli_json():
+    r = run(["tpufem.apps.poisson", "--cpu", "--dim", "2", "--degree", "2",
+             "--refine", "3", "--json"])
+    assert r.returncode == 0, r.stderr[-500:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["n_dofs"] == 289
+    assert rec["l2_error"] < 5e-4
+
+
+def test_bmspmv_cli():
+    r = run(["tpufem.apps.bmspmv", "--cpu", "--dim", "2", "--degrees", "2",
+             "--refine", "3", "--dtype", "float64", "--reps", "2"])
+    assert r.returncode == 0, r.stderr[-500:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert "spmv_gdofs_per_s" in rec and rec["bench"] == "bmop"
+
+
+def test_poisson_cli_bad_scatter_rejected():
+    r = run(["tpufem.apps.poisson", "--cpu", "--scatter", "bogus"])
+    assert r.returncode != 0
+    assert "invalid choice" in r.stderr

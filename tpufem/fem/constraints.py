@@ -141,17 +141,15 @@ class AffineConstraints:
                 vals.append(1.0)
         C = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
         Kc = C.T @ K @ C
-        mask = self.constrained_mask().astype(float)
+        # identity rows AND columns on constrained DoFs
         Kc = Kc.tolil()
         for d in self.lines:
             Kc.rows[d] = [d]
             Kc.data[d] = [1.0]
         Kc = Kc.tocsr().T.tolil()
         for d in self.lines:
-            keep_diag = Kc.rows[d], Kc.data[d]
             Kc.rows[d] = [d]
             Kc.data[d] = [1.0]
-        del mask, keep_diag
         return Kc.tocsr().T.tocsr()
 
 
