@@ -66,11 +66,7 @@ for dim, p in [(2, 2), (3, 2)]:
     print(f"adaptive solve dim={dim} p={p}: dofs={r.n_dofs} iters={r.iterations} "
           f"L2={r.l2_error:.3e}", flush=True)
     assert r.residual < 1e-8
-    # compare against scipy direct solve of the condensed system
-    mesh = Mesh.hyper_cube(dim, 2)
-    for _ in range(2 if dim == 2 else 1):
-        centers = (mesh.origins + mesh.sizes[:, None] * 0.5) / mesh.U
-        mesh = mesh.refine(np.linalg.norm(centers - 0.5, axis=1) < 0.3)
+    # (the direct-solve oracle comparison lives in tests/test_hanging.py)
 
 # 3) convergence under adaptive refinement (error must drop, rate sane)
 errs = [solve_poisson(dim=2, degree=2, refine=rr, adaptive_steps=1).l2_error

@@ -71,6 +71,23 @@ def test_coloring_valid_uniform_and_adaptive():
     assert sum(len(c) for c in colors) == amesh.n_cells
 
 
+def test_variable_coefficient_on_refined_uniform_mesh():
+    """Regression: meshes produced by refine() are sorted axis-0-major,
+    not x-fastest; the structured-scheme coefficient block must reorder
+    cells or the field is silently transposed (was 0.44 rel err)."""
+    coef = lambda x: 1.0 + 5.0 * x[:, 0]  # asymmetric on purpose
+    mesh = Mesh.hyper_cube(2, 2).refine(np.ones(16, dtype=bool))
+    assert mesh.is_uniform
+    dofs = DoFHandler(mesh, 2)
+    mf = MatrixFree.build(mesh, dofs, FemConfig(2, 2),
+                          coefficient=coef)
+    assert mf.scheme == "structured"
+    op = LaplaceOperator(mf)
+    K = assemble_laplace(dofs, coefficient=coef)
+    x = RNG.standard_normal(dofs.n_dofs)
+    assert rel_err(np.asarray(op.vmult_raw(jnp.asarray(x))), K @ x) < 1e-10
+
+
 def test_variable_coefficient_parity():
     coef = lambda x: 1.0 + np.sum(x**2, axis=1)
     mesh, dofs, mf = build(2, 3, 3, coefficient=coef)

@@ -58,14 +58,13 @@ def solve_poisson_mg(
         # the outer operator runs in the solve dtype
         import jax.numpy as _jnp
 
-        from tpufem.fem.dof_handler import DoFHandler as _DH
-        from tpufem.fem.mesh import Mesh as _Mesh
         from tpufem.operators.laplace import LaplaceOperator as _LO
         from tpufem.ops.matrix_free import MatrixFree as _MF
         from tpufem.utils.config import FemConfig as _FC
 
-        mesh_f = _Mesh.hyper_cube(dim, refine)
-        dofs_f = _DH(mesh_f, degree)
+        # reuse the fine level's host data; only device arrays change dtype
+        mesh_f = gmg.fine.mf.mesh
+        dofs_f = gmg.fine.mf.dofs
         mf_f = _MF.build(mesh_f, dofs_f,
                          _FC(dim=dim, degree=degree, dtype=dtype),
                          coefficient=coefficient)

@@ -70,11 +70,14 @@ def make_cell_operator(
         u_loc = mf.gather(u)
         vals = grads = None
         if mf.D_col is not None:
-            v, g_ref = tops.eval_gradients_collocation(
-                u_loc, mf.S, mf.D_col, dim
-            )
-            vals = v if needs_values else None
-            grads = _ref_to_phys_grad(mf, g_ref) if needs_gradients else None
+            if needs_gradients:
+                v, g_ref = tops.eval_gradients_collocation(
+                    u_loc, mf.S, mf.D_col, dim
+                )
+                vals = v if needs_values else None
+                grads = _ref_to_phys_grad(mf, g_ref)
+            else:
+                vals = tops.eval_values(u_loc, mf.S, dim)
         else:
             if needs_values:
                 vals = tops.eval_values(u_loc, mf.S, dim)

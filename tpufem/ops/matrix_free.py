@@ -197,8 +197,18 @@ class MatrixFree:
             if coef_q is not None:
                 n = uniform_n
                 q1 = config.nq1
+                # reorder rows to canonical x-fastest lattice order: cell
+                # ordering is NOT guaranteed to be lexicographic (meshes
+                # produced by refine() are sorted axis-0-major), and a
+                # silently transposed coefficient field would corrupt the
+                # operator (caught by review: 0.44 rel err repro)
+                lat = mesh.origins // int(mesh.sizes[0])  # (nc, d)
+                canonical = np.zeros(nc, dtype=np.int64)
+                for a in range(d):
+                    canonical += lat[:, a] * n**a
+                coef_canon = coef_q[np.argsort(canonical)]
                 # (nc, nq) with cells (cz,cy,cx) and qpoints (qz,qy,qx)
-                cq = coef_q.reshape((n,) * d + (q1,) * d)
+                cq = coef_canon.reshape((n,) * d + (q1,) * d)
                 # -> ([nz,qz,]ny,qy,nx,qx): interleave cell/quad per axis
                 perm = []
                 for i in range(d):

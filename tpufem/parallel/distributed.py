@@ -114,7 +114,7 @@ def distributed_cg_solve(
         jax.shard_map,
         mesh=mesh,
         in_specs=(spec, spec, spec, spec),
-        out_specs=CGResult(spec, P(), P()),
+        out_specs=CGResult(spec, P(), P(), P()),
     )
     def solve(b_blk, mask_blk, diag_blk, x0_blk):
         b_loc = b_blk[0]
@@ -129,7 +129,8 @@ def distributed_cg_solve(
             A, b_loc, M_inv=lambda r: inv_diag * r, x0=x0_loc,
             rtol=rtol, maxiter=maxiter, dot=part.dot,
         )
-        return CGResult(res.x[None], res.iterations, res.residual)
+        return CGResult(res.x[None], res.iterations, res.residual,
+                        res.converged)
 
     res = solve(b_l, mask_l, diag_l, x0_l)
     x_global = part.to_global(np.asarray(res.x))
@@ -164,7 +165,7 @@ def distributed_cg_solve_2d(
     @jax.jit
     @partial(
         jax.shard_map, mesh=mesh, in_specs=(spec,) * 3,
-        out_specs=CGResult(spec, P(), P()),
+        out_specs=CGResult(spec, P(), P(), P()),
     )
     def solve(b_blk, mask_blk, diag_blk):
         b_loc, m, dg = b_blk[0, 0], mask_blk[0, 0], diag_blk[0, 0]
@@ -174,7 +175,8 @@ def distributed_cg_solve_2d(
         inv_diag = 1.0 / dg
         res = cg_solve(A, b_loc, M_inv=lambda r: inv_diag * r,
                        rtol=rtol, maxiter=maxiter, dot=part.dot)
-        return CGResult(res.x[None, None], res.iterations, res.residual)
+        return CGResult(res.x[None, None], res.iterations,
+                        res.residual, res.converged)
 
     res = solve(b_l, mask_l, diag_l)
     return (part.to_global(np.asarray(res.x)), int(res.iterations),

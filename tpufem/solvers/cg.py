@@ -23,6 +23,7 @@ class CGResult(NamedTuple):
     x: jnp.ndarray
     iterations: jnp.ndarray  # int32 scalar
     residual: jnp.ndarray  # final ||r||
+    converged: jnp.ndarray  # bool: residual <= tol (False on stall/maxiter)
 
 
 def _default_dot(a, b):
@@ -100,7 +101,7 @@ def cg_solve(
                               jnp.logical_not(jnp.isfinite(rnorm)))
     x = jnp.where(use_best, xb, x)
     rnorm = jnp.where(use_best, rnb, rnorm)
-    return CGResult(x, k, rnorm)
+    return CGResult(x, k, rnorm, rnorm <= tol)
 
 
 def make_jacobi(diag) -> Callable:

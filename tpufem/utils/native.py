@@ -20,12 +20,15 @@ import numpy as np
 _CSRC = Path(__file__).resolve().parents[2] / "csrc"
 _LIB_PATH = _CSRC / "libtpufem_native.so"
 _lib = None
+_load_failed = False
 
 
 def _load():
-    global _lib
+    global _lib, _load_failed
     if _lib is not None:
         return _lib
+    if _load_failed:
+        return None
     if not _LIB_PATH.exists() and (_CSRC / "Makefile").exists():
         try:
             subprocess.run(
@@ -33,12 +36,15 @@ def _load():
                 check=True, capture_output=True, timeout=120,
             )
         except Exception:
+            _load_failed = True
             return None
     if not _LIB_PATH.exists():
+        _load_failed = True
         return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError:
+        _load_failed = True
         return None
     lib.tpufem_greedy_color.restype = ctypes.c_int32
     lib.tpufem_greedy_color.argtypes = [
