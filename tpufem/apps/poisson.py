@@ -206,7 +206,7 @@ def main(argv=None):
         print(f"setup:      {r.setup_time:.3f} s")
         print(f"solve:      {r.solve_time:.3f} s   ({r.iterations} CG iters)")
         print(f"L2 error:   {r.l2_error:.6e}")
-    return r
+    return None  # console-script exit code
 
 
 if __name__ == "__main__":
