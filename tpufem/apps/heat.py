@@ -1,0 +1,107 @@
+"""Time-dependent heat equation with checkpoint/resume.
+
+A capability demonstration beyond the reference's stationary solvers:
+implicit-Euler time stepping of u_t = Δu + f using the matrix-free mass
+and Laplace operators — each step solves (M + dt K) u^{n+1} = M u^n + dt b
+with CG — plus periodic checkpointing and exact resume (SURVEY.md §5
+"Checkpoint / resume": absent in the reference, added here).
+
+Run:  python -m tpufem.apps.heat --cpu --dim 2 --degree 2 --refine 4 \\
+          --steps 20 --checkpoint-every 10 --checkpoint ck.npz
+Resume:  ... --resume ck.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufem.fem.assemble import assemble_rhs, integrate_difference
+from tpufem.fem.dof_handler import DoFHandler
+from tpufem.fem.mesh import Mesh
+from tpufem.operators.generic import helmholtz_operator, mass_operator
+from tpufem.ops.matrix_free import MatrixFree
+from tpufem.solvers.cg import cg_solve
+from tpufem.utils.config import FemConfig
+from tpufem.utils.output import load_checkpoint, save_checkpoint
+
+
+def run_heat(
+    dim=2, degree=2, refine=4, dt=1e-3, steps=20, dtype="float64",
+    checkpoint=None, checkpoint_every=0, resume=None, rtol=None,
+):
+    from tpufem.apps.poisson import _ensure_dtype
+
+    _ensure_dtype(dtype)
+    if rtol is None:
+        rtol = 1e-10 if dtype == "float64" else 1e-6
+    mesh = Mesh.hyper_cube(dim, refine)
+    dofs = DoFHandler(mesh, degree)
+    cfg = FemConfig(dim=dim, degree=degree, dtype=dtype, scatter="incidence")
+    mf = MatrixFree.build(mesh, dofs, cfg)
+    M = mass_operator(mf)
+    A = helmholtz_operator(mf, alpha=1.0, beta=dt)  # M + dt K
+    mask = mf.interior_mask
+
+    # exact solution of u_t = Δu with u0 = prod sin(pi x): decay rate
+    # lam = dim * pi^2, zero Dirichlet
+    u0_fn = lambda x: np.prod(np.sin(np.pi * x), axis=1)
+    lam = dim * np.pi**2
+
+    start = 0
+    if resume and os.path.exists(resume):
+        z = load_checkpoint(resume)
+        u = jnp.asarray(z["u"], jnp.dtype(dtype))
+        start = int(z["step"])
+    else:
+        # nodal interpolation of u0
+        u = jnp.asarray(mask * u0_fn(dofs.dof_coords), jnp.dtype(dtype))
+
+    solve = jax.jit(lambda rhs, x0: cg_solve(
+        A.vmult, rhs, x0=x0, rtol=rtol).x)
+
+    for n in range(start, steps):
+        rhs = mask * M.vmult_raw(u)
+        u = mask * solve(rhs, u)
+        if checkpoint and checkpoint_every and (n + 1) % checkpoint_every == 0:
+            save_checkpoint(checkpoint, u=np.asarray(u),
+                            step=np.int64(n + 1))
+    t_end = steps * dt
+    exact = lambda x: np.exp(-lam * t_end) * u0_fn(x)
+    err = integrate_difference(dofs, np.asarray(u, np.float64), exact)
+    return {
+        "n_dofs": dofs.n_dofs, "steps": steps, "t_end": t_end,
+        "l2_error": err, "u": np.asarray(u),
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--dim", type=int, default=2)
+    ap.add_argument("--degree", type=int, default=2)
+    ap.add_argument("--refine", type=int, default=4)
+    ap.add_argument("--dt", type=float, default=1e-3)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--dtype", default="float64")
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--checkpoint-every", type=int, default=0)
+    ap.add_argument("--resume", default=None)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    r = run_heat(
+        dim=args.dim, degree=args.degree, refine=args.refine, dt=args.dt,
+        steps=args.steps, dtype=args.dtype, checkpoint=args.checkpoint,
+        checkpoint_every=args.checkpoint_every, resume=args.resume,
+    )
+    print(f"dofs: {r['n_dofs']}  steps: {r['steps']}  t_end: {r['t_end']}")
+    print(f"L2 error vs analytic decay: {r['l2_error']:.6e}")
+
+
+if __name__ == "__main__":
+    main()
