@@ -45,6 +45,21 @@ def test_vmult_parity_all_degrees(dim, p, refine):
     assert rel_err(np.asarray(op.vmult_raw(jnp.asarray(x))), K @ x) < 1e-10
 
 
+@pytest.mark.parametrize("dim,p", [(2, 5), (2, 7), (3, 5)])
+def test_dense_and_separable_high_degree_parity(dim, p):
+    refine = 2 if dim == 2 else 1
+    mesh = Mesh.hyper_cube(dim, refine)
+    dofs = DoFHandler(mesh, p)
+    K = assemble_laplace(dofs)
+    x = RNG.standard_normal(dofs.n_dofs)
+    for scheme in ("dense", "separable", "structured"):
+        mf = MatrixFree.build(mesh, dofs,
+                              FemConfig(dim, p, scatter=scheme))
+        op = LaplaceOperator(mf)
+        y = np.asarray(op.vmult_raw(jnp.asarray(x)))
+        assert rel_err(y, K @ x) < 1e-10, (scheme, dim, p)
+
+
 @pytest.mark.parametrize("scatter", ["incidence", "colored"])
 def test_scatter_schemes_agree(scatter):
     mesh, dofs, mf = build(2, 3, 3, scatter=scatter)
