@@ -1,14 +1,19 @@
 #!/usr/bin/env python
-"""Headline benchmark: 3D Poisson Q4 matrix-free Laplace apply (GDoF/s).
+"""Headline benchmarks: 3D Poisson Q4 apply (GDoF/s) and whole CG solves.
 
 The reference's ``bmop.cu`` protocol (SURVEY.md §2): time N repeated vmults,
-report DoF/s.  BASELINE.json headline metric: "3D Poisson Q4 matrix-free
-apply GDoF/s".  vs_baseline is measured against the literature anchor of
-~1 GDoF/s for 3D high-order Laplace apply on V100-class GPUs (BASELINE.md,
-approximate — no published reference numbers were recoverable).
+report DoF/s.  BASELINE.json metric: "3D Poisson Q4 matrix-free apply GDoF/s
+and CG solve time".  vs_baseline for the apply line is measured against the
+literature anchor of ~1 GDoF/s for 3D high-order Laplace apply on V100-class
+GPUs (BASELINE.md, approximate — no published reference numbers were
+recoverable); solve lines carry no anchor (vs_baseline = value).
 
-Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "GDoF/s", "vs_baseline": N}
+Prints one JSON line per metric; the LAST line is the headline apply.
+Every apply tier is timed and reported (``tiers`` key) — a Pallas/Mosaic
+failure is recorded in ``tier_errors``, never silently swallowed.  Note:
+the headline tier is chosen by raw apply speed; the accuracy-default tier
+for solves is ``structured`` (see docs/ROOFLINE.md for the f32 accuracy
+floor per tier).
 """
 
 import json
@@ -19,9 +24,27 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 BASELINE_GDOFS = 1.0  # V100-class anchor, BASELINE.md (approximate)
+
+
+def time_apply(fn, x, reps):
+    """Median-of-reps apply time; fixed input each rep (the operator is
+    unscaled with spectral radius >> 1, so feeding the output back would
+    overflow f32 within ~50 reps and could mask a garbage-producing
+    kernel)."""
+    y = fn(x)
+    y.block_until_ready()  # compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        y = fn(x)
+    y.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    if not bool(jnp.isfinite(y).all()):
+        raise FloatingPointError("apply produced non-finite output")
+    return dt
 
 
 def main():
@@ -29,47 +52,106 @@ def main():
     from tpufem.fem.mesh import Mesh
     from tpufem.operators.laplace import LaplaceOperator
     from tpufem.ops.matrix_free import MatrixFree
+    from tpufem.solvers.cg import cg_solve, make_jacobi
     from tpufem.utils.config import FemConfig
 
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     refine = 6 if on_tpu else 3  # 64^3 cells / 17M dofs on the chip
     dtype = "float32"
+    lines = []
 
     mesh = Mesh.hyper_cube(3, refine)
     dofs = DoFHandler(mesh, 4)
     x = jnp.ones(dofs.n_dofs, jnp.dtype(dtype))
     reps = 50 if on_tpu else 3
 
-    def measure(use_pallas):
-        mf = MatrixFree.build(
-            mesh, dofs,
-            FemConfig(dim=3, degree=4, dtype=dtype, use_pallas=use_pallas,
-                      scatter="separable"),
-        )
-        op = LaplaceOperator(mf)
-        y = op.vmult_raw(x)
-        y.block_until_ready()  # compile
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            y = op.vmult_raw(y)
-        y.block_until_ready()
-        return (time.perf_counter() - t0) / reps
-
-    # report the better of the fused Pallas kernel and the XLA tier;
-    # never let a Mosaic toolchain difference fail the benchmark
-    dt = measure(False)
+    # ---- apply benchmark: every tier, with attribution -----------------
+    tier_specs = [("separable", False), ("structured", False)]
     if on_tpu:
+        tier_specs.insert(0, ("separable", True))
+    tiers, tier_errors, ops = {}, {}, {}
+    for scheme, pallas in tier_specs:
+        name = scheme + ("+pallas" if pallas else "")
         try:
-            dt = min(dt, measure(True))
-        except Exception:
-            pass
-    gdofs = dofs.n_dofs / dt / 1e9
-    print(json.dumps({
+            mf = MatrixFree.build(
+                mesh, dofs,
+                FemConfig(dim=3, degree=4, dtype=dtype, scatter=scheme,
+                          use_pallas=pallas),
+            )
+            op = LaplaceOperator(mf)
+            dt = time_apply(op.vmult_raw, x, reps)
+            tiers[name] = round(dofs.n_dofs / dt / 1e9, 4)
+            ops[name] = op
+        except Exception as e:  # record, never hide (a Mosaic regression
+            # must be visible in the JSON, not demote the headline quietly)
+            tier_errors[name] = f"{type(e).__name__}: {e}"[:300]
+    if not tiers:
+        raise RuntimeError(f"all apply tiers failed: {tier_errors}")
+    best_tier = max(tiers, key=tiers.get)
+
+    # ---- whole-solve benchmark (BASELINE metric "and CG solve time") ---
+    solve_rtol = 1e-5
+    mf_s = MatrixFree.build(
+        mesh, dofs, FemConfig(dim=3, degree=4, dtype=dtype,
+                              scatter="structured"),
+    )
+    op_s = LaplaceOperator(mf_s)
+    diag = op_s.diagonal()
+    rng = np.random.default_rng(7)
+    mask = np.asarray(mf_s.interior_mask, np.float64)
+    b = jnp.asarray(mask * rng.standard_normal(dofs.n_dofs),
+                    jnp.dtype(dtype))
+    solve = jax.jit(lambda b_: cg_solve(
+        op_s.vmult, b_, M_inv=make_jacobi(diag), rtol=solve_rtol))
+    jax.block_until_ready(solve(b).x)  # compile + warm
+    t0 = time.perf_counter()
+    res = solve(b)
+    jax.block_until_ready(res.x)
+    t_jac = time.perf_counter() - t0
+    lines.append({
+        "metric": "3d_q4_jacobi_cg_solve",
+        "value": round(t_jac, 4), "unit": "s",
+        "vs_baseline": round(t_jac, 4),
+        "iterations": int(res.iterations),
+        "converged": bool(res.converged),
+        "residual": float(res.residual),
+        "rtol": solve_rtol, "n_dofs": dofs.n_dofs, "tier": "structured",
+    })
+
+    if on_tpu:
+        from tpufem.solvers.multigrid import GeometricMultigrid
+
+        mg = GeometricMultigrid(3, 4, refine, coarsest_refine=1,
+                                dtype=dtype)
+        solve_mg = jax.jit(lambda b_: cg_solve(
+            mg.fine.op.vmult, b_, M_inv=mg.preconditioner(),
+            rtol=solve_rtol))
+        jax.block_until_ready(solve_mg(b).x)
+        t0 = time.perf_counter()
+        res_mg = solve_mg(b)
+        jax.block_until_ready(res_mg.x)
+        t_mg = time.perf_counter() - t0
+        lines.append({
+            "metric": "3d_q4_gmg_cg_solve",
+            "value": round(t_mg, 4), "unit": "s",
+            "vs_baseline": round(t_mg, 4),
+            "iterations": int(res_mg.iterations),
+            "converged": bool(res_mg.converged),
+            "residual": float(res_mg.residual),
+            "rtol": solve_rtol, "n_dofs": dofs.n_dofs, "tier": "auto",
+        })
+
+    # ---- headline line LAST ------------------------------------------
+    gdofs = tiers[best_tier]
+    lines.append({
         "metric": "3d_q4_laplace_matrix_free_apply",
-        "value": round(gdofs, 4),
-        "unit": "GDoF/s",
+        "value": gdofs, "unit": "GDoF/s",
         "vs_baseline": round(gdofs / BASELINE_GDOFS, 4),
-    }))
+        "tier": best_tier, "tiers": tiers, "tier_errors": tier_errors,
+        "n_dofs": dofs.n_dofs,
+    })
+    for ln in lines:
+        print(json.dumps(ln))
 
 
 if __name__ == "__main__":

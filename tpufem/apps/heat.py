@@ -52,9 +52,21 @@ def run_heat(
     u0_fn = lambda x: np.prod(np.sin(np.pi * x), axis=1)
     lam = dim * np.pi**2
 
+    # run-config metadata saved with every checkpoint; resuming with a
+    # mismatched config (even one with the same n_dofs) is an error, not
+    # silently-wrong physics
+    meta = dict(dim=dim, degree=degree, refine=refine, dt=dt, dtype=dtype)
     start = 0
-    if resume and os.path.exists(resume):
+    if resume:
+        if not os.path.exists(resume):
+            raise FileNotFoundError(f"--resume checkpoint not found: {resume}")
         z = load_checkpoint(resume)
+        for k, v in meta.items():
+            if k in z and str(z[k]) != str(v):
+                raise ValueError(
+                    f"checkpoint {resume} was written with {k}={z[k]}, "
+                    f"resuming with {k}={v}"
+                )
         u = jnp.asarray(z["u"], jnp.dtype(dtype))
         start = int(z["step"])
     else:
@@ -62,14 +74,23 @@ def run_heat(
         u = jnp.asarray(mask * u0_fn(dofs.dof_coords), jnp.dtype(dtype))
 
     solve = jax.jit(lambda rhs, x0: cg_solve(
-        A.vmult, rhs, x0=x0, rtol=rtol).x)
+        A.vmult, rhs, x0=x0, rtol=rtol))
 
     for n in range(start, steps):
         rhs = mask * M.vmult_raw(u)
-        u = mask * solve(rhs, u)
+        res = solve(rhs, u)
+        if not bool(res.converged):
+            import sys
+
+            print(
+                f"WARNING: step {n}: CG did not converge "
+                f"(residual {float(res.residual):.3e})",
+                file=sys.stderr,
+            )
+        u = mask * res.x
         if checkpoint and checkpoint_every and (n + 1) % checkpoint_every == 0:
             save_checkpoint(checkpoint, u=np.asarray(u),
-                            step=np.int64(n + 1))
+                            step=np.int64(n + 1), **meta)
     t_end = steps * dt
     exact = lambda x: np.exp(-lam * t_end) * u0_fn(x)
     err = integrate_difference(dofs, np.asarray(u, np.float64), exact)

@@ -143,6 +143,14 @@ def solve_poisson(
     x = np.asarray(mf.distribute(res.x))
     iters = int(res.iterations)
     solve_time = time.perf_counter() - t1
+    if not bool(res.converged):
+        import sys
+
+        print(
+            f"WARNING: CG did not converge in {iters} iterations "
+            f"(residual {float(res.residual):.3e}); best iterate returned",
+            file=sys.stderr,
+        )
 
     err = integrate_difference(dofs, x.astype(np.float64), u_exact)
     return PoissonResult(

@@ -100,6 +100,14 @@ def solve_poisson_mg(
     jax.block_until_ready(res.x)
     x = np.asarray(res.x)
     solve_time = time.perf_counter() - t1
+    if not bool(res.converged):
+        import sys
+
+        print(
+            f"WARNING: GMG-CG did not converge in {int(res.iterations)} "
+            f"iterations (residual {float(res.residual):.3e})",
+            file=sys.stderr,
+        )
     err = integrate_difference(dofs, x.astype(np.float64), u_exact)
     return {
         "n_dofs": dofs.n_dofs,

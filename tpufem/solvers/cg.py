@@ -39,7 +39,7 @@ def cg_solve(
     atol: float = 0.0,
     maxiter: int = 10000,
     dot: Callable = _default_dot,
-    stall_iters: int = 100,
+    stall_iters: Optional[int] = None,
 ) -> CGResult:
     """Solve A x = b with (optionally preconditioned) CG.
 
@@ -51,11 +51,19 @@ def cg_solve(
     rounding floor); the loop exits once no new residual minimum has been
     seen for this many iterations, returning the best iterate.  Has no
     effect on solves that converge (a new minimum resets the counter).
+    Default: disabled for f64 (CG residuals are not monotone and an
+    ill-conditioned f64 solve must be allowed its full maxiter budget),
+    max(100, maxiter // 10) for f32/bf16.
     """
     if M_inv is None:
         M_inv = lambda r: r
     if x0 is None:
         x0 = jnp.zeros_like(b)
+    if stall_iters is None:
+        if jnp.dtype(jnp.asarray(b).dtype).itemsize >= 8:
+            stall_iters = maxiter  # disabled: never triggers before maxiter
+        else:
+            stall_iters = max(100, maxiter // 10)
 
     bnorm = jnp.sqrt(dot(b, b))
     tol = jnp.maximum(rtol * bnorm, atol)

@@ -83,7 +83,7 @@ def greedy_color(cell_dofs: np.ndarray, n_dofs: int) -> np.ndarray:
             raise RuntimeError("coloring exceeded 64 colors")
         return colors
     # numpy/python fallback
-    dof_used = np.zeros(n_dofs, dtype=np.int64)
+    dof_used = np.zeros(n_dofs, dtype=np.uint64)
     colors = np.empty(nc, dtype=np.int32)
     for c in range(nc):
         d = cell_dofs[c]
@@ -91,10 +91,10 @@ def greedy_color(cell_dofs: np.ndarray, n_dofs: int) -> np.ndarray:
         col = 0
         while (used >> col) & 1:
             col += 1
-            if col >= 62:
-                raise RuntimeError("coloring exceeded 62 colors")
+            if col >= 64:  # same cap as the C++ path
+                raise RuntimeError("coloring exceeded 64 colors")
         colors[c] = col
-        dof_used[d] |= np.int64(1) << np.int64(col)
+        dof_used[d] |= np.uint64(1) << np.uint64(col)
     return colors
 
 
@@ -149,6 +149,13 @@ def build_incidence(
     """(n_dofs, K) padded flat positions of each DoF in cell_dofs.ravel()."""
     cell_dofs = np.ascontiguousarray(cell_dofs, dtype=np.int32)
     nc, nn = cell_dofs.shape
+    # entries are flat positions into cell_dofs.ravel() stored as int32 in
+    # both the C++ and numpy paths; guard against silent overflow
+    if nc * nn >= 2**31 or n_dofs >= 2**31 or pad_value >= 2**31:
+        raise ValueError(
+            f"incidence map needs int64 entries (nc*nn={nc * nn}, "
+            f"n_dofs={n_dofs}); mesh too large for the int32 incidence path"
+        )
     if available():
         counts = np.zeros(n_dofs, dtype=np.int64)
         K = _lib.tpufem_build_incidence(
