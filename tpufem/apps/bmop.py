@@ -24,6 +24,54 @@ from tpufem.utils.metrics import emit
 from tpufem.utils.timer import time_fn
 
 
+def adaptive_mesh(dim, refine, steps, center=0.31, radius=0.35):
+    """Uniform base + ``steps`` rounds of refinement toward a ball — the
+    reference's adaptive Poisson setup (SURVEY.md §3.1 adaptive variant)."""
+    mesh = Mesh.hyper_cube(dim, refine)
+    for _ in range(steps):
+        centers = (mesh.origins + mesh.sizes[:, None] * 0.5) / mesh.U
+        mesh = mesh.refine(
+            np.linalg.norm(centers - center, axis=1) < radius)
+    return mesh
+
+
+def bench_adaptive(dim, p, refine, steps, dtype, reps, compare=False):
+    """Adaptive-mesh apply benchmark: box-structured tier (the fast TPU
+    path for BASELINE config 4) with optional incidence-path comparison."""
+    from tpufem.fem.constraints import make_hanging_node_constraints
+    from tpufem.ops.boxes import BoxLaplaceOperator
+
+    mesh = adaptive_mesh(dim, refine, steps)
+    dofs = DoFHandler(mesh, p)
+    ac = make_hanging_node_constraints(dofs)
+    op = BoxLaplaceOperator(mesh, dofs, constraints=ac, dtype=dtype)
+    x = op.to_patch(np.ones(dofs.n_dofs))
+    dt = time_fn(op.vmult, x, reps=reps)
+    rec = {
+        "bench": "bmop-adaptive",
+        "dim": dim, "degree": p, "refine": refine, "adaptive_steps": steps,
+        "n_dofs": dofs.n_dofs, "n_cells": mesh.n_cells,
+        "n_hanging": len(ac.lines),
+        "n_patch": op.n_patch,
+        "patch_overhead": round(op.n_patch / dofs.n_dofs, 3),
+        "scheme": "boxes", "dtype": dtype,
+        "s_per_apply": dt,
+        "gdofs_per_s": dofs.n_dofs / dt / 1e9,
+    }
+    if compare:
+        mf = MatrixFree.build(
+            mesh, dofs,
+            FemConfig(dim=dim, degree=p, dtype=dtype, scatter="incidence"),
+            constraints=ac,
+        )
+        iop = LaplaceOperator(mf)
+        xg = jnp.ones(dofs.n_dofs, jnp.dtype(dtype))
+        dt_i = time_fn(iop.vmult, xg, reps=max(1, reps // 10))
+        rec["incidence_s_per_apply"] = dt_i
+        rec["box_speedup_vs_incidence"] = dt_i / dt
+    return rec
+
+
 def bench_config(dim, p, refine, dtype, scatter, reps, with_spmv=False):
     mesh = Mesh.hyper_cube(dim, refine)
     dofs = DoFHandler(mesh, p)
@@ -69,6 +117,12 @@ def main(argv=None):
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--spmv", action="store_true",
                     help="also run the assembled-SpMV baseline (bmspmv)")
+    ap.add_argument("--adaptive", type=int, default=0, metavar="STEPS",
+                    help="benchmark the adaptive box tier instead: STEPS "
+                         "rounds of refinement toward a ball")
+    ap.add_argument("--compare-incidence", action="store_true",
+                    help="with --adaptive: also time the generic "
+                         "incidence path for comparison")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (some TPU plugins ignore "
                          "JAX_PLATFORMS; this flag always works)")
@@ -78,10 +132,16 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
     for p in args.degrees:
-        rec = bench_config(
-            args.dim, p, args.refine, args.dtype, args.scatter, args.reps,
-            with_spmv=args.spmv,
-        )
+        if args.adaptive:
+            rec = bench_adaptive(
+                args.dim, p, args.refine, args.adaptive, args.dtype,
+                args.reps, compare=args.compare_incidence,
+            )
+        else:
+            rec = bench_config(
+                args.dim, p, args.refine, args.dtype, args.scatter,
+                args.reps, with_spmv=args.spmv,
+            )
         emit(rec)
 
 

@@ -111,6 +111,11 @@ def solve_poisson(
         from tpufem.fem.constraints import make_hanging_node_constraints
 
         constraints = make_hanging_node_constraints(dofs)
+    if scatter == "boxes":
+        return _solve_poisson_boxes(
+            mesh, dofs, constraints, coefficient, dtype, rtol,
+            exact, rhs, warm, t0,
+        )
     mf = MatrixFree.build(mesh, dofs, cfg, coefficient=coefficient,
                           constraints=constraints)
     op = LaplaceOperator(mf)
@@ -166,6 +171,68 @@ def solve_poisson(
     )
 
 
+def _solve_poisson_boxes(mesh, dofs, constraints, coefficient, dtype,
+                         rtol, exact, rhs, warm, t0):
+    """Poisson solve on the box-structured adaptive tier: the whole CG
+    runs on the patchwork vector (tpufem.ops.boxes) — the fast TPU path
+    for adaptive meshes (BASELINE config 4)."""
+    import jax
+
+    from tpufem.ops.boxes import BoxLaplaceOperator
+
+    op = BoxLaplaceOperator(mesh, dofs, constraints=constraints,
+                            coefficient=coefficient, dtype=dtype)
+    u_exact, f = default_solution(mesh.dim)
+    if exact is not None:
+        u_exact = exact
+    if rhs is not None:
+        f = rhs
+    b = assemble_rhs(dofs, f)
+    g = np.zeros(dofs.n_dofs)
+    bv = dofs.boundary_mask
+    if np.any(bv):
+        g[bv] = u_exact(dofs.dof_coords[bv])
+    # dirichlet_setup algebra, in patch space
+    m = op.interior_mask
+    g_p = op.to_patch(g)
+    x0 = op.distribute((1.0 - m) * g_p, homogeneous=False)
+    b1 = op.distribute_transpose(op.to_patch(b) - op.vmult_raw(x0))
+    b_con = m * b1 + (1.0 - m) * x0
+    diag = op.diagonal()
+    setup_time = time.perf_counter() - t0
+
+    solve = jax.jit(lambda b_, x0_: cg_solve(
+        op.vmult, b_, M_inv=lambda r: r / diag, x0=x0_, rtol=rtol,
+        dot=op.dot))
+    if warm:
+        jax.block_until_ready(solve(b_con, x0).x)
+    t1 = time.perf_counter()
+    res = solve(b_con, x0)
+    jax.block_until_ready(res.x)
+    solve_time = time.perf_counter() - t1
+    if not bool(res.converged):
+        import sys
+
+        print(
+            f"WARNING: CG did not converge in {int(res.iterations)} "
+            f"iterations (residual {float(res.residual):.3e})",
+            file=sys.stderr,
+        )
+    x = op.from_patch(op.distribute(res.x, homogeneous=False))
+    err = integrate_difference(dofs, x.astype(np.float64), u_exact)
+    return PoissonResult(
+        n_dofs=dofs.n_dofs,
+        n_cells=mesh.n_cells,
+        iterations=int(res.iterations),
+        l2_error=err,
+        residual=float(res.residual),
+        setup_time=setup_time,
+        solve_time=solve_time,
+        solution=x,
+        dofs=dofs,
+    )
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--dim", type=int, default=2)
@@ -173,7 +240,7 @@ def main(argv=None):
     ap.add_argument("--refine", type=int, default=3)
     ap.add_argument("--scatter", default="auto",
                     choices=["auto", "incidence", "colored", "structured",
-                             "dense", "separable"])
+                             "dense", "separable", "boxes"])
     ap.add_argument("--dtype", default="float64")
     ap.add_argument("--adaptive-steps", type=int, default=0)
     ap.add_argument("--pallas", action="store_true")

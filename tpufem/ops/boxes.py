@@ -1,0 +1,406 @@
+"""Box-structured apply tier for adaptive (2:1 forest) meshes.
+
+Reference analogue: the colored gather/scatter cell loop on adaptively
+refined meshes — ``hanging_nodes.cuh`` + ``coloring.h`` + ``fee_gpu.cuh``
+(SURVEY.md §2, §3.4; BASELINE config 4).  On a GPU that loop is fast
+because random access is cheap; on TPU a generic gather/scatter runs ~2
+orders of magnitude below HBM speed (measured round 1: 0.013 vs
+2.8 GDoF/s).  The TPU-native answer exploits the forest structure instead:
+
+- Cells of size ``s`` in a 2:1 forest have s-aligned origins, so each size
+  group lives on a sparse sub-lattice.  Per group we take the bounding-box
+  lattice and run the *gather-free blocked structured apply*
+  (tpufem.ops.structured) over the whole box, masking inactive cells with
+  zero quadrature weights — their contributions vanish identically, no
+  bookkeeping in the hot loop.
+- The solver vector IS the concatenation of the per-box node lattices (the
+  "patchwork vector"); CG axpys are elementwise, dots carry 0/1 owner
+  weights so each physical DoF counts once.  No gather/scatter primitive
+  appears anywhere in the iteration.
+- Nodes shared between boxes (vertices on level interfaces, faces between
+  same-level boxes) are *duplicated*; a small precomputed exchange
+  (gather partial sums from all copies, sum, broadcast back — the same
+  compress(add) contract as the multi-chip partitioner, SURVEY.md §3.6)
+  reconciles them after each raw apply.  Hanging nodes use the standard
+  C / C^T application (tpufem.fem.constraints) with index lists mapped
+  into patch coordinates.  Both are O(interface-surface) ≪ O(N).
+
+Correctness contract: ``vmult`` equals the condensed assembled operator
+C^T A C with identity on constrained rows, to rounding — tested against
+the scipy oracle in tests/test_boxes.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufem.fem.dof_handler import DoFHandler
+from tpufem.fem.mesh import Mesh
+from tpufem.fem.quadrature import Quadrature
+from tpufem.fem.shapes import ShapeInfo
+from tpufem.ops.structured import laplace_apply_structured
+
+
+@dataclasses.dataclass
+class Box:
+    """One size group's bounding-box lattice (host/static data)."""
+
+    size: int  # cell edge length in mesh integer units
+    lo: np.ndarray  # (d,) lattice origin in size units, xyz order
+    nb: tuple  # cells per axis, (z, ..., x) order (slowest first)
+    cells: np.ndarray  # mesh cell indices in this group
+    lattice_shape: tuple  # node lattice shape, (z, ..., x) order
+    gid: np.ndarray  # lattice_shape int64 global DoF id, -1 = dead node
+    active: np.ndarray  # nb bool — cell present in the mesh
+    offset: int = 0  # start of this box's segment in the patch vector
+
+    @property
+    def n_nodes(self) -> int:
+        return int(np.prod(self.lattice_shape))
+
+
+def _local_lattice(p: int, d: int) -> np.ndarray:
+    """(nn, d) per-axis local node index, xyz column order, x fastest."""
+    n1 = p + 1
+    idx = np.arange(n1**d)
+    return np.stack([(idx // n1**a) % n1 for a in range(d)], axis=-1)
+
+
+def build_boxes(mesh: Mesh, dofs: DoFHandler) -> list[Box]:
+    """Group leaves by size; one bounding-box lattice per group.
+
+    Refinements that cluster (the typical adaptive use) give tight boxes;
+    a worst-case scattered refinement degrades to the full fine lattice —
+    documented trade-off, mitigable later by splitting groups into
+    multiple boxes (the apply below is already per-box, not per-level).
+    """
+    p, d = dofs.degree, mesh.dim
+    I = _local_lattice(p, d)  # (nn, d) xyz
+    boxes: list[Box] = []
+    offset = 0
+    for s in sorted(np.unique(mesh.sizes).tolist(), reverse=True):
+        sel = np.nonzero(mesh.sizes == s)[0]
+        lat = mesh.origins[sel] // s  # (ng, d) xyz
+        lo = lat.min(axis=0)
+        nb_xyz = lat.max(axis=0) - lo + 1
+        rel = lat - lo  # (ng, d)
+        nb = tuple(int(x) for x in nb_xyz[::-1])  # (z, ..., x)
+        lattice_shape = tuple(n * p + 1 for n in nb)
+        active = np.zeros(nb, dtype=bool)
+        active[tuple(rel[:, a] for a in range(d - 1, -1, -1))] = True
+        gid = np.full(lattice_shape, -1, dtype=np.int64)
+        # node position per (cell, local node), per axis: rel*p + I
+        pos = rel[:, None, :] * p + I[None, :, :]  # (ng, nn, d) xyz
+        flat = np.zeros(pos.shape[:2], dtype=np.int64)
+        for a in range(d):  # x fastest in memory (C order, z leading)
+            stride = int(np.prod(lattice_shape[d - a :])) if a else 1
+            flat += pos[:, :, a] * stride
+        gid.reshape(-1)[flat.ravel()] = dofs.cell_dofs[sel].ravel()
+        boxes.append(Box(
+            size=int(s), lo=lo, nb=nb, cells=sel,
+            lattice_shape=lattice_shape, gid=gid, active=active,
+            offset=offset,
+        ))
+        offset += int(np.prod(lattice_shape))
+    return boxes
+
+
+def _copies_by_gid(boxes: list[Box]):
+    """gid -> np.ndarray of flat patch indices (all copies, owner first)."""
+    all_gid = np.concatenate([b.gid.reshape(-1) for b in boxes])
+    live = np.nonzero(all_gid >= 0)[0]
+    order = np.argsort(all_gid[live], kind="stable")
+    live = live[order]
+    g = all_gid[live]
+    starts = np.nonzero(np.concatenate([[True], g[1:] != g[:-1]]))[0]
+    ends = np.concatenate([starts[1:], [len(g)]])
+    return g[starts], live, starts, ends
+
+
+class BoxLaplaceOperator:
+    """Matrix-free Laplace on an adaptive mesh in patchwork representation.
+
+    The whole solver loop (CG + Jacobi/Chebyshev) runs on the patch vector;
+    ``to_patch`` / ``from_patch`` convert at the boundaries of the
+    computation only.
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        dofs: DoFHandler,
+        constraints=None,  # AffineConstraints (hanging nodes), or None
+        coefficient: Optional[Callable] = None,
+        dtype: str = "float32",
+        constrained_mask: Optional[np.ndarray] = None,
+    ):
+        if mesh.transform is not None:
+            raise NotImplementedError(
+                "box tier needs a Cartesian (untransformed) mesh; curved "
+                "adaptive meshes use the incidence path"
+            )
+        self.mesh, self.dofs = mesh, dofs
+        self.coefficient = coefficient
+        p, d = dofs.degree, mesh.dim
+        self.p, self.dim = p, d
+        self.dt = jnp.dtype(dtype)
+        quad = Quadrature.gauss(p + 1)
+        si = ShapeInfo(p, quad)
+        self.S = jnp.asarray(si.S, self.dt)
+        self.D_col = jnp.asarray(si.D_col, self.dt)
+        self.boxes = build_boxes(mesh, dofs)
+        self.n_patch = sum(b.n_nodes for b in self.boxes)
+        self.n_dofs = dofs.n_dofs
+
+        # ---- per-box apply constants (scale, masked weight block) -------
+        w1 = np.asarray(quad.weights_1d)
+        ext = mesh.upper - mesh.lower  # (d,) physical extents, xyz
+        self._box_args = []
+        for b in self.boxes:
+            h = b.size / mesh.U * ext  # (d,) physical cell widths, xyz
+            scale = jnp.asarray(1.0 / h**2 * np.prod(h), self.dt)
+            wb = b.active.astype(np.float64).reshape(
+                tuple(np.ravel([(n, 1) for n in b.nb]))
+            )
+            for a in range(d):  # quadrature dims at odd positions, z..x
+                sh = [1] * (2 * d)
+                sh[2 * (d - 1 - a) + 1] = p + 1
+                wb = wb * w1.reshape(sh)
+            if coefficient is not None:
+                wb = wb * self._coef_block(b, coefficient, quad)
+            self._box_args.append((b.nb, scale, jnp.asarray(wb, self.dt)))
+
+        # ---- copy reconciliation (compress) -----------------------------
+        gids, live, starts, ends = _copies_by_gid(self.boxes)
+        counts = ends - starts
+        self._owner = np.full(self.n_dofs, -1, dtype=np.int64)
+        self._owner[gids] = live[starts]
+        if np.any(self._owner < 0):
+            raise AssertionError("DoF without a patch copy")
+        multi = np.nonzero(counts > 1)[0]
+        Kc = int(counts[multi].max()) if len(multi) else 1
+        m_idx = np.zeros((len(multi), Kc), dtype=np.int64)
+        m_w = np.zeros((len(multi), Kc))
+        for r, gi in enumerate(multi):
+            c = live[starts[gi] : ends[gi]]
+            m_idx[r, : len(c)] = c
+            m_idx[r, len(c) :] = c[0]  # pad = owner (0-weight / re-set)
+            m_w[r, : len(c)] = 1.0
+        self._multi_idx = jnp.asarray(m_idx)
+        self._multi_w = jnp.asarray(m_w, self.dt)
+        self._Kc = Kc
+
+        # owner weights for dots (1 exactly once per DoF)
+        w_own = np.zeros(self.n_patch)
+        w_own[self._owner] = 1.0
+        self.w_owner = jnp.asarray(w_own, self.dt)
+
+        # ---- constraints mapped to patch coordinates --------------------
+        self.constraints = constraints
+        con_mask_g = np.zeros(self.n_dofs, dtype=bool)
+        if constrained_mask is None:
+            constrained_mask = dofs.boundary_mask
+        con_mask_g |= constrained_mask
+        if constraints is not None and constraints.lines:
+            con_mask_g |= constraints.constrained_mask()
+            cdofs, masters, weights, inhom = constraints.padded_arrays()
+            # gather masters from owner copies
+            self._mast_idx = jnp.asarray(self._owner[masters])
+            self._mast_w = jnp.asarray(weights, self.dt)
+            self._con_inhom = jnp.asarray(inhom, self.dt)
+            # write interpolated values to every copy of each hanging dof
+            cc_idx, cc_row = self._all_copies(cdofs, live, starts, ends,
+                                              gids)
+            self._con_copy_idx = jnp.asarray(cc_idx)
+            self._con_copy_row = jnp.asarray(cc_row)
+            # C^T: (hanging value) * w added to every copy of the master
+            rows, tgt, wts = [], [], []
+            for i in range(len(cdofs)):
+                for j in range(masters.shape[1]):
+                    if weights[i, j] == 0.0:
+                        continue
+                    for c in self._gid_copies(int(masters[i, j]), live,
+                                              starts, ends, gids):
+                        rows.append(i)
+                        tgt.append(c)
+                        wts.append(weights[i, j])
+            self._ct_rows = jnp.asarray(np.asarray(rows, dtype=np.int64))
+            self._ct_tgt = jnp.asarray(np.asarray(tgt, dtype=np.int64))
+            self._ct_w = jnp.asarray(np.asarray(wts), self.dt)
+            self.has_hanging = True
+        else:
+            self.has_hanging = False
+
+        # interior mask per patch entry: 0 on constrained copies AND dead
+        m = np.zeros(self.n_patch)
+        interior_g = ~con_mask_g
+        for b in self.boxes:
+            g = b.gid.reshape(-1)
+            seg = np.zeros(b.n_nodes)
+            ok = g >= 0
+            seg[ok] = interior_g[g[ok]].astype(np.float64)
+            m[b.offset : b.offset + b.n_nodes] = seg
+        self.interior_mask = jnp.asarray(m, self.dt)
+
+        self._vmult = jax.jit(self._vmult_traced)
+        self._vmult_raw = jax.jit(self._vmult_raw_traced)
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _gid_copies(g, live, starts, ends, gids):
+        gi = np.searchsorted(gids, g)
+        return live[starts[gi] : ends[gi]]
+
+    def _all_copies(self, dlist, live, starts, ends, gids):
+        """(n, Kc) padded copy indices + 0/1 validity for a DoF list."""
+        copies = [self._gid_copies(int(g), live, starts, ends, gids)
+                  for g in dlist]
+        K = max((len(c) for c in copies), default=1)
+        idx = np.zeros((len(dlist), K), dtype=np.int64)
+        row = np.zeros((len(dlist), K))
+        for i, c in enumerate(copies):
+            idx[i, : len(c)] = c
+            idx[i, len(c) :] = c[0]
+            row[i, : len(c)] = 1.0
+        return idx, row
+
+    def _coef_block(self, b: Box, coefficient, quad) -> np.ndarray:
+        """Per-cell x per-qpoint coefficient on the box lattice, in the
+        interleaved ([nz,qz,]ny,qy,nx,qx) layout (dead cells get 1 — their
+        weight is already 0)."""
+        d, p = self.dim, self.p
+        q1 = p + 1
+        mesh = self.mesh
+        qp = np.asarray(quad.points_1d)  # (q1,) on [0,1]
+        # physical coords of qpoints for every lattice cell
+        axes = []
+        for a in range(d):  # xyz
+            nba = b.nb[d - 1 - a]
+            cells = (b.lo[a] + np.arange(nba)) * b.size  # lattice origins
+            x = (cells[:, None] + b.size * qp[None, :]) / mesh.U
+            axes.append(mesh.lower[a]
+                        + (mesh.upper[a] - mesh.lower[a]) * x)  # (nba, q1)
+        # build full (nz,qz,...,nx,qx) coord grid then evaluate
+        shape = tuple(np.ravel([(b.nb[k], q1) for k in range(d)]))
+        pts = np.zeros(shape + (d,))
+        for a in range(d):
+            k = d - 1 - a  # position among (z..x)
+            sh = [1] * (2 * d)
+            sh[2 * k], sh[2 * k + 1] = b.nb[k], q1
+            pts[..., a] = axes[a].reshape(sh) * np.ones(shape)
+        vals = coefficient(pts.reshape(-1, d)).reshape(shape)
+        return vals
+
+    # ------------------------------------------------------------------
+    # patch <-> global transfers (setup/IO boundary only; host numpy)
+    def to_patch(self, u_global: np.ndarray) -> jnp.ndarray:
+        u_global = np.asarray(u_global)
+        out = np.zeros(self.n_patch, dtype=u_global.dtype)
+        for b in self.boxes:
+            g = b.gid.reshape(-1)
+            ok = g >= 0
+            seg = np.zeros(b.n_nodes, dtype=u_global.dtype)
+            seg[ok] = u_global[g[ok]]
+            out[b.offset : b.offset + b.n_nodes] = seg
+        return jnp.asarray(out, self.dt)
+
+    def from_patch(self, u_patch) -> np.ndarray:
+        u = np.asarray(u_patch, dtype=np.float64)
+        return u[self._owner]
+
+    # ------------------------------------------------------------------
+    def compress(self, y):
+        """Sum partial contributions across all copies of each shared DoF
+        and broadcast the total back — the box-interface analogue of the
+        partitioner's compress(add) (SURVEY.md §3.6)."""
+        if self._multi_idx.shape[0] == 0:
+            return y
+        vals = y[self._multi_idx] * self._multi_w  # (n_multi, Kc)
+        tot = jnp.sum(vals, axis=1)
+        flat = self._multi_idx.reshape(-1)
+        return y.at[flat].set(jnp.repeat(tot, self._Kc))
+
+    def distribute(self, u, homogeneous: bool = True):
+        """u -> C u on the patch vector (hanging values interpolated)."""
+        if not self.has_hanging:
+            return u
+        vals = jnp.sum(self._mast_w * u[self._mast_idx], axis=1)
+        if not homogeneous:
+            vals = vals + self._con_inhom
+        flat = self._con_copy_idx.reshape(-1)
+        rep = jnp.repeat(vals, self._con_copy_idx.shape[1])
+        return u.at[flat].set(rep)
+
+    def distribute_transpose(self, y):
+        """y -> C^T y: hanging-row values pushed to masters, zeroed."""
+        if not self.has_hanging:
+            return y
+        yc = y[self._con_copy_idx[:, 0]]  # (ncon,)
+        flat = self._con_copy_idx.reshape(-1)
+        y = y.at[flat].set(jnp.zeros_like(flat, dtype=y.dtype))
+        return y.at[self._ct_tgt].add(self._ct_w * yc[self._ct_rows])
+
+    # ------------------------------------------------------------------
+    def _vmult_raw_traced(self, u):
+        parts = []
+        for (nb, scale, wb) in self._box_args:
+            b = self.boxes[len(parts)]
+            xb = jax.lax.dynamic_slice_in_dim(u, b.offset, b.n_nodes)
+            yb = laplace_apply_structured(
+                xb, self.dim, nb, self.p, self.S, self.D_col, scale, wb
+            )
+            parts.append(yb)
+        y = jnp.concatenate(parts)
+        return self.compress(y)
+
+    def _vmult_traced(self, x):
+        m = self.interior_mask
+        xh = self.distribute(m * x)
+        y = self._vmult_raw_traced(xh)
+        y = self.distribute_transpose(y)
+        return m * y + (1.0 - m) * x
+
+    def vmult(self, x):
+        """Constrained apply y = m C^T A C (m x) + (1-m) x on the patch
+        vector (same semantics as LaplaceOperator.vmult)."""
+        return self._vmult(x)
+
+    def vmult_raw(self, x):
+        """Raw apply (A x in patch space, copies reconciled)."""
+        return self._vmult_raw(x)
+
+    # ------------------------------------------------------------------
+    def dot(self, a, b):
+        """Owner-weighted dot == global-space dot, fixed reduction order."""
+        return jnp.dot(self.w_owner * a, b,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    def diagonal(self) -> jnp.ndarray:
+        """Patch-space diagonal of the constrained operator (constrained
+        and dead entries get 1)."""
+        from tpufem.operators.laplace import LaplaceOperator
+        from tpufem.ops.matrix_free import MatrixFree
+        from tpufem.utils.config import FemConfig
+
+        cfg = FemConfig(dim=self.dim, degree=self.p,
+                        dtype=str(np.dtype(self.dt)), scatter="incidence")
+        mf = MatrixFree.build(self.mesh, self.dofs, cfg,
+                              coefficient=self.coefficient,
+                              constraints=self.constraints)
+        diag_g = np.asarray(LaplaceOperator(mf).diagonal(),
+                            dtype=np.float64)
+        d = np.ones(self.n_patch)
+        for b in self.boxes:
+            g = b.gid.reshape(-1)
+            ok = g >= 0
+            seg = np.ones(b.n_nodes)
+            seg[ok] = diag_g[g[ok]]
+            d[b.offset : b.offset + b.n_nodes] = seg
+        # constrained entries are identity rows already (diag 1); dead = 1
+        return jnp.asarray(d, self.dt)
