@@ -189,3 +189,89 @@ def test_distributed_dot_deterministic_and_correct():
     v2 = float(ddot(al, bl))
     assert v1 == v2
     assert np.isclose(v1, float(np.dot(a, b)), rtol=1e-12)
+
+
+def test_distributed_gmg_cg_matches_single_device():
+    """Distributed GMG-CG (every level slab-sharded) reproduces the
+    single-device GMG-CG iteration count and solution (VERDICT item 4)."""
+    from tpufem.parallel.multigrid import distributed_gmg_cg_solve
+    from tpufem.solvers.multigrid import GeometricMultigrid
+
+    dim, p, refine, n_shards = 2, 2, 4, 4
+    gmg = GeometricMultigrid(dim, p, refine, coarsest_refine=2)
+    fine = gmg.fine
+    mask = np.asarray(fine.mask)
+    rng = np.random.default_rng(23)
+    b = mask * rng.standard_normal(fine.mf.n_dofs)
+
+    res = cg_solve(fine.op.vmult, jnp.asarray(b),
+                   M_inv=gmg.preconditioner(), rtol=1e-10)
+    x_dist, iters, resid = distributed_gmg_cg_solve(
+        gmg, n_shards, b, rtol=1e-10)
+    rel = np.linalg.norm(x_dist - np.asarray(res.x)) / np.linalg.norm(
+        np.asarray(res.x))
+    assert rel < 1e-9, rel
+    assert iters == int(res.iterations)
+    assert resid <= 1e-10 * np.linalg.norm(b) * 1.001
+
+
+def test_distributed_gmg_cg_3d():
+    from tpufem.parallel.multigrid import distributed_gmg_cg_solve
+    from tpufem.solvers.multigrid import GeometricMultigrid
+
+    # every level's cells-per-axis must divide the shard count: coarsest
+    # refine=2 -> 4 cells/axis with 4 shards
+    gmg = GeometricMultigrid(3, 2, 3, coarsest_refine=2)
+    fine = gmg.fine
+    mask = np.asarray(fine.mask)
+    rng = np.random.default_rng(29)
+    b = mask * rng.standard_normal(fine.mf.n_dofs)
+    res = cg_solve(fine.op.vmult, jnp.asarray(b),
+                   M_inv=gmg.preconditioner(), rtol=1e-10)
+    x_dist, iters, _ = distributed_gmg_cg_solve(gmg, 4, b, rtol=1e-10)
+    rel = np.linalg.norm(x_dist - np.asarray(res.x)) / np.linalg.norm(
+        np.asarray(res.x))
+    assert rel < 1e-9, rel
+    assert iters == int(res.iterations)
+
+
+def test_distributed_variable_coefficient_cg_matches_oracle():
+    """Distributed Jacobi-CG with a variable coefficient: sharded
+    struct_w, solution checked against the scipy-assembled oracle."""
+    import scipy.sparse.linalg as spla
+
+    from tpufem.fem.assemble import assemble_laplace
+
+    dim, p, refine, n_shards = 2, 2, 4, 8
+    coef = lambda x: 1.0 + 5.0 * np.sum(x**2, axis=1)
+    mesh = Mesh.hyper_cube(dim, refine)
+    dofs = DoFHandler(mesh, p)
+    mf = MatrixFree.build(mesh, dofs, FemConfig(dim, p),
+                          coefficient=coef)
+    assert np.asarray(mf.struct_w).shape[0] > 1  # really sharded
+    op = LaplaceOperator(mf)
+    diag = np.asarray(op.diagonal())
+    mask = np.asarray(mf.interior_mask)
+    rng = np.random.default_rng(31)
+    b = mask * rng.standard_normal(dofs.n_dofs)
+
+    # single-device reference + iteration parity
+    res = cg_solve(op.vmult, jnp.asarray(b),
+                   M_inv=make_jacobi(jnp.asarray(diag)), rtol=1e-10)
+    part = Partitioner(dim=dim, n=1 << refine, p=p, n_shards=n_shards)
+    x_dist, iters, _ = distributed_cg_solve(
+        part, mf.S, mf.D_col, mf.struct_scale, mf.struct_w,
+        mask, diag, b, rtol=1e-10,
+    )
+    assert iters == int(res.iterations)
+    rel = np.linalg.norm(x_dist - np.asarray(res.x)) / np.linalg.norm(
+        np.asarray(res.x))
+    assert rel < 1e-9, rel
+
+    # oracle: assembled variable-coefficient operator, direct solve
+    K = assemble_laplace(dofs, coefficient=coef).toarray()
+    m = mask.astype(np.float64)
+    Kc = m[:, None] * K * m[None, :] + np.diag(1.0 - m)
+    x_oracle = np.linalg.solve(Kc, b)
+    rel_o = np.linalg.norm(x_dist - x_oracle) / np.linalg.norm(x_oracle)
+    assert rel_o < 1e-8, rel_o

@@ -107,22 +107,37 @@ def distributed_cg_solve(
     diag_l = to_dev(diag)
     x0_l = to_dev(x0 if x0 is not None else np.zeros_like(np.asarray(b)))
 
+    # variable-coefficient weight blocks carry a real z-cell dim: shard it
+    # along the slab axis like every other field (SURVEY.md §3.6)
+    w_np = np.asarray(w_block)
+    w_sharded = w_np.shape[0] > 1
+    if w_sharded:
+        cz = part.local_cells_z
+        w_l = jax.device_put(
+            jnp.asarray(np.stack([
+                w_np[k * cz : (k + 1) * cz] for k in range(part.n_shards)
+            ])), sh)
+    else:
+        w_l = jax.device_put(
+            jnp.asarray(np.broadcast_to(
+                w_np[None], (part.n_shards,) + w_np.shape)), sh)
+
     spec = P(part.axis_name)
 
     @jax.jit
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(spec, spec, spec, spec),
+        in_specs=(spec, spec, spec, spec, spec),
         out_specs=CGResult(spec, P(), P(), P()),
     )
-    def solve(b_blk, mask_blk, diag_blk, x0_blk):
+    def solve(b_blk, mask_blk, diag_blk, x0_blk, w_blk):
         b_loc = b_blk[0]
         m = mask_blk[0]
         dg = diag_blk[0]
         x0_loc = x0_blk[0]
         A = make_constrained(
-            make_local_laplace(part, S, D_col, scale, w_block), m
+            make_local_laplace(part, S, D_col, scale, w_blk[0]), m
         )
         inv_diag = 1.0 / dg
         res = cg_solve(
@@ -132,7 +147,7 @@ def distributed_cg_solve(
         return CGResult(res.x[None], res.iterations, res.residual,
                         res.converged)
 
-    res = solve(b_l, mask_l, diag_l, x0_l)
+    res = solve(b_l, mask_l, diag_l, x0_l, w_l)
     x_global = part.to_global(np.asarray(res.x))
     return x_global, int(res.iterations), float(res.residual)
 

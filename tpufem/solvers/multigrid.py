@@ -92,14 +92,16 @@ class GeometricMultigrid:
         coefficient: Optional[Callable] = None,
         scatter: str = "auto",
         n_cycles: int = 1,
+        nbase: int = 1,
     ):
         if coarsest_refine > finest_refine:
             raise ValueError("coarsest_refine must be <= finest_refine")
         self.dim, self.degree = dim, degree
         self.n_cycles = n_cycles
+        self.nbase = nbase
         self.levels: list[MGLevel] = []
         for r in range(coarsest_refine, finest_refine + 1):
-            mesh = Mesh.hyper_cube(dim, r)
+            mesh = Mesh.hyper_cube(dim, r, nbase=nbase)
             dofs = DoFHandler(mesh, degree)
             cfg = FemConfig(dim=dim, degree=degree, dtype=dtype,
                             scatter=scatter)
@@ -111,12 +113,13 @@ class GeometricMultigrid:
             )
             self.levels.append(MGLevel(
                 mf=mf, op=op, inv_diag=1.0 / diag, cheb=cheb,
-                mask=mf.interior_mask, npts=(1 << r) * degree + 1,
+                mask=mf.interior_mask,
+                npts=nbase * (1 << r) * degree + 1,
             ))
         # 1D prolongations between consecutive levels (jnp constants)
         self.P1d = []
         for r in range(coarsest_refine, finest_refine):
-            P = prolongation_1d(degree, 1 << r)
+            P = prolongation_1d(degree, nbase * (1 << r))
             self.P1d.append(jnp.asarray(P, jnp.dtype(dtype)))
         # coarse dense inverse (constrained rows/cols -> identity)
         lvl0 = self.levels[0]
