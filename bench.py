@@ -10,10 +10,10 @@ recoverable); solve lines carry no anchor (vs_baseline = value).
 
 Prints one JSON line per metric; the LAST line is the headline apply.
 Every apply tier is timed and reported (``tiers`` key) — a Pallas/Mosaic
-failure is recorded in ``tier_errors``, never silently swallowed.  Note:
-the headline tier is chosen by raw apply speed; the accuracy-default tier
-for solves is ``structured`` (see docs/ROOFLINE.md for the f32 accuracy
-floor per tier).
+failure is recorded in ``tier_errors``, never silently swallowed.  The
+fused round-2 kernel has structured-class accuracy (~1e-7 rel), so it is
+both the speed AND the solve tier; per-tier accuracy classes are tabled
+in docs/ROOFLINE.md.
 """
 
 import json
@@ -90,10 +90,16 @@ def main():
     best_tier = max(tiers, key=tiers.get)
 
     # ---- whole-solve benchmark (BASELINE metric "and CG solve time") ---
+    # The round-2 fused kernel has structured-class accuracy (~1e-7 rel,
+    # banded short reductions — see ops/pallas_separable.py), so it powers
+    # the solve too; CPU falls back to the structured tier.
     solve_rtol = 1e-5
+    solve_tier = "separable+pallas" if on_tpu else "structured"
     mf_s = MatrixFree.build(
-        mesh, dofs, FemConfig(dim=3, degree=4, dtype=dtype,
-                              scatter="structured"),
+        mesh, dofs,
+        FemConfig(dim=3, degree=4, dtype=dtype,
+                  scatter="separable" if on_tpu else "structured",
+                  use_pallas=on_tpu),
     )
     op_s = LaplaceOperator(mf_s)
     diag = op_s.diagonal()
@@ -115,14 +121,14 @@ def main():
         "iterations": int(res.iterations),
         "converged": bool(res.converged),
         "residual": float(res.residual),
-        "rtol": solve_rtol, "n_dofs": dofs.n_dofs, "tier": "structured",
+        "rtol": solve_rtol, "n_dofs": dofs.n_dofs, "tier": solve_tier,
     })
 
     if on_tpu:
         from tpufem.solvers.multigrid import GeometricMultigrid
 
         mg = GeometricMultigrid(3, 4, refine, coarsest_refine=1,
-                                dtype=dtype)
+                                dtype=dtype, use_pallas=True)
         solve_mg = jax.jit(lambda b_: cg_solve(
             mg.fine.op.vmult, b_, M_inv=mg.preconditioner(),
             rtol=solve_rtol))
@@ -138,7 +144,8 @@ def main():
             "iterations": int(res_mg.iterations),
             "converged": bool(res_mg.converged),
             "residual": float(res_mg.residual),
-            "rtol": solve_rtol, "n_dofs": dofs.n_dofs, "tier": "auto",
+            "rtol": solve_rtol, "n_dofs": dofs.n_dofs,
+            "tier": "separable+pallas",
         })
 
     # ---- headline line LAST ------------------------------------------

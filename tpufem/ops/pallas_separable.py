@@ -1,28 +1,37 @@
 """Fused Pallas kernel for the separable uniform-grid Laplace apply.
 
 This is the Pallas realization of the reference's single fused cell-loop
-kernel (SURVEY.md §3.4 "This whole box becomes ONE fused Pallas kernel"):
-where the XLA separable tier (tpufem.ops.separable) runs 8 contraction
-passes over HBM, this kernel makes ONE pass — each output tile loads its
-halo'd input slab into VMEM via async DMA and performs all contractions
-in VMEM with MXU matmuls.
+kernel (SURVEY.md §3.4 "This whole box becomes ONE fused Pallas kernel"),
+round-2 design (kernel-lab winner "v15", scripts/kernel_lab.py):
 
-Mosaic-compatibility constraints (found empirically on this toolchain —
-violating either crashes the remote compile helper, not just errors):
-- the minor (lane) dim of every DMA'd/blocked array must be a multiple of
-  128 → the x axis is zero-padded to X_pad = 128*ceil(npts/128) and the x
-  operator matrices are zero-padded to (X_pad, X_pad);
-- no leading-1 3D blocks with ``.at[0]`` views → the per-tile z/y operator
-  row-slices are passed as 2D stacks (n_tiles*b, b+2p) with (b, b+2p)
-  blocks.
+- **Banded z/y stages on the VPU.**  The assembled 1D operators are banded
+  (bandwidth 2p+1) and, on a uniform grid, their interior rows are
+  *periodic with period p* — so for tile size b ≡ 0 (mod p) every tile
+  shares the same per-tap weight vectors, applied as shifted static slices
+  of the halo'd VMEM tile (free addressing, VPU FMAs).  The only
+  aperiodic rows are global 0 and npts-1, whose center tap misses one
+  assembly neighbor — fixed by a branchless one-hot correction on the
+  boundary tiles.  This replaced the einsum y/z contractions whose Mosaic
+  relayouts dominated the round-1 kernel.
+- **One K-stacked x matmul on the MXU.**  The two x-axis applications are
+  fused into a single contraction  y = [q1 | q23] @ [Kx^T ; Mx^T]  over
+  2X lanes — one large, well-pipelined MXU matmul per tile.
+- **Double-buffered input DMA** over a 1D grid: tile t+1 is prefetched
+  while tile t computes (guide pattern "Double Buffering").
 
-The assembled 1D operators K1/M1 are banded (bandwidth 2p+1), so an output
-tile of planes [z0:z1) depends only on input [z0-p:z1+p): per-tile row
-slices of the zero-padded operators make boundary tiles exact, no masking.
+Mosaic constraints honored (empirical, this toolchain): lane dims of
+DMA'd buffers are 128-multiples; no captured jnp constants (band tables
+are kernel inputs); no scatter (one-hots via iota compare); tile b kept
+at ~24 (larger tiles exceed the VMEM budget and crash the remote compile
+helper rather than erroring).
 
-Per-tile schedule (3D, 7 matmuls, shared partials):
-    ax  = Mx u        gx  = Kx u
-    y   = Kz (My ax) + Mz (Ky ax + My gx)
+Accuracy: short banded reductions + one HIGHEST-precision matmul give
+~1e-7 relative error at 17M DoFs — structured-tier class, unlike the XLA
+separable tier's ~1e-5 long-contraction floor, so this kernel is safe to
+use inside CG solves (measured in scripts/kernel_lab.py).
+
+Schedule (3D):  s = Bz(u;Mz), t = Bz(u;Kz);  q1 = By(s;My),
+q2 = By(s;Ky), q3 = By(t;My);  out = [q1 | q2+q3] @ [Kx^T ; Mx^T].
 """
 
 from __future__ import annotations
@@ -36,59 +45,130 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _tile_slices(M1: np.ndarray, b: int, n_tiles: int, p: int) -> np.ndarray:
-    """(n_tiles*b, b+2p) stacked row-slices of the zero-padded operator.
-
-    Padded coordinate system: index i_pad = i + p; tile t covers padded
-    rows [t*b + p, (t+1)*b + p) and needs padded cols [t*b, (t+1)*b + 2p).
-    """
+def _periodic_band(M1: np.ndarray, p: int, b: int) -> np.ndarray:
+    """(2p+1, b) periodic tap weights: W[o, i] = M1[g, g+o-p] for any
+    interior row g with g % p == i % p (rows of a uniformly assembled 1D
+    operator repeat with period p)."""
     npts = M1.shape[0]
-    size = n_tiles * b + 2 * p
-    Mp = np.zeros((size, size))
-    Mp[p : p + npts, p : p + npts] = M1
-    out = np.empty((n_tiles * b, b + 2 * p))
-    for t in range(n_tiles):
-        out[t * b : (t + 1) * b] = Mp[
-            t * b + p : (t + 1) * b + p, t * b : (t + 1) * b + 2 * p
-        ]
-    return out
+    W = np.zeros((2 * p + 1, b))
+    g0 = p * ((p + npts // 2) // p)  # a deep-interior row of class 0
+    if g0 + 2 * p >= npts:  # tiny grids: fall back to the first full row
+        g0 = p
+    for i in range(b):
+        g = g0 + (i % p)
+        for o in range(2 * p + 1):
+            j = g + o - p
+            if 0 <= j < npts:
+                W[o, i] = M1[g, j]
+    return W
 
 
-def _hp_einsum(expr, a, m):
-    return jnp.einsum(expr, a, m, preferred_element_type=a.dtype,
-                      precision=jax.lax.Precision.HIGHEST)
+def _deficits(M1: np.ndarray, p: int) -> tuple[float, float]:
+    """Center-tap deficits of the aperiodic boundary rows 0 and npts-1
+    (each misses one assembly neighbor) vs the periodic class-0 row."""
+    npts = M1.shape[0]
+    per = _periodic_band(M1, p, 1)[p, 0]
+    return float(M1[0, 0] - per), float(M1[npts - 1, npts - 1] - per)
 
 
-def _kernel_3d(u_hbm, mz, kz, my, ky, mx, kx, out, scratch, sem, *, b, L):
-    iz = pl.program_id(0)
-    iy = pl.program_id(1)
-    dma = pltpu.make_async_copy(
-        u_hbm.at[pl.ds(iz * b, L), pl.ds(iy * b, L), :], scratch, sem
-    )
-    dma.start()
-    dma.wait()
-    u = scratch[:]  # (L, L, X_pad)
-    ax = _hp_einsum("zyx,ox->zyo", u, mx[:])
-    gx = _hp_einsum("zyx,ox->zyo", u, kx[:])
-    m_ax = _hp_einsum("zyx,by->zbx", ax, my[:])
-    k_ax = _hp_einsum("zyx,by->zbx", ax, ky[:])
-    m_gx = _hp_einsum("zyx,by->zbx", gx, my[:])
-    y = _hp_einsum("zyx,bz->byx", m_ax, kz[:]) + _hp_einsum(
-        "zyx,bz->byx", k_ax + m_gx, mz[:]
-    )
-    out[:] = y
+def _kernel(u_hbm, xkm, *args, b, L, X, p, dim, corr, nt, n_grid):
+    """args = (wm_y, wk_y[, wm_z, wk_z], out, scratch, sem)."""
+    if dim == 3:
+        wm_y, wk_y, wm_z, wk_z, out, scratch, sem = args
+    else:
+        wm_y, wk_y, out, scratch, sem = args
+    t = pl.program_id(0)
+    slot = t % 2
+    nxt = (t + 1) % 2
 
+    def dma(sl, tt):
+        if dim == 3:
+            src = u_hbm.at[pl.ds((tt // nt) * b, L),
+                           pl.ds((tt % nt) * b, L), :]
+        else:
+            src = u_hbm.at[pl.ds(tt * b, L), :]
+        return pltpu.make_async_copy(src, scratch.at[sl], sem.at[sl])
 
-def _kernel_2d(u_hbm, my, ky, mx, kx, out, scratch, sem, *, b, L):
-    iy = pl.program_id(0)
-    dma = pltpu.make_async_copy(u_hbm.at[pl.ds(iy * b, L), :], scratch, sem)
-    dma.start()
-    dma.wait()
-    u = scratch[:]  # (L, X_pad)
-    ax = _hp_einsum("yx,ox->yo", u, mx[:])
-    gx = _hp_einsum("yx,ox->yo", u, kx[:])
-    out[:] = _hp_einsum("yx,by->bx", ax, ky[:]) + _hp_einsum(
-        "yx,by->bx", gx, my[:]
+    @pl.when(t == 0)
+    def _():
+        dma(slot, t).start()
+
+    @pl.when(t + 1 < n_grid)
+    def _():
+        dma(nxt, t + 1).start()
+
+    dma(slot, t).wait()
+    u = scratch[slot]
+    nb = 2 * p + 1
+    (dm0, dk0, dm1, dk1, t_last, i_last) = corr
+    ii = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)
+    oh0 = (ii == 0).astype(u.dtype)
+    oh1 = (ii == i_last).astype(u.dtype)
+
+    if dim == 3:
+        iz, iy = t // nt, t % nt
+
+        def band_z(tt_, w9):  # (L, L, X) -> (b, L, X); w9 (9, b, 1, 1)
+            acc = None
+            for o in range(nb):
+                c = tt_[o : o + b] * w9[o]
+                acc = c if acc is None else acc + c
+            return acc
+
+        def band_y(tt_, w9):  # (b, L, X) -> (b, b, X); w9 (9, b, 1)
+            acc = None
+            for o in range(nb):
+                c = tt_[:, o : o + b, :] * w9[o]
+                acc = c if acc is None else acc + c
+            return acc
+
+        def corr_z(t_in, acc, d0, d1):
+            c0 = jnp.where(iz == 0, d0, 0.0).astype(u.dtype)
+            c1 = jnp.where(iz == t_last, d1, 0.0).astype(u.dtype)
+            return (acc
+                    + (c0 * oh0).reshape(b, 1, 1) * t_in[p : p + 1]
+                    + (c1 * oh1).reshape(b, 1, 1)
+                    * t_in[p + i_last : p + i_last + 1])
+
+        def corr_y(t_in, acc, d0, d1):
+            c0 = jnp.where(iy == 0, d0, 0.0).astype(u.dtype)
+            c1 = jnp.where(iy == t_last, d1, 0.0).astype(u.dtype)
+            return (acc
+                    + (c0 * oh0) * t_in[:, p : p + 1, :]
+                    + (c1 * oh1) * t_in[:, p + i_last : p + i_last + 1, :])
+
+        s = corr_z(u, band_z(u, wm_z), dm0[2], dm1[2])
+        q1 = corr_y(s, band_y(s, wm_y), dm0[1], dm1[1])
+        q2 = corr_y(s, band_y(s, wk_y), dk0[1], dk1[1])
+        tq = corr_z(u, band_z(u, wk_z), dk0[2], dk1[2])
+        q3 = corr_y(tq, band_y(tq, wm_y), dm0[1], dm1[1])
+        qq = jnp.concatenate([q1, q2 + q3], axis=2)  # (b, b, 2X)
+    else:
+        iy = t
+
+        def band_y2(tt_, w9):  # (L, X) -> (b, X); w9 (9, b, 1)
+            acc = None
+            for o in range(nb):
+                c = tt_[o : o + b] * w9[o]
+                acc = c if acc is None else acc + c
+            return acc
+
+        def corr_y2(t_in, acc, d0, d1):
+            c0 = jnp.where(iy == 0, d0, 0.0).astype(u.dtype)
+            c1 = jnp.where(iy == t_last, d1, 0.0).astype(u.dtype)
+            return (acc
+                    + (c0 * oh0) * t_in[p : p + 1]
+                    + (c1 * oh1) * t_in[p + i_last : p + i_last + 1])
+
+        q1 = corr_y2(u, band_y2(u, wm_y), dm0[1], dm1[1])
+        q2 = corr_y2(u, band_y2(u, wk_y), dk0[1], dk1[1])
+        qq = jnp.concatenate([q1, q2], axis=1)  # (b, 2X)
+
+    out[:] = jax.lax.dot_general(
+        qq, xkm[:],
+        dimension_numbers=(((qq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=qq.dtype,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -99,95 +179,94 @@ class PallasSeparable:
                  interpret=False):
         self.dim, self.npts, self.p = dim, npts, p
         if tile is None:
-            tile = 24 if dim == 3 else 256
-        while tile > npts:
-            tile //= 2
-        tile = max(tile, 8)
+            tile = p * max(1, 24 // p)  # b % p == 0 (periodic tap classes)
+        tile -= tile % p
+        while tile > max(npts, p):
+            tile -= p
+        tile = max(tile, p)
         self.b = tile
-        self.n_tiles = -(-npts // tile)
-        self.size = self.n_tiles * tile + 2 * p  # padded z/y extent
+        b = tile
+        self.n_tiles = nt = -(-npts // tile)
+        self.size = nt * tile + 2 * p  # padded z/y extent
         self.L = tile + 2 * p
         # lane (x) padding: Mosaic needs 128-multiples on compiled TPU
         self.X = npts if interpret else 128 * (-(-npts // 128))
+        X, L = self.X, self.L
         dt = jnp.dtype(dtype)
         self.dt = dt
-        # stacked 2D tiled slices for the z/y axes
-        self.tiled = {}
-        for a in range(1, dim):
-            self.tiled[a] = (
-                jnp.asarray(_tile_slices(Ms_np[a], tile, self.n_tiles, p), dt),
-                jnp.asarray(_tile_slices(Ks_np[a], tile, self.n_tiles, p), dt),
-            )
-        # x matrices zero-padded to (X, X)
-        def xpad(M):
-            out = np.zeros((self.X, self.X))
-            out[:npts, :npts] = M
-            return jnp.asarray(out, dt)
-
-        self.x_full = (xpad(Ms_np[0]), xpad(Ks_np[0]))
         self.interpret = interpret
-        self._call = jax.jit(self._build())
 
-    def _build(self):
-        dim, b, L, p = self.dim, self.b, self.L, self.p
-        nt, npts, size, X = self.n_tiles, self.npts, self.size, self.X
+        Ms = [np.asarray(M) for M in Ms_np]
+        Ks = [np.asarray(K) for K in Ks_np]
+        # periodic band tables for the non-x axes (y=1[, z=2])
+        wm = {a: _periodic_band(Ms[a], p, b) for a in range(1, dim)}
+        wk = {a: _periodic_band(Ks[a], p, b) for a in range(1, dim)}
+        # boundary-row center-tap corrections per axis
+        dm0 = {a: _deficits(Ms[a], p)[0] for a in range(1, dim)}
+        dm1 = {a: _deficits(Ms[a], p)[1] for a in range(1, dim)}
+        dk0 = {a: _deficits(Ks[a], p)[0] for a in range(1, dim)}
+        dk1 = {a: _deficits(Ks[a], p)[1] for a in range(1, dim)}
+        i_last = (npts - 1) % b
+        t_last = (npts - 1) // b
+        corr = (dm0, dk0, dm1, dk1, t_last, i_last)
 
-        def tiled_spec(grid_pos):
-            def imap(*ids):
-                return (ids[grid_pos], 0)
-
-            return pl.BlockSpec((b, L), imap, memory_space=pltpu.VMEM)
-
-        full_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-
+        # K-stacked x operator [Kx^T ; Mx^T]: (2X, X)
+        xkm = np.zeros((2 * X, X))
+        xkm[:npts, :npts] = Ks[0].T
+        xkm[X : X + npts, :npts] = Ms[0].T
+        mats = [jnp.asarray(xkm, dt),
+                jnp.asarray(wm[1][:, :, None], dt),
+                jnp.asarray(wk[1][:, :, None], dt)]
         if dim == 3:
-            kern = functools.partial(_kernel_3d, b=b, L=L)
-            grid = (nt, nt)
-            mat_specs = [tiled_spec(0), tiled_spec(0),
-                         tiled_spec(1), tiled_spec(1),
-                         full_spec, full_spec]
-            mats_in = [self.tiled[2][0], self.tiled[2][1],
-                       self.tiled[1][0], self.tiled[1][1],
-                       self.x_full[0], self.x_full[1]]
+            mats += [jnp.asarray(wm[2][:, :, None, None], dt),
+                     jnp.asarray(wk[2][:, :, None, None], dt)]
+
+        n_grid = nt * nt if dim == 3 else nt
+        kern = functools.partial(
+            _kernel, b=b, L=L, X=X, p=p, dim=dim, corr=corr, nt=nt,
+            n_grid=n_grid,
+        )
+        full = pl.BlockSpec(memory_space=pltpu.VMEM)
+        if dim == 3:
             out_spec = pl.BlockSpec(
-                (b, b, X), lambda iz, iy: (iz, iy, 0),
-                memory_space=pltpu.VMEM,
-            )
-            out_shape = jax.ShapeDtypeStruct((nt * b, nt * b, X), self.dt)
-            scratch = [pltpu.VMEM((L, L, X), self.dt),
-                       pltpu.SemaphoreType.DMA(())]
+                (b, b, X), lambda t, n=nt: (t // n, t % n, 0),
+                memory_space=pltpu.VMEM)
+            out_shape = jax.ShapeDtypeStruct((nt * b, nt * b, X), dt)
+            scratch = [pltpu.VMEM((2, L, L, X), dt),
+                       pltpu.SemaphoreType.DMA((2,))]
         else:
-            kern = functools.partial(_kernel_2d, b=b, L=L)
-            grid = (nt,)
-            mat_specs = [tiled_spec(0), tiled_spec(0), full_spec, full_spec]
-            mats_in = [self.tiled[1][0], self.tiled[1][1],
-                       self.x_full[0], self.x_full[1]]
-            out_spec = pl.BlockSpec(
-                (b, X), lambda iy: (iy, 0), memory_space=pltpu.VMEM
-            )
-            out_shape = jax.ShapeDtypeStruct((nt * b, X), self.dt)
-            scratch = [pltpu.VMEM((L, X), self.dt),
-                       pltpu.SemaphoreType.DMA(())]
+            out_spec = pl.BlockSpec((b, X), lambda t: (t, 0),
+                                    memory_space=pltpu.VMEM)
+            out_shape = jax.ShapeDtypeStruct((nt * b, X), dt)
+            scratch = [pltpu.VMEM((2, L, X), dt),
+                       pltpu.SemaphoreType.DMA((2,))]
 
         pc = pl.pallas_call(
             kern,
-            grid=grid,
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + mat_specs,
+            grid=(n_grid,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+            + [full] * len(mats),
             out_specs=out_spec,
             out_shape=out_shape,
             scratch_shapes=scratch,
-            interpret=self.interpret,
+            interpret=interpret,
         )
+
+        size = self.size
+
+        # raw kernel on an already-padded halo'd block (padded-space
+        # solver / kernel-lab use: kills the per-apply pad/unpad passes)
+        self._raw_call = jax.jit(lambda gp: pc(gp, *mats))
 
         def apply(u):
             g = u.reshape((npts,) * dim)
             pad = [(p, size - npts - p)] * (dim - 1) + [(0, X - npts)]
             gp = jnp.pad(g, pad)
-            y = pc(gp, *mats_in)
+            y = pc(gp, *mats)
             sl = tuple(slice(0, npts) for _ in range(dim))
             return y[sl].reshape(-1)
 
-        return apply
+        self._call = jax.jit(apply)
 
     def __call__(self, u):
         return self._call(u)

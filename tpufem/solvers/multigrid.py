@@ -93,18 +93,24 @@ class GeometricMultigrid:
         scatter: str = "auto",
         n_cycles: int = 1,
         nbase: int = 1,
+        use_pallas: bool = False,
     ):
         if coarsest_refine > finest_refine:
             raise ValueError("coarsest_refine must be <= finest_refine")
         self.dim, self.degree = dim, degree
         self.n_cycles = n_cycles
         self.nbase = nbase
+        # the fused Pallas kernel (constant-coefficient separable form)
+        # can power every level's smoother applies; accuracy is
+        # structured-class (ops/pallas_separable.py)
+        pallas_ok = use_pallas and coefficient is None
         self.levels: list[MGLevel] = []
         for r in range(coarsest_refine, finest_refine + 1):
             mesh = Mesh.hyper_cube(dim, r, nbase=nbase)
             dofs = DoFHandler(mesh, degree)
             cfg = FemConfig(dim=dim, degree=degree, dtype=dtype,
-                            scatter=scatter)
+                            scatter="separable" if pallas_ok else scatter,
+                            use_pallas=pallas_ok)
             mf = MatrixFree.build(mesh, dofs, cfg, coefficient=coefficient)
             op = LaplaceOperator(mf)
             diag = op.diagonal()
