@@ -88,32 +88,21 @@ class LaplaceOperator:
     def diagonal(self) -> jnp.ndarray:
         """Diagonal of the (constrained) operator, for Jacobi/Chebyshev.
 
-        Host-side exact computation (f64) of
-        diag_e[c,j] = sum_q |J^-T grad phi_j|^2 coef JxW, scattered — the
-        unit-basis trick of the reference's compute_diagonal() evaluated in
-        closed form (each unit basis vector's bilinear form).  Constrained
-        DoFs get 1 (identity rows).
+        Uniform meshes without constraints use a host closed form of the
+        reference's unit-basis trick; meshes with hanging nodes (incl. a
+        variable coefficient) compute diag(C^T A C) fully on device
+        (``_diagonal_device_hanging``) — the reference's device-side
+        compute_diagonal(), generalized to global constraint weights.
+        Constrained DoFs get 1 (identity rows).
         """
         mf = self.mf
         p, d = mf.config.degree, mf.config.dim
         if mf.has_hanging:
-            # exact diagonal of C^T A C via the assembled oracle (host,
-            # one-time; fine at adaptive-mesh scales — device-side
-            # unit-basis variant is a future optimization)
-            from tpufem.fem.assemble import assemble_laplace
+            from tpufem.ops.diagonal import diagonal_device_hanging
 
-            coef_fn = None
-            if mf.coef_q is not None:
-                raise NotImplementedError(
-                    "diagonal with hanging nodes + coefficient: pass the "
-                    "coefficient through assemble_laplace directly"
-                )
-            K = assemble_laplace(mf.dofs, quad=mf.quad)
-            Kc = mf.constraints_obj.condense_matrix(K)
-            diag = Kc.diagonal()
-            mask = np.asarray(mf.interior_mask, dtype=np.float64)
-            diag = diag * mask + (1.0 - mask)
-            return jnp.asarray(diag, jnp.dtype(mf.config.dtype))
+            diag = diagonal_device_hanging(mf)
+            mask = mf.interior_mask
+            return diag * mask + (1.0 - mask)
         G = cell_basis_gradients(p, d, mf.quad)  # (nq, nn, d) f64
         metric = mf.host_metric
         coef = (
