@@ -72,6 +72,29 @@ def bench_adaptive(dim, p, refine, steps, dtype, reps, compare=False):
     return rec
 
 
+def bench_curved(dim, p, refine, dtype, reps):
+    """Curved-geometry apply benchmark: the blocked general-metric
+    structured tier on a shell wedge (BASELINE shell geometry)."""
+    mesh = (Mesh.hyper_shell_3d(refine) if dim == 3
+            else Mesh.hyper_shell_2d(refine))
+    dofs = DoFHandler(mesh, p)
+    mf = MatrixFree.build(
+        mesh, dofs,
+        FemConfig(dim=dim, degree=p, dtype=dtype, scatter="structured"),
+    )
+    op = LaplaceOperator(mf)
+    x = jnp.ones(dofs.n_dofs, jnp.dtype(dtype))
+    dt = time_fn(op.vmult_raw, x, reps=reps)
+    return {
+        "bench": "bmop-curved",
+        "dim": dim, "degree": p, "refine": refine,
+        "n_dofs": dofs.n_dofs, "scheme": "structured(general-metric)",
+        "dtype": dtype,
+        "s_per_apply": dt,
+        "gdofs_per_s": dofs.n_dofs / dt / 1e9,
+    }
+
+
 def bench_config(dim, p, refine, dtype, scatter, reps, with_spmv=False):
     mesh = Mesh.hyper_cube(dim, refine)
     dofs = DoFHandler(mesh, p)
@@ -117,6 +140,9 @@ def main(argv=None):
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--spmv", action="store_true",
                     help="also run the assembled-SpMV baseline (bmspmv)")
+    ap.add_argument("--curved", action="store_true",
+                    help="benchmark the curved (shell) general-metric "
+                         "structured tier instead")
     ap.add_argument("--adaptive", type=int, default=0, metavar="STEPS",
                     help="benchmark the adaptive box tier instead: STEPS "
                          "rounds of refinement toward a ball")
@@ -132,7 +158,10 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
     for p in args.degrees:
-        if args.adaptive:
+        if args.curved:
+            rec = bench_curved(args.dim, p, args.refine, args.dtype,
+                               args.reps)
+        elif args.adaptive:
             rec = bench_adaptive(
                 args.dim, p, args.refine, args.adaptive, args.dtype,
                 args.reps, compare=args.compare_incidence,

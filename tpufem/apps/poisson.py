@@ -201,13 +201,13 @@ def _solve_poisson_boxes(mesh, dofs, constraints, coefficient, dtype,
     diag = op.diagonal()
     setup_time = time.perf_counter() - t0
 
-    solve = jax.jit(lambda b_, x0_: cg_solve(
-        op.vmult, b_, M_inv=lambda r: r / diag, x0=x0_, rtol=rtol,
-        dot=op.dot))
+    # op.cg_solve threads every device array through the jit boundary as
+    # an argument (closure-captured index constants are pathologically
+    # slow on this platform — see ops/boxes.py)
     if warm:
-        jax.block_until_ready(solve(b_con, x0).x)
+        jax.block_until_ready(op.cg_solve(b_con, diag, x0=x0, rtol=rtol).x)
     t1 = time.perf_counter()
-    res = solve(b_con, x0)
+    res = op.cg_solve(b_con, diag, x0=x0, rtol=rtol)
     jax.block_until_ready(res.x)
     solve_time = time.perf_counter() - t1
     if not bool(res.converged):

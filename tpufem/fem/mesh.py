@@ -119,6 +119,36 @@ class Mesh:
         m.transform = polar
         return m
 
+    @classmethod
+    def hyper_shell_3d(
+        cls,
+        refinements: int = 0,
+        r_inner: float = 0.5,
+        r_outer: float = 1.0,
+        polar: tuple = (0.25 * np.pi, 0.75 * np.pi),
+        wedge_azim: float = 0.5 * np.pi,
+    ) -> "Mesh":
+        """3D spherical-shell wedge (spherical map of the unit cube) —
+        the 3D form of the reference's GridGenerator::hyper_shell
+        geometry (SURVEY.md §3.1).  logical (s, t, u) ->
+        (r sin(th) cos(ph), r sin(th) sin(ph), r cos(th)) with
+        r = r_inner + s dr, th in [polar[0], polar[1]], ph = u*wedge_azim.
+        The polar range stays inside (0, pi) to keep the map bijective."""
+
+        def spherical(x):
+            r = r_inner + x[:, 0] * (r_outer - r_inner)
+            th = polar[0] + x[:, 1] * (polar[1] - polar[0])
+            ph = x[:, 2] * wedge_azim
+            st = np.sin(th)
+            return np.stack(
+                [r * st * np.cos(ph), r * st * np.sin(ph), r * np.cos(th)],
+                axis=-1,
+            )
+
+        m = cls.hyper_cube(3, refinements)
+        m.transform = spherical
+        return m
+
     # ------------------------------------------------------------------
     def cell_vertices_logical(self) -> np.ndarray:
         """(ncells, 2**dim, dim) logical coords of cell corner vertices,

@@ -160,6 +160,15 @@ def _vmult_raw(mf: MatrixFree, x):
             x, mf.config.dim, mf.uniform_n, mf.config.degree, mf.dense_A
         )
     if mf.scheme == "structured":
+        if mf.struct_invjac is not None:  # curved/general metric
+            from tpufem.ops.structured import (
+                laplace_apply_structured_general,
+            )
+
+            return laplace_apply_structured_general(
+                x, mf.config.dim, mf.uniform_n, mf.config.degree,
+                mf.S, mf.D_col, mf.struct_invjac, mf.struct_jxw,
+            )
         from tpufem.ops.structured import laplace_apply_structured
 
         return laplace_apply_structured(

@@ -158,13 +158,28 @@ class BoxLaplaceOperator:
         self.n_patch = sum(b.n_nodes for b in self.boxes)
         self.n_dofs = dofs.n_dofs
 
-        # ---- per-box apply constants (scale, masked weight block) -------
+        # ---- per-box apply constants -------------------------------------
+        # constant coefficient: ONE shared nn x nn local matrix per box
+        # (dense-local tier — a single MXU matmul over the cell batch,
+        # inactive cells masked) — measured ~2x the blocked structured
+        # tier's rate; variable coefficient falls back to the structured
+        # blocked apply with per-cell weights.
         w1 = np.asarray(quad.weights_1d)
         ext = mesh.upper - mesh.lower  # (d,) physical extents, xyz
+        self._dense = coefficient is None
         self._box_args = []
         for b in self.boxes:
             h = b.size / mesh.U * ext  # (d,) physical cell widths, xyz
             scale = jnp.asarray(1.0 / h**2 * np.prod(h), self.dt)
+            if self._dense:
+                from tpufem.ops.dense_local import build_dense_local_matrix
+
+                A_loc = build_dense_local_matrix(
+                    p, d, p + 1, np.asarray(scale), self.dt)
+                amask = jnp.asarray(
+                    b.active.reshape(-1).astype(np.float64), self.dt)
+                self._box_args.append((b.nb, A_loc, amask))
+                continue
             wb = b.active.astype(np.float64).reshape(
                 tuple(np.ravel([(n, 1) for n in b.nb]))
             )
@@ -172,8 +187,7 @@ class BoxLaplaceOperator:
                 sh = [1] * (2 * d)
                 sh[2 * (d - 1 - a) + 1] = p + 1
                 wb = wb * w1.reshape(sh)
-            if coefficient is not None:
-                wb = wb * self._coef_block(b, coefficient, quad)
+            wb = wb * self._coef_block(b, coefficient, quad)
             self._box_args.append((b.nb, scale, jnp.asarray(wb, self.dt)))
 
         # ---- copy reconciliation (compress) -----------------------------
@@ -248,6 +262,30 @@ class BoxLaplaceOperator:
             m[b.offset : b.offset + b.n_nodes] = seg
         self.interior_mask = jnp.asarray(m, self.dt)
 
+        # ---- device-array pytree -----------------------------------------
+        # EVERY device array crosses jit boundaries as an ARGUMENT: on this
+        # platform, gathers/scatters with closure-captured (constant) index
+        # operands lower pathologically (~1000x slower, measured in
+        # scripts/kernel_lab.py round 2) and constants are re-staged per
+        # invocation.
+        self.params = {
+            "box_args": tuple((a1, a2) for (_, a1, a2) in self._box_args),
+            "multi_idx": self._multi_idx,
+            "multi_w": self._multi_w,
+            "interior_mask": self.interior_mask,
+            "w_owner": self.w_owner,
+            "S": self.S,
+            "D_col": self.D_col,
+        }
+        if self.has_hanging:
+            self.params.update(
+                mast_idx=self._mast_idx, mast_w=self._mast_w,
+                con_inhom=self._con_inhom,
+                con_copy_idx=self._con_copy_idx,
+                ct_rows=self._ct_rows, ct_tgt=self._ct_tgt,
+                ct_w=self._ct_w,
+            )
+        self._box_nb = tuple(nb for (nb, _, _) in self._box_args)
         self._vmult = jax.jit(self._vmult_traced)
         self._vmult_raw = jax.jit(self._vmult_raw_traced)
 
@@ -315,71 +353,117 @@ class BoxLaplaceOperator:
         return u[self._owner]
 
     # ------------------------------------------------------------------
-    def compress(self, y):
+    def compress_p(self, pr, y):
         """Sum partial contributions across all copies of each shared DoF
         and broadcast the total back — the box-interface analogue of the
         partitioner's compress(add) (SURVEY.md §3.6)."""
-        if self._multi_idx.shape[0] == 0:
+        mi = pr["multi_idx"]
+        if mi.shape[0] == 0:
             return y
-        vals = y[self._multi_idx] * self._multi_w  # (n_multi, Kc)
+        vals = y[mi] * pr["multi_w"]  # (n_multi, Kc)
         tot = jnp.sum(vals, axis=1)
-        flat = self._multi_idx.reshape(-1)
-        return y.at[flat].set(jnp.repeat(tot, self._Kc))
+        return y.at[mi.reshape(-1)].set(jnp.repeat(tot, self._Kc))
 
-    def distribute(self, u, homogeneous: bool = True):
+    def distribute_p(self, pr, u, homogeneous: bool = True):
         """u -> C u on the patch vector (hanging values interpolated)."""
         if not self.has_hanging:
             return u
-        vals = jnp.sum(self._mast_w * u[self._mast_idx], axis=1)
+        vals = jnp.sum(pr["mast_w"] * u[pr["mast_idx"]], axis=1)
         if not homogeneous:
-            vals = vals + self._con_inhom
-        flat = self._con_copy_idx.reshape(-1)
-        rep = jnp.repeat(vals, self._con_copy_idx.shape[1])
-        return u.at[flat].set(rep)
+            vals = vals + pr["con_inhom"]
+        cci = pr["con_copy_idx"]
+        rep = jnp.repeat(vals, cci.shape[1])
+        return u.at[cci.reshape(-1)].set(rep)
 
-    def distribute_transpose(self, y):
+    def distribute_transpose_p(self, pr, y):
         """y -> C^T y: hanging-row values pushed to masters, zeroed."""
         if not self.has_hanging:
             return y
-        yc = y[self._con_copy_idx[:, 0]]  # (ncon,)
-        flat = self._con_copy_idx.reshape(-1)
-        y = y.at[flat].set(jnp.zeros_like(flat, dtype=y.dtype))
-        return y.at[self._ct_tgt].add(self._ct_w * yc[self._ct_rows])
+        cci = pr["con_copy_idx"]
+        yc = y[cci[:, 0]]  # (ncon,)
+        y = y.at[cci.reshape(-1)].set(
+            jnp.zeros(cci.shape[0] * cci.shape[1], dtype=y.dtype))
+        return y.at[pr["ct_tgt"]].add(pr["ct_w"] * yc[pr["ct_rows"]])
 
     # ------------------------------------------------------------------
-    def _vmult_raw_traced(self, u):
+    def _vmult_raw_p(self, pr, u):
+        from tpufem.ops.dense_local import laplace_apply_dense_masked
+
         parts = []
-        for (nb, scale, wb) in self._box_args:
-            b = self.boxes[len(parts)]
+        for i, (arg1, arg2) in enumerate(pr["box_args"]):
+            b = self.boxes[i]
+            nb = self._box_nb[i]
             xb = jax.lax.dynamic_slice_in_dim(u, b.offset, b.n_nodes)
-            yb = laplace_apply_structured(
-                xb, self.dim, nb, self.p, self.S, self.D_col, scale, wb
-            )
+            if self._dense:
+                yb = laplace_apply_dense_masked(
+                    xb, self.dim, nb, self.p, arg1, arg2)
+            else:
+                yb = laplace_apply_structured(
+                    xb, self.dim, nb, self.p, pr["S"], pr["D_col"],
+                    arg1, arg2)
             parts.append(yb)
         y = jnp.concatenate(parts)
-        return self.compress(y)
+        return self.compress_p(pr, y)
 
-    def _vmult_traced(self, x):
-        m = self.interior_mask
-        xh = self.distribute(m * x)
-        y = self._vmult_raw_traced(xh)
-        y = self.distribute_transpose(y)
+    def _vmult_p(self, pr, x):
+        m = pr["interior_mask"]
+        xh = self.distribute_p(pr, m * x)
+        y = self._vmult_raw_p(pr, xh)
+        y = self.distribute_transpose_p(pr, y)
         return m * y + (1.0 - m) * x
 
+    def _vmult_traced(self, pr, x):
+        return self._vmult_p(pr, x)
+
+    def _vmult_raw_traced(self, pr, x):
+        return self._vmult_raw_p(pr, x)
+
+    # public single-call wrappers (params threaded as jit ARGUMENTS)
     def vmult(self, x):
         """Constrained apply y = m C^T A C (m x) + (1-m) x on the patch
         vector (same semantics as LaplaceOperator.vmult)."""
-        return self._vmult(x)
+        return self._vmult(self.params, x)
 
     def vmult_raw(self, x):
         """Raw apply (A x in patch space, copies reconciled)."""
-        return self._vmult_raw(x)
+        return self._vmult_raw(self.params, x)
+
+    def compress(self, y):
+        return self.compress_p(self.params, y)
+
+    def distribute(self, u, homogeneous: bool = True):
+        return self.distribute_p(self.params, u, homogeneous=homogeneous)
+
+    def distribute_transpose(self, y):
+        return self.distribute_transpose_p(self.params, y)
 
     # ------------------------------------------------------------------
     def dot(self, a, b):
         """Owner-weighted dot == global-space dot, fixed reduction order."""
         return jnp.dot(self.w_owner * a, b,
                        precision=jax.lax.Precision.HIGHEST)
+
+    def cg_solve(self, b_patch, diag_patch, x0=None, rtol=1e-10,
+                 maxiter=10000):
+        """Whole Jacobi-CG in patch space as ONE jitted computation with
+        every device array passed as an argument (never closure-captured —
+        see the params note above)."""
+        from tpufem.solvers.cg import cg_solve as _cg
+
+        if not hasattr(self, "_solver"):
+            def solver(pr, w_own, diag, b, x0_, rtol_, maxiter_):
+                dot = lambda a, c: jnp.dot(
+                    w_own * a, c, precision=jax.lax.Precision.HIGHEST)
+                return _cg(
+                    lambda v: self._vmult_p(pr, v), b,
+                    M_inv=lambda r: r / diag, x0=x0_,
+                    rtol=rtol_, maxiter=maxiter_, dot=dot,
+                )
+            self._solver = jax.jit(solver, static_argnums=(5, 6))
+        if x0 is None:
+            x0 = jnp.zeros_like(b_patch)
+        return self._solver(self.params, self.w_owner, diag_patch,
+                            b_patch, x0, rtol, maxiter)
 
     def diagonal(self) -> jnp.ndarray:
         """Patch-space diagonal of the constrained operator (constrained

@@ -83,6 +83,24 @@ def laplace_apply_dense(u, dim: int, ns, p: int, A_local):
     return unblock_all_add(t, dim, ns, p)
 
 
+def laplace_apply_dense_masked(u, dim: int, ns, p: int, A_local,
+                               mask_cells):
+    """Tier-1 apply with an active-cell mask (box tier on adaptive
+    forests, tpufem.ops.boxes): inactive lattice cells contribute zero.
+
+    mask_cells: (ncells,) 0/1 in (cz, cy, cx) x-fastest order.
+    """
+    if isinstance(ns, int):
+        ns = (ns,) * dim
+    t = block_all(u, dim, ns, p)
+    cells, shape = _blocked_to_cells(t, dim)
+    y = jnp.dot(cells, A_local.T, preferred_element_type=cells.dtype,
+                precision=jax.lax.Precision.HIGHEST)
+    y = y * mask_cells[:, None]
+    t = _cells_to_blocked(y, shape, dim)
+    return unblock_all_add(t, dim, ns, p)
+
+
 def build_dense_local_matrix(p, dim, nq1, scale, dtype) -> jnp.ndarray:
     """A = sum_a scale[a] * K_a as a device constant."""
     Ks = reference_stiffness_axes(p, dim, nq1)

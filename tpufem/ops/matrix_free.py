@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Callable, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -32,6 +33,12 @@ from tpufem.fem.mesh import Mesh
 from tpufem.fem.quadrature import Quadrature
 from tpufem.fem.shapes import ShapeInfo
 from tpufem.utils.config import FemConfig
+
+
+@jax.jit
+def _scatter_inc(v_loc, inc):
+    flat = jnp.concatenate([v_loc.reshape(-1), jnp.zeros((1,), v_loc.dtype)])
+    return jnp.sum(flat[inc], axis=1)
 
 
 @dataclasses.dataclass
@@ -70,6 +77,9 @@ class MatrixFree:
     uniform_n: int | None = None  # cells per axis
     struct_scale: Any | None = None  # (dim,) inv_h^2 * det
     struct_w: Any | None = None  # broadcastable quadrature(+coef) weights
+    # curved/general-metric structured data (blocked layout, round 2)
+    struct_invjac: Any | None = None  # ([nz,qz,]ny,qy,nx,qx, d, d)
+    struct_jxw: Any | None = None  # ([nz,qz,]ny,qy,nx,qx)
     # hanging-node constraint application data (None on uniform meshes):
     # the reference's hanging_nodes.cuh resolution, as C / C^T application
     con_dofs: Any | None = None  # (ncon,) int32
@@ -123,12 +133,11 @@ class MatrixFree:
         interior = (~constrained_mask).astype(np.float64)
 
         # resolve scatter scheme; build structured fast-path data if usable
-        structured_ok = (
-            mesh.is_uniform
-            and metric.kind == "cartesian"
-            and si.nq1 == si.n1
-        )
-        dense_ok = structured_ok and coef_q is None
+        # (round 2: general/curved metrics ride the blocked structured path
+        # too — per-qpoint inv_jac/JxW in the blocked layout)
+        structured_ok = mesh.is_uniform and si.nq1 == si.n1
+        cartesian_ok = structured_ok and metric.kind == "cartesian"
+        dense_ok = cartesian_ok and coef_q is None
         scheme = config.scatter
         if scheme == "auto":
             # structured (gather-free blocked cell loop) is the default on
@@ -139,8 +148,7 @@ class MatrixFree:
             scheme = "structured" if structured_ok else "incidence"
         if scheme == "structured" and not structured_ok:
             raise ValueError(
-                "structured scheme needs a uniform Cartesian mesh and "
-                "nq1 == p+1"
+                "structured scheme needs a uniform mesh and nq1 == p+1"
             )
         if scheme in ("dense", "separable") and not dense_ok:
             raise ValueError(
@@ -150,9 +158,37 @@ class MatrixFree:
         uniform_n = None
         struct_scale = None
         struct_w = None
+        struct_invjac = None
+        struct_jxw = None
         dense_A = None
         sep_ops = None
-        if scheme in ("structured", "dense", "separable"):
+        if scheme == "structured" and metric.kind == "general":
+            # curved uniform mesh: per-qpoint metric in the blocked layout
+            uniform_n = int(mesh.U // mesh.sizes[0])
+            n, q1 = uniform_n, config.nq1
+            lat = mesh.origins // int(mesh.sizes[0])
+            canonical = np.zeros(nc, dtype=np.int64)
+            for a in range(d):
+                canonical += lat[:, a] * n**a
+            order = np.argsort(canonical)
+            jxw = metric.jxw
+            if coef_q is not None:
+                jxw = jxw * coef_q
+            # (nc, nq[, d, d]) -> (nz,qz,ny,qy,nx,qx[, d, d])
+            perm = []
+            for i in range(d):
+                perm += [i, d + i]
+
+            def to_blocked(arr):
+                trail = arr.shape[2:]
+                a2 = arr[order].reshape((n,) * d + (q1,) * d + trail)
+                return np.transpose(
+                    a2, perm + list(range(2 * d, 2 * d + len(trail)))
+                )
+
+            struct_invjac = jnp.asarray(to_blocked(metric.inv_jac), dtype)
+            struct_jxw = jnp.asarray(to_blocked(jxw), dtype)
+        elif scheme in ("structured", "dense", "separable"):
             uniform_n = int(mesh.U // mesh.sizes[0])
             inv_h0 = metric.inv_h[0]  # identical for all cells
             struct_scale = jnp.asarray(inv_h0**2 * metric.det[0], dtype)
@@ -253,6 +289,8 @@ class MatrixFree:
             uniform_n=uniform_n,
             struct_scale=struct_scale,
             struct_w=struct_w,
+            struct_invjac=struct_invjac,
+            struct_jxw=struct_jxw,
             con_dofs=con_arrays[0],
             con_masters=con_arrays[1],
             con_weights=con_arrays[2],
@@ -293,12 +331,11 @@ class MatrixFree:
         v_loc: (nc, nn) -> (n_dofs,).  Each DoF gathers its fixed-K padded
         incidence list from the flattened locals and sums — race-free, no
         scatter primitive at all (SURVEY.md §2 parallelism item 4).
+        The incidence map is passed as a jit ARGUMENT — constant-index
+        gathers lower pathologically on this platform (docs/ROOFLINE.md).
         """
-        inc = self._ensure_incidence()
-        flat = jnp.concatenate(
-            [v_loc.reshape(-1), jnp.zeros((1,), v_loc.dtype)]
-        )
-        return jnp.sum(flat[inc], axis=1)
+        inc = jnp.asarray(self._ensure_incidence())
+        return _scatter_inc(v_loc, inc)
 
     def scatter_colored(self, v_loc):
         """distribute_local_to_global, graph-colored scheme: one

@@ -94,6 +94,45 @@ def contract_local(t, M, a: int, dim: int):
     return jnp.moveaxis(out, -1, pos)
 
 
+def laplace_apply_structured_general(
+    u,
+    dim: int,
+    ns,
+    p: int,
+    S,
+    D_col,
+    invjac_blk,  # interleaved ([nz,qz,]ny,qy,nx,qx, d, d) per-qpoint J^-1
+    jxw_blk,  # interleaved ([nz,qz,]ny,qy,nx,qx) JxW (coef folded in)
+):
+    """Gather-free blocked cell loop with a per-quadrature-point metric:
+    curved (transformed) uniform meshes leave the generic incidence path
+    entirely (round-2; reference: the mapping_update_flags general-metric
+    mode of MatrixFreeGpu::reinit, SURVEY.md §3.2).
+
+    Same blocking/contraction structure as the Cartesian variant; the
+    pointwise stage applies the full J^-T (coef JxW) J^-1 rotation:
+      gp[a] = sum_b invJ[b,a] g_ref[b];  gb[b] = sum_a invJ[b,a] jxw gp[a].
+    """
+    if isinstance(ns, int):
+        ns = (ns,) * dim
+    t = block_all(u, dim, ns, p)
+    for a in range(dim):
+        t = contract_local(t, S, a, dim)
+    g = [contract_local(t, D_col, b, dim) for b in range(dim)]
+    gp = [
+        sum(invjac_blk[..., b, a] * g[b] for b in range(dim)) * jxw_blk
+        for a in range(dim)
+    ]
+    acc = None
+    for b in range(dim):
+        gb = sum(invjac_blk[..., b, a] * gp[a] for a in range(dim))
+        gb = contract_local(gb, D_col.T, b, dim)
+        acc = gb if acc is None else acc + gb
+    for a in range(dim):
+        acc = contract_local(acc, S.T, a, dim)
+    return unblock_all_add(acc, dim, ns, p)
+
+
 def laplace_apply_structured(
     u,
     dim: int,
