@@ -127,3 +127,193 @@ int64_t tpufem_build_incidence(const int32_t* cell_dofs, int64_t nc,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Hanging-node FACE constraints on a 2:1-balanced forest — the native
+// form of tpufem.fem.constraints.make_hanging_node_constraints's face
+// loop (hanging_nodes.cuh setup analogue, SURVEY.md §2).  Emits
+// (constrained dof, master dof, weight) triplets in EXACTLY the Python
+// builder's visit order (cells ascending, axis, side, face row), with the
+// same skip rules (coincident coarse node; first-constraint-wins), so the
+// resulting AffineConstraints are bit-for-bit identical.
+//
+// face_nbr:     (nc, dim, 2) int64 — double-size neighbor or -1
+// fine_local:   (dim, 2, nf) int32 — local face-node ids, fine side
+// coarse_local: (dim, 2, nf) int32 — local face-node ids on the neighbor
+// Wt:           (ncfg, nf, nf) double — subface weights per transverse
+//               bits config (cfg = bits0 + 2*bits1)
+// marks:        (n_dofs,) uint8 in/out — already-constrained flags
+// Returns #triplets, or -1 if cap exceeded.
+int64_t tpufem_hanging_face_constraints(
+    const int64_t* origins, const int64_t* sizes, int64_t nc, int32_t dim,
+    const int32_t* cell_dofs, int64_t nn, const int64_t* face_nbr,
+    const int32_t* fine_local, const int32_t* coarse_local,
+    const double* Wt, int64_t nf, uint8_t* marks, int32_t* out_dof,
+    int32_t* out_master, double* out_w, int64_t cap) {
+  const double tol = 1e-14;
+  int64_t n_out = 0;
+  for (int64_t c = 0; c < nc; ++c) {
+    const int64_t s = sizes[c];
+    for (int32_t axis = 0; axis < dim; ++axis) {
+      for (int32_t side = 0; side < 2; ++side) {
+        const int64_t cc = face_nbr[(c * dim + axis) * 2 + side];
+        if (cc < 0) continue;
+        // transverse bits -> weight config
+        int64_t cfg = 0, mult = 1;
+        for (int32_t t = 0; t < dim; ++t) {
+          if (t == axis) continue;
+          const int64_t bit =
+              (origins[c * dim + t] - origins[cc * dim + t]) / s;
+          cfg += bit * mult;
+          mult *= 2;
+        }
+        const int32_t* fl = fine_local + (axis * 2 + side) * nf;
+        const int32_t* cl = coarse_local + (axis * 2 + (1 - side)) * nf;
+        const double* W = Wt + cfg * nf * nf;
+        for (int64_t fi = 0; fi < nf; ++fi) {
+          const int32_t fd = cell_dofs[c * nn + fl[fi]];
+          // count nonzeros; check coincident single-entry case
+          int64_t nz = 0, j_single = -1;
+          for (int64_t j = 0; j < nf; ++j) {
+            if (W[fi * nf + j] > tol || W[fi * nf + j] < -tol) {
+              ++nz;
+              j_single = j;
+            }
+          }
+          if (nz == 1 && cell_dofs[cc * nn + cl[j_single]] == fd) continue;
+          if (marks[fd]) continue;
+          marks[fd] = 1;
+          for (int64_t j = 0; j < nf; ++j) {
+            const double w = W[fi * nf + j];
+            if (w <= tol && w >= -tol) continue;
+            if (n_out >= cap) return -1;
+            out_dof[n_out] = fd;
+            out_master[n_out] = cell_dofs[cc * nn + cl[j]];
+            out_w[n_out] = w;
+            ++n_out;
+          }
+        }
+      }
+    }
+  }
+  return n_out;
+}
+
+// Hanging-node EDGE constraints (3D): fine edges lying on coarse edges
+// without a shared hanging face.  Mirrors the Python edge loop exactly
+// (cells ascending, axis, corner bits, dt probes in (0,-1) order).
+// edge_local: (3, 2, 2, n1) int32 — local edge-node ids per
+//   (axis, b1, b2), ordered along +axis;  Wsub: (2, n1, n1) subface rows.
+int64_t tpufem_hanging_edge_constraints(
+    const int64_t* origins, const int64_t* sizes, int64_t nc, int64_t U,
+    const int32_t* cell_dofs, int64_t nn, const int32_t* edge_local,
+    const double* Wsub, int64_t n1, uint8_t* marks, int32_t* out_dof,
+    int32_t* out_master, double* out_w, int64_t cap) {
+  const int32_t dim = 3;
+  const double tol = 1e-14;
+  // leaves hashed by (size, grid index)
+  struct Key {
+    int64_t s, a, b, c;
+    bool operator==(const Key& o) const {
+      return s == o.s && a == o.a && b == o.b && c == o.c;
+    }
+  };
+  struct KeyHash {
+    size_t operator()(const Key& k) const {
+      uint64_t h = 1469598103934665603ull;
+      for (int64_t v : {k.s, k.a, k.b, k.c}) {
+        h ^= static_cast<uint64_t>(v);
+        h *= 1099511628211ull;
+      }
+      return static_cast<size_t>(h);
+    }
+  };
+  std::unordered_map<Key, int64_t, KeyHash> leaves;
+  leaves.reserve(static_cast<size_t>(nc) * 2);
+  for (int64_t c = 0; c < nc; ++c) {
+    const int64_t s = sizes[c];
+    Key k{s, origins[c * dim] / s, origins[c * dim + 1] / s,
+          origins[c * dim + 2] / s};
+    leaves.emplace(k, c);
+  }
+  int64_t n_out = 0;
+  for (int64_t c = 0; c < nc; ++c) {
+    const int64_t s = sizes[c];
+    const int64_t S = 2 * s;
+    for (int32_t axis = 0; axis < 3; ++axis) {
+      int32_t t1 = -1, t2 = -1;
+      for (int32_t a = 0; a < 3; ++a) {
+        if (a == axis) continue;
+        if (t1 < 0) t1 = a; else t2 = a;
+      }
+      for (int32_t b1 = 0; b1 < 2; ++b1) {
+        for (int32_t b2 = 0; b2 < 2; ++b2) {
+          const int64_t w1 = origins[c * dim + t1] + s * b1;
+          const int64_t w2 = origins[c * dim + t2] + s * b2;
+          const int64_t eo = (origins[c * dim + axis] / S) * S;
+          int64_t found = -1, co_t1 = 0, co_t2 = 0, co_ax = 0;
+          const int64_t dts[2] = {0, -1};
+          for (int32_t i1 = 0; i1 < 2 && found < 0; ++i1) {
+            for (int32_t i2 = 0; i2 < 2 && found < 0; ++i2) {
+              const int64_t ca = w1 + dts[i1] * S;
+              const int64_t cb = w2 + dts[i2] * S;
+              if (ca % S != 0 || cb % S != 0 || ca < 0 || cb < 0) continue;
+              int64_t co[3];
+              co[axis] = eo;
+              co[t1] = ca;
+              co[t2] = cb;
+              if (co[0] < 0 || co[1] < 0 || co[2] < 0) continue;
+              if (co[0] / S >= U / S || co[1] / S >= U / S ||
+                  co[2] / S >= U / S)
+                continue;
+              Key k{S, co[0] / S, co[1] / S, co[2] / S};
+              auto it = leaves.find(k);
+              if (it != leaves.end()) {
+                found = it->second;
+                co_t1 = ca;
+                co_t2 = cb;
+                co_ax = eo;
+              }
+            }
+          }
+          if (found < 0) continue;
+          const int64_t cb1 = (w1 - co_t1) / S;
+          const int64_t cb2 = (w2 - co_t2) / S;
+          const int32_t* F =
+              edge_local + ((axis * 2 + b1) * 2 + b2) * n1;
+          const int32_t* M =
+              edge_local + ((axis * 2 + cb1) * 2 + cb2) * n1;
+          const int64_t sub = (origins[c * dim + axis] - co_ax) / s;
+          const double* W = Wsub + sub * n1 * n1;
+          for (int64_t fi = 0; fi < n1; ++fi) {
+            const int32_t fd = cell_dofs[c * nn + F[fi]];
+            int64_t nz = 0, j_single = -1;
+            for (int64_t j = 0; j < n1; ++j) {
+              if (W[fi * n1 + j] > tol || W[fi * n1 + j] < -tol) {
+                ++nz;
+                j_single = j;
+              }
+            }
+            if (nz == 1 && cell_dofs[found * nn + M[j_single]] == fd)
+              continue;
+            if (marks[fd]) continue;
+            marks[fd] = 1;
+            for (int64_t j = 0; j < n1; ++j) {
+              const double w = W[fi * n1 + j];
+              if (w <= tol && w >= -tol) continue;
+              if (n_out >= cap) return -1;
+              out_dof[n_out] = fd;
+              out_master[n_out] = cell_dofs[found * nn + M[j]];
+              out_w[n_out] = w;
+              ++n_out;
+            }
+          }
+        }
+      }
+    }
+  }
+  return n_out;
+}
+
+}  // extern "C"

@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""On-chip determinism and accuracy checks (run on the real TPU).
+
+BASELINE.json acceptance line: "bitwise-stable CG iteration counts".
+The CG design (fixed-reduction-order dots, whole solve in one
+lax.while_loop — tpufem/solvers/cg.py) makes runs deterministic; this
+script PROVES it on the chip in f32:
+
+  - two runs of the same Jacobi-CG solve must report the SAME iteration
+    count and BITWISE-identical solutions;
+  - same for GMG-CG;
+  - the per-tier apply accuracy classes of docs/ROOFLINE.md are
+    spot-checked against the structured tier.
+
+Exit code 0 = all checks passed; prints one JSON line per check.
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from tpufem.fem.dof_handler import DoFHandler
+    from tpufem.fem.mesh import Mesh
+    from tpufem.operators.laplace import LaplaceOperator
+    from tpufem.ops.matrix_free import MatrixFree
+    from tpufem.solvers.cg import cg_solve, make_jacobi
+    from tpufem.solvers.multigrid import GeometricMultigrid
+    from tpufem.utils.config import FemConfig
+
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    refine = 5 if on_tpu else 3
+    dim, p = 3, 4
+    mesh = Mesh.hyper_cube(dim, refine)
+    dofs = DoFHandler(mesh, p)
+    mf = MatrixFree.build(
+        mesh, dofs,
+        FemConfig(dim=dim, degree=p, dtype="float32",
+                  scatter="separable" if on_tpu else "structured",
+                  use_pallas=on_tpu),
+    )
+    op = LaplaceOperator(mf)
+    diag = op.diagonal()
+    rng = np.random.default_rng(42)
+    mask = np.asarray(mf.interior_mask, np.float64)
+    b = jnp.asarray(mask * rng.standard_normal(dofs.n_dofs), jnp.float32)
+
+    solve = jax.jit(lambda b_: cg_solve(
+        op.vmult, b_, M_inv=make_jacobi(diag), rtol=1e-5))
+    r1 = solve(b)
+    jax.block_until_ready(r1.x)
+    r2 = solve(b)
+    jax.block_until_ready(r2.x)
+    bitwise = bool(jnp.all(r1.x == r2.x))
+    same_iters = int(r1.iterations) == int(r2.iterations)
+    print(json.dumps({
+        "check": "jacobi_cg_run_to_run_determinism",
+        "platform": jax.devices()[0].platform,
+        "n_dofs": dofs.n_dofs, "dtype": "float32",
+        "iterations": [int(r1.iterations), int(r2.iterations)],
+        "bitwise_identical_solutions": bitwise,
+        "pass": bool(bitwise and same_iters),
+    }))
+    assert bitwise and same_iters
+
+    gmg = GeometricMultigrid(dim, p, refine, coarsest_refine=1,
+                             dtype="float32", use_pallas=on_tpu)
+    solve_mg = jax.jit(lambda b_: cg_solve(
+        gmg.fine.op.vmult, b_, M_inv=gmg.preconditioner(), rtol=1e-5))
+    m1 = solve_mg(b)
+    jax.block_until_ready(m1.x)
+    m2 = solve_mg(b)
+    jax.block_until_ready(m2.x)
+    bitwise_mg = bool(jnp.all(m1.x == m2.x))
+    same_mg = int(m1.iterations) == int(m2.iterations)
+    print(json.dumps({
+        "check": "gmg_cg_run_to_run_determinism",
+        "n_dofs": dofs.n_dofs,
+        "iterations": [int(m1.iterations), int(m2.iterations)],
+        "bitwise_identical_solutions": bitwise_mg,
+        "pass": bool(bitwise_mg and same_mg),
+    }))
+    assert bitwise_mg and same_mg
+
+    # per-tier apply accuracy spot check vs the structured tier
+    mf_s = MatrixFree.build(mesh, dofs, FemConfig(
+        dim=dim, degree=p, dtype="float32", scatter="structured"))
+    y_ref = np.asarray(LaplaceOperator(mf_s).vmult_raw(b))
+    y = np.asarray(op.vmult_raw(b))
+    rel = float(np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref))
+    print(json.dumps({
+        "check": "fused_kernel_accuracy_vs_structured",
+        "rel_err": rel, "pass": rel < 1e-6,
+    }))
+    assert rel < 1e-6
+    print("chip_checks: ALL PASSED")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,10 +1,12 @@
 #!/usr/bin/env python
 """Pre-compile the flagship TPU programs into the persistent XLA cache.
 
-First compilation of the 3D Q4 programs takes 5-10 minutes on a small
+First compilation of the 3D Q4 programs takes 5-40 minutes on a small
 host; running this once per container (e.g. at provision time) makes
-bench.py and the solver apps start fast.  Safe to re-run: cache hits are
-no-ops.
+bench.py, chip_checks.py and the solver apps start fast.  Safe to
+re-run: cache hits are no-ops.  Covers (round 2): the fused-kernel apply
+tiers, whole Jacobi-CG and GMG-CG solves at the bench size, and the
+adaptive box-tier solve.
 """
 
 import os
@@ -14,6 +16,17 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def step(name, fn):
+    t0 = time.perf_counter()
+    try:
+        fn()
+        print(f"{name:32s} {time.perf_counter() - t0:7.1f} s", flush=True)
+    except Exception as e:
+        print(f"{name:32s} FAILED: {type(e).__name__}: {e}"[:160],
+              flush=True)
 
 
 def main():
@@ -21,6 +34,7 @@ def main():
     from tpufem.fem.mesh import Mesh
     from tpufem.operators.laplace import LaplaceOperator
     from tpufem.ops.matrix_free import MatrixFree
+    from tpufem.solvers.cg import cg_solve, make_jacobi
     from tpufem.utils.config import FemConfig
 
     on_tpu = jax.devices()[0].platform not in ("cpu",)
@@ -28,18 +42,61 @@ def main():
     mesh = Mesh.hyper_cube(3, refine)
     dofs = DoFHandler(mesh, 4)
     x = jnp.ones(dofs.n_dofs, jnp.float32)
+
+    ops = {}
     for scheme, pallas in (("separable", True), ("separable", False),
                            ("structured", False)):
-        t0 = time.perf_counter()
-        mf = MatrixFree.build(
-            mesh, dofs,
-            FemConfig(dim=3, degree=4, dtype="float32", scatter=scheme,
-                      use_pallas=pallas),
-        )
-        op = LaplaceOperator(mf)
-        jax.block_until_ready(op.vmult_raw(x))
-        print(f"{scheme}{'+pallas' if pallas else '':8}: "
-              f"{time.perf_counter() - t0:6.1f} s", flush=True)
+        name = scheme + ("+pallas" if pallas else "")
+
+        def build(scheme=scheme, pallas=pallas, name=name):
+            mf = MatrixFree.build(
+                mesh, dofs,
+                FemConfig(dim=3, degree=4, dtype="float32",
+                          scatter=scheme, use_pallas=pallas),
+            )
+            op = LaplaceOperator(mf)
+            jax.block_until_ready(op.vmult_raw(x))
+            ops[name] = op
+
+        step(f"apply {name}", build)
+
+    def jacobi():
+        op = ops["separable+pallas" if on_tpu else "structured"]
+        diag = op.diagonal()
+        solve = jax.jit(lambda b_: cg_solve(
+            op.vmult, b_, M_inv=make_jacobi(diag), rtol=1e-5, maxiter=3))
+        jax.block_until_ready(solve(x).x)
+
+    step("jacobi-cg (bench shape)", jacobi)
+
+    def gmg():
+        from tpufem.solvers.multigrid import GeometricMultigrid
+
+        mg = GeometricMultigrid(3, 4, refine, coarsest_refine=1,
+                                dtype="float32", use_pallas=on_tpu)
+        solve = jax.jit(lambda b_: cg_solve(
+            mg.fine.op.vmult, b_, M_inv=mg.preconditioner(), rtol=1e-5,
+            maxiter=2))
+        jax.block_until_ready(solve(x).x)
+
+    step("gmg-cg (bench shape)", gmg)
+
+    def adaptive():
+        from tpufem.apps.bmop import adaptive_mesh
+        from tpufem.fem.constraints import make_hanging_node_constraints
+        from tpufem.ops.boxes import BoxLaplaceOperator
+
+        am = adaptive_mesh(3, 5 if on_tpu else 3, 2)
+        ad = DoFHandler(am, 2)
+        ac = make_hanging_node_constraints(ad)
+        op = BoxLaplaceOperator(am, ad, constraints=ac, dtype="float32")
+        xp = op.to_patch(np.ones(ad.n_dofs))
+        jax.block_until_ready(op.vmult(xp))
+        diag = op.diagonal()
+        jax.block_until_ready(
+            op.cg_solve(xp, diag, rtol=1e-5, maxiter=3).x)
+
+    step("adaptive box solve", adaptive)
 
 
 if __name__ == "__main__":

@@ -119,3 +119,24 @@ def test_solution_continuity_at_hanging_nodes():
     for d, ents in ac.lines.items():
         interp = sum(w * x[m] for m, w in ents)
         assert abs(x[d] - interp) < 1e-9
+
+
+@pytest.mark.parametrize("dim,p", [(2, 2), (2, 3), (3, 1), (3, 2), (3, 4)])
+def test_native_constraints_match_python(dim, p, monkeypatch):
+    """The C++ constraint builder (csrc) must produce bit-for-bit the same
+    AffineConstraints as the Python builder (round-2 native adaptive
+    setup)."""
+    from tpufem.utils import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    mesh = adaptive_mesh(dim, 2, 2 if dim == 2 else 1)
+    dofs = DoFHandler(mesh, p)
+    ac_native = make_hanging_node_constraints(dofs)
+
+    monkeypatch.setenv("TPUFEM_NO_NATIVE", "1")
+    ac_py = make_hanging_node_constraints(dofs)
+    assert len(ac_native.lines) > 0
+    assert sorted(ac_native.lines) == sorted(ac_py.lines)
+    for d in ac_py.lines:
+        assert ac_native.lines[d] == ac_py.lines[d], d

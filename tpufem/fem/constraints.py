@@ -172,6 +172,11 @@ def make_hanging_node_constraints(dofs: DoFHandler) -> AffineConstraints:
 
     C_sub = [subface_interpolation_1d(p, 0), subface_interpolation_1d(p, 1)]
 
+    # ---- native (C++) fast path: identical triplets in identical order ---
+    ac_native = _native_hanging_constraints(dofs, C_sub)
+    if ac_native is not None:
+        return ac_native
+
     def coarse_at(S: int, grid_idx: np.ndarray) -> int | None:
         if S not in by_size:
             return None
@@ -298,3 +303,75 @@ def _edge_dofs(dofs: DoFHandler, cell: int, axis: int, b1: int, b2: int):
     nodes = idx[sel]
     order = np.argsort(I[sel][:, axis], kind="stable")
     return dofs.cell_dofs[cell, nodes[order]]
+
+
+def _native_hanging_constraints(dofs: DoFHandler, C_sub):
+    """Hanging-node constraints via the C++ setup runtime (csrc/), the
+    round-2 native adaptive setup (reference: deal.II's compiled
+    DoFTools::make_hanging_node_constraints doing this work for the
+    reference, SURVEY.md §3.1).  Emits the exact triplets of the Python
+    builder (parity-tested bit-for-bit); returns None when the library is
+    unavailable so the Python path runs instead."""
+    from tpufem.utils.native import (
+        available,
+        coarse_face_neighbors,
+        hanging_edge_constraints,
+        hanging_face_constraints,
+    )
+
+    if not available():
+        return None
+    mesh, p = dofs.mesh, dofs.degree
+    d = mesh.dim
+    n1 = p + 1
+    nf = n1 ** (d - 1)
+
+    face_nbr = coarse_face_neighbors(mesh.origins, mesh.sizes, mesh.U)
+    face_local = np.stack([
+        [dofs.face_local_dofs(a, s) for s in (0, 1)] for a in range(d)
+    ]).astype(np.int32)  # (d, 2, nf)
+    if d == 2:
+        Wt = np.stack([C_sub[0], C_sub[1]])  # cfg = transverse bit
+    else:
+        # cfg = bit_t1 + 2*bit_t2;  weights = kron(C[bit_t2], C[bit_t1])
+        # (t1 fastest — the Python builder's face ordering)
+        Wt = np.stack([
+            np.kron(C_sub[cfg // 2], C_sub[cfg % 2]) for cfg in range(4)
+        ])
+    marks = np.zeros(dofs.n_dofs, dtype=np.uint8)
+    res = hanging_face_constraints(
+        mesh.origins, mesh.sizes, dofs.cell_dofs, face_nbr,
+        face_local, face_local, Wt, marks,
+    )
+    if res is None:
+        return None
+    ac = AffineConstraints(dofs.n_dofs)
+    f_dof, f_mast, f_w = res
+    for i in range(len(f_dof)):
+        ac.add_entry(int(f_dof[i]), int(f_mast[i]), float(f_w[i]))
+
+    if d == 3:
+        idx = np.arange(n1**3)
+        I = np.stack([(idx // n1**a) % n1 for a in range(3)], axis=-1)
+        edge_local = np.zeros((3, 2, 2, n1), dtype=np.int32)
+        for axis in range(3):
+            t1, t2 = [a for a in range(3) if a != axis]
+            for b1 in (0, 1):
+                for b2 in (0, 1):
+                    sel = (I[:, t1] == b1 * p) & (I[:, t2] == b2 * p)
+                    nodes = idx[sel]
+                    order = np.argsort(I[sel][:, axis], kind="stable")
+                    edge_local[axis, b1, b2] = nodes[order]
+        Wsub = np.stack([C_sub[0], C_sub[1]])
+        res_e = hanging_edge_constraints(
+            mesh.origins, mesh.sizes, mesh.U, dofs.cell_dofs,
+            edge_local, Wsub, marks,
+        )
+        if res_e is None:
+            return None
+        e_dof, e_mast, e_w = res_e
+        for i in range(len(e_dof)):
+            ac.add_entry(int(e_dof[i]), int(e_mast[i]), float(e_w[i]))
+
+    ac.close()
+    return ac

@@ -178,3 +178,93 @@ def build_incidence(
     col = np.concatenate([np.arange(c) for c in counts])
     out[sorted_dofs, col] = order.astype(np.int32)
     return out
+
+
+def _setup_constraint_protos(lib):
+    if hasattr(lib, "_tpufem_con_ready"):
+        return
+    lib.tpufem_hanging_face_constraints.restype = ctypes.c_int64
+    lib.tpufem_hanging_face_constraints.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+    ]
+    lib.tpufem_hanging_edge_constraints.restype = ctypes.c_int64
+    lib.tpufem_hanging_edge_constraints.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64,
+    ]
+    lib._tpufem_con_ready = True
+
+
+def hanging_face_constraints(origins, sizes, cell_dofs, face_nbr,
+                             fine_local, coarse_local, Wt, marks):
+    """Native face-constraint triplets; returns (dofs, masters, weights)
+    or None when the library is unavailable (Python fallback applies)."""
+    if not available():
+        return None
+    _setup_constraint_protos(_lib)
+    origins = np.ascontiguousarray(origins, dtype=np.int64)
+    sizes = np.ascontiguousarray(sizes, dtype=np.int64)
+    cell_dofs = np.ascontiguousarray(cell_dofs, dtype=np.int32)
+    face_nbr = np.ascontiguousarray(face_nbr, dtype=np.int64)
+    fine_local = np.ascontiguousarray(fine_local, dtype=np.int32)
+    coarse_local = np.ascontiguousarray(coarse_local, dtype=np.int32)
+    Wt = np.ascontiguousarray(Wt, dtype=np.float64)
+    nc, nn = cell_dofs.shape
+    dim = origins.shape[1]
+    nf = fine_local.shape[-1]
+    cap = max(1024, nc * nf * 4)
+    while True:
+        out_dof = np.empty(cap, dtype=np.int32)
+        out_mast = np.empty(cap, dtype=np.int32)
+        out_w = np.empty(cap, dtype=np.float64)
+        marks_c = np.array(marks, dtype=np.uint8)  # fresh copy: a failed
+        # capacity attempt must not pollute the caller's marks
+        n = _lib.tpufem_hanging_face_constraints(
+            origins.ctypes.data, sizes.ctypes.data, nc, dim,
+            cell_dofs.ctypes.data, nn, face_nbr.ctypes.data,
+            fine_local.ctypes.data, coarse_local.ctypes.data,
+            Wt.ctypes.data, nf, marks_c.ctypes.data,
+            out_dof.ctypes.data, out_mast.ctypes.data, out_w.ctypes.data,
+            cap,
+        )
+        if n >= 0:
+            marks[:] = marks_c
+            return out_dof[:n], out_mast[:n], out_w[:n]
+        cap *= 4
+
+
+def hanging_edge_constraints(origins, sizes, U, cell_dofs, edge_local,
+                             Wsub, marks):
+    """Native 3D edge-constraint triplets (same contract as above)."""
+    if not available():
+        return None
+    _setup_constraint_protos(_lib)
+    origins = np.ascontiguousarray(origins, dtype=np.int64)
+    sizes = np.ascontiguousarray(sizes, dtype=np.int64)
+    cell_dofs = np.ascontiguousarray(cell_dofs, dtype=np.int32)
+    edge_local = np.ascontiguousarray(edge_local, dtype=np.int32)
+    Wsub = np.ascontiguousarray(Wsub, dtype=np.float64)
+    nc, nn = cell_dofs.shape
+    n1 = edge_local.shape[-1]
+    cap = max(1024, nc * n1 * 4)
+    while True:
+        out_dof = np.empty(cap, dtype=np.int32)
+        out_mast = np.empty(cap, dtype=np.int32)
+        out_w = np.empty(cap, dtype=np.float64)
+        marks_c = np.array(marks, dtype=np.uint8)
+        n = _lib.tpufem_hanging_edge_constraints(
+            origins.ctypes.data, sizes.ctypes.data, nc, U,
+            cell_dofs.ctypes.data, nn, edge_local.ctypes.data,
+            Wsub.ctypes.data, n1, marks_c.ctypes.data,
+            out_dof.ctypes.data, out_mast.ctypes.data, out_w.ctypes.data,
+            cap,
+        )
+        if n >= 0:
+            marks[:] = marks_c
+            return out_dof[:n], out_mast[:n], out_w[:n]
+        cap *= 4
