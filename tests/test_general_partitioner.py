@@ -1,0 +1,134 @@
+"""General-mesh partitioner tests: distributed apply/solve on ARBITRARY
+cell partitions — adaptive meshes with hanging nodes — on 8 virtual CPU
+devices (VERDICT r1 item 6: the ``GpuPartitioner`` model, SURVEY.md §2).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpufem.fem.constraints import make_hanging_node_constraints
+from tpufem.fem.dof_handler import DoFHandler
+from tpufem.fem.mesh import Mesh
+from tpufem.operators.laplace import LaplaceOperator
+from tpufem.ops.matrix_free import MatrixFree
+from tpufem.parallel.general import (
+    GeneralDistributedOperator,
+    GeneralPartitioner,
+)
+from tpufem.solvers.cg import cg_solve, make_jacobi
+from tpufem.utils.config import FemConfig
+
+
+def adaptive_setup(dim, p, refine, steps, coefficient=None):
+    mesh = Mesh.hyper_cube(dim, refine)
+    for _ in range(steps):
+        centers = (mesh.origins + mesh.sizes[:, None] * 0.5) / mesh.U
+        mesh = mesh.refine(np.linalg.norm(centers - 0.3, axis=1) < 0.4)
+    dofs = DoFHandler(mesh, p)
+    ac = make_hanging_node_constraints(dofs)
+    mf = MatrixFree.build(
+        mesh,
+        dofs,
+        FemConfig(dim, p, scatter="incidence"),
+        coefficient=coefficient,
+        constraints=ac,
+    )
+    return mesh, dofs, mf
+
+
+def test_roundtrip_and_ownership():
+    _, dofs, mf = adaptive_setup(2, 2, 2, 1)
+    part = GeneralPartitioner.build(mf, 4)
+    # every dof owned exactly once
+    owners = np.concatenate(
+        [part.l2g[s, : part.own_counts[s]] for s in range(4)]
+    )
+    assert len(owners) == dofs.n_dofs
+    assert len(np.unique(owners)) == dofs.n_dofs
+    rng = np.random.default_rng(0)
+    u = rng.standard_normal(dofs.n_dofs)
+    loc = part.to_local(u)
+    # ghosts consistent with owners
+    live = part.l2g >= 0
+    assert np.array_equal(loc[live], u[part.l2g[live]])
+    assert np.array_equal(part.to_global(loc), u)
+
+
+@pytest.mark.parametrize(
+    "dim,p,refine,steps,n_shards",
+    [(2, 2, 2, 1, 4), (2, 3, 2, 1, 8), (3, 2, 1, 1, 8)],
+)
+def test_distributed_adaptive_vmult_matches_single_device(
+    dim, p, refine, steps, n_shards
+):
+    """The reference composes GpuPartitioner with its full operator
+    (SURVEY.md §3.6); hanging-node C/C^T must distribute per shard."""
+    _, dofs, mf = adaptive_setup(dim, p, refine, steps)
+    op = LaplaceOperator(mf)
+    part = GeneralPartitioner.build(mf, n_shards)
+    dop = GeneralDistributedOperator(part)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(dofs.n_dofs)
+    y_ref = np.asarray(op.vmult(jnp.asarray(x)))
+    y_loc = dop.vmult(dop.put_vector(x))
+    y = part.to_global(np.asarray(y_loc))
+    assert np.linalg.norm(y - y_ref) <= 1e-11 * np.linalg.norm(y_ref)
+    # consistency: ghost copies agree with owned values after the apply
+    yl = np.asarray(y_loc)
+    live = part.l2g >= 0
+    assert np.allclose(yl[live], y[part.l2g[live]], rtol=0, atol=1e-12)
+
+
+def test_distributed_adaptive_vmult_variable_coefficient():
+    coef = lambda x: 1.0 + 0.5 * np.sin(3.0 * x[:, 0]) * x[:, 1]
+    _, dofs, mf = adaptive_setup(2, 2, 2, 1, coefficient=coef)
+    op = LaplaceOperator(mf)
+    part = GeneralPartitioner.build(mf, 8)
+    dop = GeneralDistributedOperator(part)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(dofs.n_dofs)
+    y_ref = np.asarray(op.vmult(jnp.asarray(x)))
+    y = part.to_global(np.asarray(dop.vmult(dop.put_vector(x))))
+    assert np.linalg.norm(y - y_ref) <= 1e-11 * np.linalg.norm(y_ref)
+
+
+def test_distributed_adaptive_cg_matches_single_device():
+    """Iteration-count parity: the distributed Jacobi-CG on 8 shards must
+    walk the same trajectory as the single-device solve (f64)."""
+    _, dofs, mf = adaptive_setup(2, 2, 3, 1)
+    op = LaplaceOperator(mf)
+    diag = np.asarray(op.diagonal())
+    rng = np.random.default_rng(3)
+    b = rng.standard_normal(dofs.n_dofs)
+    b = np.asarray(mf.interior_mask) * b  # consistent constrained rhs
+
+    res = cg_solve(
+        op.vmult, jnp.asarray(b), M_inv=make_jacobi(jnp.asarray(diag)),
+        rtol=1e-10, maxiter=500,
+    )
+    part = GeneralPartitioner.build(mf, 8)
+    dop = GeneralDistributedOperator(part)
+    x_d, iters_d, _ = dop.cg_solve(b, diag, rtol=1e-10, maxiter=500)
+
+    assert iters_d == int(res.iterations)
+    x_ref = np.asarray(res.x)
+    assert np.linalg.norm(x_d - x_ref) <= 1e-9 * max(
+        np.linalg.norm(x_ref), 1.0
+    )
+
+
+def test_uniform_mesh_also_works():
+    """The general partitioner subsumes the slab case (any mesh)."""
+    mesh = Mesh.hyper_cube(2, 3)
+    dofs = DoFHandler(mesh, 2)
+    mf = MatrixFree.build(mesh, dofs, FemConfig(2, 2, scatter="incidence"))
+    op = LaplaceOperator(mf)
+    part = GeneralPartitioner.build(mf, 8)
+    dop = GeneralDistributedOperator(part)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(dofs.n_dofs)
+    y_ref = np.asarray(op.vmult(jnp.asarray(x)))
+    y = part.to_global(np.asarray(dop.vmult(dop.put_vector(x))))
+    assert np.linalg.norm(y - y_ref) <= 1e-11 * np.linalg.norm(y_ref)

@@ -1,0 +1,550 @@
+"""General-mesh partitioner: distributed apply/solve on ARBITRARY cell
+partitions — adaptive meshes with hanging nodes included.
+
+Reference analogue: ``GpuPartitioner`` + ``MultiGpuVector`` (SURVEY.md §2
+"Multi-GPU vector + partitioner", §3.6): the reference carries arbitrary
+owned/ghost index lists per device and runs two-phase exchange
+(``update_ghost_values`` / ``compress``) around each cell loop.  The slab
+partitioner (``tpufem.parallel.partitioner``) is the structured fast path;
+this module is the general one.
+
+TPU-native design
+-----------------
+Cells are assigned to shards (default: balanced contiguous blocks in mesh
+cell order).  Each DoF is *owned* by the lowest shard whose cells reference
+it; every other shard referencing it holds a *ghost* slot.  The per-shard
+local vector layout is::
+
+    [ owned (padded to P) | ghosts (padded to G) | 1 zero dump slot ]
+
+identical shapes on every shard, so the distributed vector is one jax.Array
+of shape (n_shards, NL) sharded on axis 0 over a 1-axis
+``jax.sharding.Mesh``; every op below runs inside one ``jax.shard_map``.
+
+- ``update_ghosts``: all_gather of the owned blocks over the shard axis +
+  per-shard gather through a precomputed flat ``ghost_src`` index list
+  (pads ride the appended-zero trick — no masks, no dynamic shapes).
+- ``compress_add``: each shard scatter-adds its ghost partial sums into a
+  (n_shards*P,) contribution vector, one ``psum``, then each shard adds its
+  own slice — deterministic, race-free by construction.
+- dots: per-shard masked sum over owned slots + ``psum`` (fixed tree —
+  bitwise-stable iteration counts).
+
+The local apply is the generic gather → sum-factorized cell kernel →
+incidence scatter pipeline of ``ops/matrix_free.py``, with hanging-node
+C/Cᵀ resolution applied per shard: each shard carries the constraint rows
+for every constrained DoF its cells touch (masters are pulled into the
+ghost set at build time), so Cᵀ of the *partial* sums distributes to local
+master slots and ``compress_add`` completes the global sum — exactly the
+reference's per-device resolve_hanging_nodes + compress composition.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh as DeviceMesh
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tpufem.ops import tensor_ops as tops
+from tpufem.ops.matrix_free import MatrixFree
+from tpufem.solvers.cg import cg_solve
+
+
+def _balanced_contiguous(n_cells: int, n_shards: int) -> np.ndarray:
+    """cell -> shard id, contiguous blocks, sizes differing by <= 1."""
+    bounds = np.linspace(0, n_cells, n_shards + 1).astype(np.int64)
+    owner = np.zeros(n_cells, dtype=np.int32)
+    for s in range(n_shards):
+        owner[bounds[s] : bounds[s + 1]] = s
+    return owner
+
+
+@dataclasses.dataclass(frozen=True)
+class GeneralPartitioner:
+    """Owned/ghost index lists for an arbitrary cell partition + stacked
+    per-shard device data for the distributed generic apply."""
+
+    n_shards: int
+    n_dofs: int
+    P: int  # owned slots per shard (padded)
+    G: int  # ghost slots per shard (padded)
+    NC: int  # cells per shard (padded)
+    axis_name: str
+    dtype: Any
+    dim: int
+    # host (numpy) index data, stacked with leading shard dim
+    l2g: np.ndarray  # (n_shards, NL) int64, -1 pads
+    own_counts: np.ndarray  # (n_shards,)
+    cell_counts: np.ndarray  # (n_shards,)
+    # stacked per-shard device-ready arrays (numpy; converted at use)
+    cell_dofs: np.ndarray  # (n_shards, NC, nn) int32 local slots
+    incidence: np.ndarray  # (n_shards, NL, K) int32 flat positions
+    interior: np.ndarray  # (n_shards, NL)
+    owned_mask: np.ndarray  # (n_shards, NL)
+    ghost_src: np.ndarray  # (n_shards, G) int64 into (n_shards*P,)+pad
+    # constraint rows (hanging nodes), local ids; zero-row pads
+    con_dofs: np.ndarray | None  # (n_shards, CL) int32
+    con_masters: np.ndarray | None  # (n_shards, CL, K) int32
+    con_weights: np.ndarray | None  # (n_shards, CL, K)
+    # metric (cartesian xor general), padded cells are zeroed
+    metric_kind: str
+    inv_h: np.ndarray | None  # (n_shards, NC, d)
+    det: np.ndarray | None  # (n_shards, NC)
+    inv_jac: np.ndarray | None  # (n_shards, NC, nq, d, d)
+    jxw: np.ndarray | None  # (n_shards, NC, nq)
+    coef_q: np.ndarray | None  # (n_shards, NC, nq)
+    # shared small operators
+    S: Any
+    D: Any
+    D_col: Any
+    w_q: Any | None
+
+    @property
+    def NL(self) -> int:
+        return self.P + self.G + 1
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        mf: MatrixFree,
+        n_shards: int,
+        cell_shard: Optional[np.ndarray] = None,
+        axis_name: str = "shard",
+    ) -> "GeneralPartitioner":
+        """Partition a built MatrixFree instance (any mesh — uniform,
+        adaptive with hanging nodes, curved) into per-shard data.
+
+        The reference builds this in ``GpuPartitioner`` from the deal.II
+        triangulation's cell partition (SURVEY.md §2); here the input is
+        the already-flattened matrix-free data, so any cell->shard map
+        works.
+        """
+        from tpufem.utils.native import build_incidence
+
+        cd = np.asarray(mf.dofs.cell_dofs)
+        nc, nn = cd.shape
+        n_dofs = mf.n_dofs
+        d = mf.config.dim
+        if cell_shard is None:
+            cell_shard = _balanced_contiguous(nc, n_shards)
+        cell_shard = np.asarray(cell_shard, dtype=np.int32)
+        assert cell_shard.shape == (nc,)
+
+        # DoF owner = shard of the first cell referencing it (cells sorted
+        # by shard makes this the lowest referencing shard)
+        owner = np.full(n_dofs, -1, dtype=np.int32)
+        order = np.argsort(cell_shard, kind="stable")
+        for c in order[::-1]:
+            owner[cd[c]] = cell_shard[c]
+        assert (owner >= 0).all(), "mesh has DoFs referenced by no cell"
+
+        # referenced set per shard: own cells' dofs + masters of any
+        # constrained dof among them (C/C^T need masters locally)
+        con_rows: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        if mf.has_hanging:
+            cg = np.asarray(mf.con_dofs)
+            mg = np.asarray(mf.con_masters)
+            wg = np.asarray(mf.con_weights)
+            for i, dof in enumerate(cg):
+                con_rows[int(dof)] = (mg[i], wg[i])
+
+        shard_cells = [np.where(cell_shard == s)[0] for s in range(n_shards)]
+        referenced = []
+        for s in range(n_shards):
+            ref = np.unique(cd[shard_cells[s]])
+            if con_rows:
+                extra = [
+                    con_rows[int(g)][0][con_rows[int(g)][1] != 0.0]
+                    for g in ref
+                    if int(g) in con_rows
+                ]
+                if extra:
+                    ref = np.union1d(ref, np.concatenate(extra))
+            referenced.append(ref)
+
+        own_lists = [r[owner[r] == s] for s, r in enumerate(referenced)]
+        ghost_lists = [r[owner[r] != s] for s, r in enumerate(referenced)]
+        Pn = max(len(o) for o in own_lists)
+        Gn = max(max((len(g) for g in ghost_lists), default=0), 1)
+        NCn = max(len(c) for c in shard_cells)
+        NL = Pn + Gn + 1
+        dump = NL - 1
+
+        # position of each dof inside its owner's owned list (for ghost_src)
+        own_pos = np.full(n_dofs, -1, dtype=np.int64)
+        for s, o in enumerate(own_lists):
+            own_pos[o] = s * Pn + np.arange(len(o))
+
+        l2g = np.full((n_shards, NL), -1, dtype=np.int64)
+        g2l = np.full((n_shards, n_dofs), dump, dtype=np.int64)
+        ghost_src = np.full((n_shards, Gn), n_shards * Pn, dtype=np.int64)
+        interior = np.zeros((n_shards, NL), mf.interior_mask.dtype)
+        owned_mask = np.zeros((n_shards, NL), mf.interior_mask.dtype)
+        m_glob = np.asarray(mf.interior_mask)
+        for s in range(n_shards):
+            o, g = own_lists[s], ghost_lists[s]
+            l2g[s, : len(o)] = o
+            l2g[s, Pn : Pn + len(g)] = g
+            g2l[s, o] = np.arange(len(o))
+            g2l[s, g] = Pn + np.arange(len(g))
+            ghost_src[s, : len(g)] = own_pos[g]
+            interior[s, : len(o)] = m_glob[o]
+            interior[s, Pn : Pn + len(g)] = m_glob[g]
+            owned_mask[s, : len(o)] = 1
+
+        # local cell arrays (padded cells -> dump slots, zero metric)
+        cell_dofs_l = np.full((n_shards, NCn, nn), dump, dtype=np.int32)
+        for s, cells in enumerate(shard_cells):
+            cell_dofs_l[s, : len(cells)] = g2l[s][cd[cells]]
+
+        def slice_cells(arr, fill=0.0):
+            if arr is None:
+                return None
+            a = np.asarray(arr)
+            out = np.full((n_shards, NCn) + a.shape[1:], fill, dtype=a.dtype)
+            for s, cells in enumerate(shard_cells):
+                out[s, : len(cells)] = a[cells]
+            return out
+
+        # per-shard incidence over local slots (padded to common K)
+        incs = [
+            build_incidence(cell_dofs_l[s], NL, NCn * nn)
+            for s in range(n_shards)
+        ]
+        K = max(i.shape[1] for i in incs)
+        inc = np.full((n_shards, NL, K), NCn * nn, dtype=np.int32)
+        for s, i in enumerate(incs):
+            inc[s, :, : i.shape[1]] = i
+
+        # local constraint rows: every constrained dof present locally
+        con_dl = con_ml = con_wl = None
+        if con_rows:
+            wdt = np.asarray(mf.con_weights).dtype
+            rows = [
+                [g for g in referenced[s] if int(g) in con_rows]
+                for s in range(n_shards)
+            ]
+            CL = max(max((len(r) for r in rows), default=0), 1)
+            Kc = np.asarray(mf.con_masters).shape[1]
+            con_dl = np.full((n_shards, CL), dump, dtype=np.int32)
+            con_ml = np.full((n_shards, CL, Kc), dump, dtype=np.int32)
+            con_wl = np.zeros((n_shards, CL, Kc), dtype=wdt)
+            for s in range(n_shards):
+                for i, g in enumerate(rows[s]):
+                    mg, wg = con_rows[int(g)]
+                    con_dl[s, i] = g2l[s, int(g)]
+                    live = wg != 0.0
+                    con_ml[s, i, live] = g2l[s][mg[live]]
+                    con_wl[s, i] = wg
+
+        return cls(
+            n_shards=n_shards,
+            n_dofs=n_dofs,
+            P=Pn,
+            G=Gn,
+            NC=NCn,
+            axis_name=axis_name,
+            dtype=jnp.dtype(mf.config.dtype),
+            dim=d,
+            l2g=l2g,
+            own_counts=np.array([len(o) for o in own_lists]),
+            cell_counts=np.array([len(c) for c in shard_cells]),
+            cell_dofs=cell_dofs_l,
+            incidence=inc,
+            interior=interior,
+            owned_mask=owned_mask,
+            ghost_src=ghost_src,
+            con_dofs=con_dl,
+            con_masters=con_ml,
+            con_weights=con_wl,
+            metric_kind=mf.metric_kind,
+            inv_h=slice_cells(mf.inv_h),
+            det=slice_cells(mf.det),
+            inv_jac=slice_cells(mf.inv_jac),
+            jxw=slice_cells(mf.jxw),
+            coef_q=slice_cells(mf.coef_q),
+            S=np.asarray(mf.S),
+            D=np.asarray(mf.D),
+            D_col=None if mf.D_col is None else np.asarray(mf.D_col),
+            w_q=None if mf.w_q is None else np.asarray(mf.w_q),
+        )
+
+    # ------------------------------------------------------------------
+    def device_mesh(self, devices=None) -> DeviceMesh:
+        if devices is None:
+            devices = jax.devices()[: self.n_shards]
+        devices = np.asarray(devices)
+        if devices.size != self.n_shards:
+            raise ValueError(
+                f"need {self.n_shards} devices, have {devices.size}"
+            )
+        return DeviceMesh(devices, (self.axis_name,))
+
+    def sharding(self, mesh: DeviceMesh) -> NamedSharding:
+        return NamedSharding(mesh, P(self.axis_name))
+
+    def to_local(self, u_global: np.ndarray) -> np.ndarray:
+        """(n_dofs,) -> (n_shards, NL) with ghosts imported, pads zero."""
+        u = np.asarray(u_global)
+        out = np.zeros((self.n_shards, self.NL), dtype=u.dtype)
+        live = self.l2g >= 0
+        out[live] = u[self.l2g[live]]
+        return out
+
+    def to_global(self, u_local: np.ndarray) -> np.ndarray:
+        """(n_shards, NL) -> (n_dofs,) from owned slots."""
+        u = np.asarray(u_local)
+        out = np.zeros(self.n_dofs, dtype=u.dtype)
+        for s in range(self.n_shards):
+            n = self.own_counts[s]
+            out[self.l2g[s, :n]] = u[s, :n]
+        return out
+
+
+class GeneralDistributedOperator:
+    """Distributed constrained Laplace vmult + CG over a GeneralPartitioner.
+
+    The reference's multi-GPU vmult composition (SURVEY.md §3.6):
+    update_ghost_values -> per-device cell loop -> compress(add), with
+    hanging-node C/Cᵀ resolved per device.  All collectives ride the
+    1-axis device mesh (ICI on real hardware).
+    """
+
+    def __init__(self, part: GeneralPartitioner, device_mesh=None):
+        self.part = part
+        self.mesh = (
+            device_mesh if device_mesh is not None else part.device_mesh()
+        )
+        self.sharding = part.sharding(self.mesh)
+        p = part
+        dt = p.dtype
+
+        # device-resident stacked arrays (explicit jit arguments — see
+        # docs/ROOFLINE.md on closure-constant index operands)
+        def put(a, cast=None):
+            if a is None:
+                return None
+            arr = jnp.asarray(a if cast is None else a.astype(cast))
+            return jax.device_put(arr, self.sharding)
+
+        self._cell_dofs = put(p.cell_dofs)
+        self._inc = put(p.incidence)
+        self._interior = put(p.interior.astype(dt))
+        self._owned = put(p.owned_mask.astype(dt))
+        self._ghost_src = put(p.ghost_src)
+        self._con = (
+            None
+            if p.con_dofs is None
+            else (
+                put(p.con_dofs),
+                put(p.con_masters),
+                put(p.con_weights.astype(dt)),
+            )
+        )
+        if p.metric_kind == "cartesian":
+            self._met = (put(p.inv_h.astype(dt)), put(p.det.astype(dt)))
+        else:
+            self._met = (put(p.inv_jac.astype(dt)), put(p.jxw.astype(dt)))
+        self._coef = put(None if p.coef_q is None else p.coef_q.astype(dt))
+        self._S = jnp.asarray(p.S.astype(dt))
+        self._D = jnp.asarray(p.D.astype(dt))
+        self._D_col = None if p.D_col is None else jnp.asarray(
+            p.D_col.astype(dt)
+        )
+        self._w_q = None if p.w_q is None else jnp.asarray(p.w_q.astype(dt))
+        self._vmult = None  # built lazily (jit cache)
+
+    # -- shard-local building blocks (called inside shard_map) ---------
+    def _update_ghosts(self, x, ghost_src):
+        p = self.part
+        own = x[: p.P]
+        allg = jax.lax.all_gather(own, p.axis_name, tiled=True)
+        flat = jnp.concatenate([allg, jnp.zeros((1,), x.dtype)])
+        return jnp.concatenate(
+            [own, flat[ghost_src], jnp.zeros((1,), x.dtype)]
+        )
+
+    def _compress_add(self, y, ghost_src):
+        p = self.part
+        contrib = jnp.zeros((p.n_shards * p.P + 1,), y.dtype)
+        contrib = contrib.at[ghost_src].add(y[p.P : p.P + p.G])
+        tot = jax.lax.psum(contrib, p.axis_name)
+        me = jax.lax.axis_index(p.axis_name)
+        own = y[: p.P] + jax.lax.dynamic_slice(tot, (me * p.P,), (p.P,))
+        full = jnp.concatenate(
+            [own, jnp.zeros((p.G + 1,), y.dtype)]
+        )
+        return self._update_ghosts(full, ghost_src)
+
+    def _ddot(self, owned_mask):
+        axis = self.part.axis_name
+
+        def dot(a, b):
+            hp = jax.lax.Precision.HIGHEST
+            local = jnp.dot(a * owned_mask, b, precision=hp)
+            return jax.lax.psum(local, axis)
+
+        return dot
+
+    def _cell_apply(self, u_loc, met, coef):
+        """Per-shard sum-factorized cell kernel (SURVEY.md §3.4)."""
+        d = self.part.dim
+        S, D, D_col, w_q = self._S, self._D, self._D_col, self._w_q
+        if D_col is not None:
+            _, g = tops.eval_gradients_collocation(u_loc, S, D_col, d)
+        else:
+            g = tops.eval_gradients_basis(u_loc, S, D, d)
+        if self.part.metric_kind == "cartesian":
+            inv_h, det = met
+            scale = inv_h**2 * det[:, None]
+            t = g * scale[:, :, None] * w_q[None, None, :]
+            if coef is not None:
+                t = t * coef[:, None, :]
+        else:
+            inv_jac, jxw = met
+            hp = jax.lax.Precision.HIGHEST
+            gp = jnp.einsum("cqba,cbq->caq", inv_jac, g, precision=hp)
+            w = jxw if coef is None else jxw * coef
+            t = jnp.einsum("cqba,caq->cbq", inv_jac, gp * w[:, None, :],
+                           precision=hp)
+        if D_col is not None:
+            return tops.integrate_collocation(None, t, S, D_col, d)
+        return tops.integrate_gradients_basis(t, S, D, d)
+
+    def _local_vmult(self, x, arrays):
+        """Constrained apply on consistent local data -> consistent y."""
+        (cell_dofs, inc, interior, ghost_src, con, met, coef) = arrays
+        m = interior
+        xm = m * x
+        if con is not None:
+            cdofs, cmast, cw = con
+            vals = jnp.sum(cw * xm[cmast], axis=1)
+            xm = xm.at[cdofs].set(vals)
+        u_loc = xm[cell_dofs]
+        v_loc = self._cell_apply(u_loc, met, coef)
+        flat = jnp.concatenate(
+            [v_loc.reshape(-1), jnp.zeros((1,), v_loc.dtype)]
+        )
+        y = jnp.sum(flat[inc], axis=1)
+        if con is not None:
+            cdofs, cmast, cw = con
+            yc = y[cdofs]
+            y = y.at[cdofs].set(0.0)
+            y = y.at[cmast.reshape(-1)].add((cw * yc[:, None]).reshape(-1))
+        y = self._compress_add(y, ghost_src)
+        return m * y + (1.0 - m) * x
+
+    # ------------------------------------------------------------------
+    def _args(self):
+        return (
+            self._cell_dofs,
+            self._inc,
+            self._interior,
+            self._owned,
+            self._ghost_src,
+            self._con,
+            self._met,
+            self._coef,
+        )
+
+    def _build_vmult(self):
+        p = self.part
+        spec = P(p.axis_name)
+        n_static = 5  # cell_dofs, inc, interior, owned, ghost_src
+
+        def body(x, cell_dofs, inc, interior, owned, ghost_src, con, met,
+                 coef):
+            arrays = (
+                cell_dofs[0], inc[0], interior[0], ghost_src[0],
+                None if con is None else tuple(a[0] for a in con),
+                tuple(a[0] for a in met),
+                None if coef is None else coef[0],
+            )
+            return self._local_vmult(x[0], arrays)[None]
+
+        sm = jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(spec,) * 9,
+            out_specs=spec,
+        )
+        return jax.jit(sm)
+
+    def vmult(self, x_local):
+        """(n_shards, NL) consistent sharded vector -> same layout."""
+        if self._vmult is None:
+            self._vmult = self._build_vmult()
+        return self._vmult(
+            x_local,
+            self._cell_dofs,
+            self._inc,
+            self._interior,
+            self._owned,
+            self._ghost_src,
+            self._con,
+            self._met,
+            self._coef,
+        )
+
+    def put_vector(self, u_global) -> jax.Array:
+        loc = self.part.to_local(
+            np.asarray(u_global, dtype=self.part.dtype)
+        )
+        return jax.device_put(jnp.asarray(loc), self.sharding)
+
+    # ------------------------------------------------------------------
+    def cg_solve(self, b_global, diag_global, x0_global=None,
+                 rtol: float = 1e-10, maxiter: int = 10000):
+        """Distributed Jacobi-CG: one jitted shard_map'd while_loop.
+
+        diag_global: diagonal of the constrained operator (use the
+        single-device ``LaplaceOperator.diagonal()`` or any oracle).
+        Returns (x_global, iterations, residual).
+        """
+        p = self.part
+        spec = P(p.axis_name)
+        b_l = self.put_vector(b_global)
+        d_l = self.put_vector(np.asarray(diag_global))
+        x0_l = self.put_vector(
+            np.zeros(p.n_dofs) if x0_global is None else x0_global
+        )
+
+        from tpufem.solvers.cg import CGResult
+
+        def body(b, diag, x0, cell_dofs, inc, interior, owned, ghost_src,
+                 con, met, coef):
+            arrays = (
+                cell_dofs[0], inc[0], interior[0], ghost_src[0],
+                None if con is None else tuple(a[0] for a in con),
+                tuple(a[0] for a in met),
+                None if coef is None else coef[0],
+            )
+            owned0 = owned[0]
+            A = lambda v: self._local_vmult(v, arrays)
+            inv_diag = jnp.where(diag[0] != 0, 1.0 / diag[0], 0.0)
+            res = cg_solve(
+                A, b[0],
+                M_inv=lambda r: inv_diag * r,
+                x0=x0[0], rtol=rtol, maxiter=maxiter,
+                dot=self._ddot(owned0),
+            )
+            return CGResult(res.x[None], res.iterations, res.residual,
+                            res.converged)
+
+        sm = jax.jit(jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(spec,) * 11,
+            out_specs=CGResult(spec, P(), P(), P()),
+        ))
+        res = sm(b_l, d_l, x0_l, self._cell_dofs, self._inc,
+                 self._interior, self._owned, self._ghost_src, self._con,
+                 self._met, self._coef)
+        x_global = p.to_global(np.asarray(res.x))
+        return x_global, int(res.iterations), float(res.residual)
