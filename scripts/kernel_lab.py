@@ -564,6 +564,779 @@ def _kernel_vband(u_hbm, xkm, wm_y, wk_y, wm_z, wk_z, out, scratch, sem,
     out[:] = q1 + q2 + q3
 
 
+# V17: solver-resident halo'd layout.  Input AND output live in the same
+# (size, size, X) layout with an H-row zero halo (H = 8 for DMA sublane
+# alignment, H >= p), so a solver can chain applies with ZERO pad/unpad
+# passes.  The kernel writes its output back into that layout with explicit
+# offset DMAs: boundary tiles extend their write to cover the halo strips
+# (sourced from the zeroed borders of the out scratch), and the last tile
+# row/column masks the tiling overhang (rows beyond npts-1) to zero, so the
+# output's halo/overhang invariant (all zeros) is maintained kernel-side.
+# "bf16" mode computes the K-stacked x matmul as bf16x3 (hi/lo split, three
+# DEFAULT-precision passes instead of f32-HIGHEST's six).
+def _kernel_v17(u_hbm, xkm, wm_y, wk_y, wm_z, wk_z, out, scratch, sem,
+                osc, osem, *, b, L, LY, X, p, H, npts, corr, prec, nt, mode):
+    t = pl.program_id(0)
+    n_grid = nt * nt
+    slot = jax.lax.rem(t, 2)
+    nxt = jax.lax.rem(t + 1, 2)
+    i_last = (npts - 1) % b
+
+    # Alignment rules (Mosaic DMA on (A, B, X) f32 arrays): dim-1 offsets
+    # and extents must be multiples of 8 (sublane tiling), dim-2 is always
+    # full here (lane tiling), dim-0 is unconstrained.  Hence: tight p-row
+    # halo in z (dim 0), 8-aligned H-row halo in y (dim 1) with an aligned
+    # LY = b + 2H read window (data used starts at H - p inside it).
+    def dma_in(sl, tt):
+        return pltpu.make_async_copy(
+            u_hbm.at[pl.ds((tt // nt) * b, L),
+                     pl.ds(jax.lax.rem(tt, nt) * b, LY), :],
+            scratch.at[sl], sem.at[sl])
+
+    @pl.when(t == 0)
+    def _():
+        dma_in(slot, t).start()
+
+    @pl.when(t + 1 < n_grid)
+    def _():
+        dma_in(nxt, t + 1).start()
+
+    # zero the out-scratch borders once; data writes only ever touch the
+    # center [p:p+b, H:H+b], so the borders stay zero and the
+    # boundary-extended copies below source genuine zeros from them.
+    @pl.when(t == 0)
+    def _():
+        osc[0] = jnp.zeros_like(osc[0])
+
+    def out_dma(tt, action):
+        """Start/wait the out copy for tile tt.  9 static geometry
+        classes: {lo, mid, hi} per axis (boundary tiles extend their write
+        over the halo strips, sourcing zeros from the osc borders)."""
+        izz, iyy = tt // nt, jax.lax.rem(tt, nt)
+        zcls = [(izz == 0, 0, 0, p + b),
+                (jnp.logical_and(izz > 0, izz < nt - 1), p, None, b),
+                (izz == nt - 1, p, p + (nt - 1) * b, b + p)]
+        ycls = [(iyy == 0, 0, 0, H + b),
+                (jnp.logical_and(iyy > 0, iyy < nt - 1), H, None, b),
+                (iyy == nt - 1, H, H + (nt - 1) * b, b + H)]
+        for zc, zsrc, zdst, zlen in zcls:
+            for yc, ysrc, ydst, ylen in ycls:
+                zd = p + izz * b if zdst is None else zdst
+                yd = H + iyy * b if ydst is None else ydst
+
+                @pl.when(jnp.logical_and(zc, yc))
+                def _(zsrc=zsrc, zd=zd, zlen=zlen, ysrc=ysrc, yd=yd,
+                      ylen=ylen):
+                    cp = pltpu.make_async_copy(
+                        osc.at[0, pl.ds(zsrc, zlen), pl.ds(ysrc, ylen), :],
+                        out.at[pl.ds(zd, zlen), pl.ds(yd, ylen), :],
+                        osem)
+                    if action == "start":
+                        cp.start()
+                    else:
+                        cp.wait()
+
+    dma_in(slot, t).wait()
+    u = scratch[slot]
+    iz, iy = t // nt, jax.lax.rem(t, nt)
+    nb = 2 * p + 1
+    dy = H - p  # y-axis data offset inside the aligned read window
+
+    if mode == "copy":  # DMA-geometry ablation: no compute at all
+        @pl.when(t >= 1)
+        def _():
+            out_dma(t - 1, "wait")
+
+        osc[0, p : p + b, H : H + b, :] = u[p : p + b, H : H + b, :]
+        out_dma(t, "start")
+
+        @pl.when(t == n_grid - 1)
+        def _():
+            out_dma(t, "wait")
+        return
+
+    def band_z(tt_, w9):
+        acc = None
+        for o in range(nb):
+            c = tt_[o : o + b] * w9[o]
+            acc = c if acc is None else acc + c
+        return acc
+
+    def band_y(tt_, w9):
+        acc = None
+        for o in range(nb):
+            c = tt_[:, dy + o : dy + o + b, :] * w9[o]
+            acc = c if acc is None else acc + c
+        return acc
+
+    (dm0, dk0, dm1, dk1, t_last, i_last_c) = corr
+    ii = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)
+    oh0 = (ii == 0).astype(u.dtype)
+    oh1 = (ii == i_last_c).astype(u.dtype)
+
+    def corr_z(t_in, acc, d0, d1):
+        c0 = jnp.where(iz == 0, d0, 0.0).astype(u.dtype)
+        c1 = jnp.where(iz == t_last, d1, 0.0).astype(u.dtype)
+        return (acc
+                + (c0 * oh0).reshape(b, 1, 1) * t_in[p : p + 1]
+                + (c1 * oh1).reshape(b, 1, 1)
+                * t_in[p + i_last_c : p + i_last_c + 1])
+
+    def corr_y(t_in, acc, d0, d1):
+        c0 = jnp.where(iy == 0, d0, 0.0).astype(u.dtype)
+        c1 = jnp.where(iy == t_last, d1, 0.0).astype(u.dtype)
+        return (acc
+                + (c0 * oh0) * t_in[:, H : H + 1, :]
+                + (c1 * oh1) * t_in[:, H + i_last_c : H + i_last_c + 1, :])
+
+    if mode == "mm":  # ablation: x matmul only, bands skipped
+        uc = u[p : p + b, H : H + b, :]
+        qq = jnp.concatenate([uc, uc], axis=2)
+    else:
+        s = corr_z(u, band_z(u, wm_z), dm0[2], dm1[2])
+        q1 = corr_y(s, band_y(s, wm_y), dm0[1], dm1[1])
+        q2 = corr_y(s, band_y(s, wk_y), dk0[1], dk1[1])
+        tq = corr_z(u, band_z(u, wk_z), dk0[2], dk1[2])
+        q3 = corr_y(tq, band_y(tq, wm_y), dm0[1], dm1[1])
+        qq = jnp.concatenate([q1, q2 + q3], axis=2)  # (b, b, 2X)
+
+    if mode == "bands":  # ablation: bands only, matmul skipped
+        res = q1 + q2 + q3
+    elif mode == "bf16":
+        # bf16x3: a ~= hi + lo exactly in bf16 pairs; drop the lo*lo term
+        qh = qq.astype(jnp.bfloat16)
+        ql = (qq - qh.astype(qq.dtype)).astype(jnp.bfloat16)
+        xh = xkm[:].astype(jnp.bfloat16)
+        xl = (xkm[:] - xh.astype(qq.dtype)).astype(jnp.bfloat16)
+
+        def mm(a, bb):
+            return jax.lax.dot_general(
+                a, bb, dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=qq.dtype,
+                precision=jax.lax.Precision.DEFAULT)
+
+        res = mm(qh, xh) + (mm(qh, xl) + mm(ql, xh))
+    else:
+        res = hp("zyk,ko->zyo", qq, xkm[:], prec)
+
+    # mask the tiling overhang (out rows beyond npts-1) on the last tiles
+    mz = jnp.where(iz == nt - 1,
+                   (ii <= i_last).astype(u.dtype), 1.0).reshape(b, 1, 1)
+    my = jnp.where(iy == nt - 1,
+                   (ii <= i_last).astype(u.dtype), 1.0).reshape(1, b, 1)
+    res = res * mz * my
+
+    # single-buffered out scratch: the previous tile's out copy had this
+    # tile's whole compute time to drain; wait just before overwriting.
+    @pl.when(t >= 1)
+    def _():
+        out_dma(t - 1, "wait")
+
+    osc[0, p : p + b, H : H + b, :] = res
+    out_dma(t, "start")
+
+    @pl.when(t == n_grid - 1)
+    def _():
+        out_dma(t, "wait")
+
+
+def _kernel_v20(u_hbm, xd, xsl, wm_y, wk_y, wm_z, wk_z, out, scratch, sem,
+                osc, osem, *, b, L, LY, X, p, H, npts, corr, prec, nt,
+                mode):
+    """v17 with a BLOCK-BANDED x matmul: the 1D x operators have bandwidth
+    2p+1 << 128, so in 128-lane blocks they are block-tridiagonal with the
+    off-diagonal blocks only p rows thick.  The dense (2X x X) K-stacked
+    matmul becomes 2*(X/128) diagonal (128,128) matmuls plus p-thin sliver
+    matmuls at the block seams — ~2.8x fewer MXU FLOPs at p=4, X=384.
+
+    xd:  (2, nblk, 128, 128) diagonal blocks of [KxT; MxT]
+    xsl: (2, 2*(nblk-1), p, 128) seam slivers (K then M; per seam:
+         left-neighbor then right-neighbor contribution)
+    """
+    t = pl.program_id(0)
+    n_grid = nt * nt
+    slot = jax.lax.rem(t, 2)
+    nxt = jax.lax.rem(t + 1, 2)
+    i_last = (npts - 1) % b
+    nblk = X // 128
+
+    def dma_in(sl, tt):
+        return pltpu.make_async_copy(
+            u_hbm.at[pl.ds((tt // nt) * b, L),
+                     pl.ds(jax.lax.rem(tt, nt) * b, LY), :],
+            scratch.at[sl], sem.at[sl])
+
+    @pl.when(t == 0)
+    def _():
+        dma_in(slot, t).start()
+
+    @pl.when(t + 1 < n_grid)
+    def _():
+        dma_in(nxt, t + 1).start()
+
+    @pl.when(t == 0)
+    def _():
+        osc[0] = jnp.zeros_like(osc[0])
+
+    def out_dma(tt, action):
+        izz, iyy = tt // nt, jax.lax.rem(tt, nt)
+        zcls = [(izz == 0, 0, 0, p + b),
+                (jnp.logical_and(izz > 0, izz < nt - 1), p, None, b),
+                (izz == nt - 1, p, p + (nt - 1) * b, b + p)]
+        ycls = [(iyy == 0, 0, 0, H + b),
+                (jnp.logical_and(iyy > 0, iyy < nt - 1), H, None, b),
+                (iyy == nt - 1, H, H + (nt - 1) * b, b + H)]
+        for zc, zsrc, zdst, zlen in zcls:
+            for yc, ysrc, ydst, ylen in ycls:
+                zd = p + izz * b if zdst is None else zdst
+                yd = H + iyy * b if ydst is None else ydst
+
+                @pl.when(jnp.logical_and(zc, yc))
+                def _(zsrc=zsrc, zd=zd, zlen=zlen, ysrc=ysrc, yd=yd,
+                      ylen=ylen):
+                    cp = pltpu.make_async_copy(
+                        osc.at[0, pl.ds(zsrc, zlen), pl.ds(ysrc, ylen), :],
+                        out.at[pl.ds(zd, zlen), pl.ds(yd, ylen), :],
+                        osem)
+                    if action == "start":
+                        cp.start()
+                    else:
+                        cp.wait()
+
+    dma_in(slot, t).wait()
+    u = scratch[slot]
+    iz, iy = t // nt, jax.lax.rem(t, nt)
+    nb = 2 * p + 1
+    dy = H - p
+
+    def band_z(tt_, w9):
+        acc = None
+        for o in range(nb):
+            c = tt_[o : o + b] * w9[o]
+            acc = c if acc is None else acc + c
+        return acc
+
+    def band_y(tt_, w9):
+        acc = None
+        for o in range(nb):
+            c = tt_[:, dy + o : dy + o + b, :] * w9[o]
+            acc = c if acc is None else acc + c
+        return acc
+
+    (dm0, dk0, dm1, dk1, t_last, i_last_c) = corr
+    ii = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)
+    oh0 = (ii == 0).astype(u.dtype)
+    oh1 = (ii == i_last_c).astype(u.dtype)
+
+    def corr_z(t_in, acc, d0, d1):
+        c0 = jnp.where(iz == 0, d0, 0.0).astype(u.dtype)
+        c1 = jnp.where(iz == t_last, d1, 0.0).astype(u.dtype)
+        return (acc
+                + (c0 * oh0).reshape(b, 1, 1) * t_in[p : p + 1]
+                + (c1 * oh1).reshape(b, 1, 1)
+                * t_in[p + i_last_c : p + i_last_c + 1])
+
+    def corr_y(t_in, acc, d0, d1):
+        c0 = jnp.where(iy == 0, d0, 0.0).astype(u.dtype)
+        c1 = jnp.where(iy == t_last, d1, 0.0).astype(u.dtype)
+        return (acc
+                + (c0 * oh0) * t_in[:, H : H + 1, :]
+                + (c1 * oh1) * t_in[:, H + i_last_c : H + i_last_c + 1, :])
+
+    s = corr_z(u, band_z(u, wm_z), dm0[2], dm1[2])
+    q1 = corr_y(s, band_y(s, wm_y), dm0[1], dm1[1])
+    q2 = corr_y(s, band_y(s, wk_y), dk0[1], dk1[1])
+    tq = corr_z(u, band_z(u, wk_z), dk0[2], dk1[2])
+    q3 = corr_y(tq, band_y(tq, wm_y), dm0[1], dm1[1])
+    q23 = q2 + q3
+
+    def mmx(a, bb, pr):
+        return jax.lax.dot_general(
+            a, bb, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=u.dtype, precision=pr)
+
+    if mode == "bf16":
+        q1h = q1.astype(jnp.bfloat16)
+        q1l = (q1 - q1h.astype(u.dtype)).astype(jnp.bfloat16)
+        q23h = q23.astype(jnp.bfloat16)
+        q23l = (q23 - q23h.astype(u.dtype)).astype(jnp.bfloat16)
+
+        def blockmm(q, qh, ql, wmat):
+            wh = wmat.astype(jnp.bfloat16)
+            wl = (wmat - wh.astype(u.dtype)).astype(jnp.bfloat16)
+            d = jax.lax.Precision.DEFAULT
+            return (mmx(qh, wh, d) + (mmx(qh, wl, d) + mmx(ql, wh, d)))
+    else:
+        def blockmm(q, qh, ql, wmat):
+            return mmx(q, wmat, prec)
+
+    res_blocks = []
+    for j in range(nblk):
+        lo = j * 128
+        acc = blockmm(q1[:, :, lo : lo + 128],
+                      None if mode != "bf16" else q1h[:, :, lo : lo + 128],
+                      None if mode != "bf16" else q1l[:, :, lo : lo + 128],
+                      xd[0, j])
+        acc = acc + blockmm(
+            q23[:, :, lo : lo + 128],
+            None if mode != "bf16" else q23h[:, :, lo : lo + 128],
+            None if mode != "bf16" else q23l[:, :, lo : lo + 128],
+            xd[1, j])
+        # seam slivers (always f32 HIGHEST: K=p matmuls are ~free)
+        if j > 0:  # contribution from the last p lanes of block j-1
+            acc = acc + mmx(q1[:, :, lo - p : lo], xsl[0, 2 * (j - 1), :p],
+                            jax.lax.Precision.HIGHEST)
+            acc = acc + mmx(q23[:, :, lo - p : lo], xsl[1, 2 * (j - 1), :p],
+                            jax.lax.Precision.HIGHEST)
+        if j < nblk - 1:  # contribution from the first p lanes of block j+1
+            hi = lo + 128
+            acc = acc + mmx(q1[:, :, hi : hi + p], xsl[0, 2 * j + 1, :p],
+                            jax.lax.Precision.HIGHEST)
+            acc = acc + mmx(q23[:, :, hi : hi + p], xsl[1, 2 * j + 1, :p],
+                            jax.lax.Precision.HIGHEST)
+        res_blocks.append(acc)
+    res = jnp.concatenate(res_blocks, axis=2)
+
+    mz = jnp.where(iz == nt - 1,
+                   (ii <= i_last).astype(u.dtype), 1.0).reshape(b, 1, 1)
+    my = jnp.where(iy == nt - 1,
+                   (ii <= i_last).astype(u.dtype), 1.0).reshape(1, b, 1)
+    res = res * mz * my
+
+    @pl.when(t >= 1)
+    def _():
+        out_dma(t - 1, "wait")
+
+    osc[0, p : p + b, H : H + b, :] = res
+    out_dma(t, "start")
+
+    @pl.when(t == n_grid - 1)
+    def _():
+        out_dma(t, "wait")
+
+
+def _kernel_v19(u_hbm, xkm, wm_y, wk_y, wm_z, wk_z, out, scratch, sem,
+                osc, osem, qsc, *, b, L, LY, X, p, H, npts, corr, prec, nt,
+                mode):
+    """v17 software-pipelined across grid steps: the VPU band stages of
+    tile t run concurrently with the MXU x-matmul of tile t-1 (qq double-
+    buffered in VMEM), so the two units overlap instead of serializing.
+    The out DMA trails by one tile."""
+    t = pl.program_id(0)
+    n_grid = nt * nt
+    slot = jax.lax.rem(t, 2)
+    nxt = jax.lax.rem(t + 1, 2)
+    i_last = (npts - 1) % b
+
+    def dma_in(sl, tt):
+        return pltpu.make_async_copy(
+            u_hbm.at[pl.ds((tt // nt) * b, L),
+                     pl.ds(jax.lax.rem(tt, nt) * b, LY), :],
+            scratch.at[sl], sem.at[sl])
+
+    @pl.when(t == 0)
+    def _():
+        dma_in(slot, t).start()
+
+    @pl.when(t + 1 < n_grid)
+    def _():
+        dma_in(nxt, t + 1).start()
+
+    @pl.when(t == 0)
+    def _():
+        osc[0] = jnp.zeros_like(osc[0])
+
+    def out_dma(tt, action):
+        izz, iyy = tt // nt, jax.lax.rem(tt, nt)
+        zcls = [(izz == 0, 0, 0, p + b),
+                (jnp.logical_and(izz > 0, izz < nt - 1), p, None, b),
+                (izz == nt - 1, p, p + (nt - 1) * b, b + p)]
+        ycls = [(iyy == 0, 0, 0, H + b),
+                (jnp.logical_and(iyy > 0, iyy < nt - 1), H, None, b),
+                (iyy == nt - 1, H, H + (nt - 1) * b, b + H)]
+        for zc, zsrc, zdst, zlen in zcls:
+            for yc, ysrc, ydst, ylen in ycls:
+                zd = p + izz * b if zdst is None else zdst
+                yd = H + iyy * b if ydst is None else ydst
+
+                @pl.when(jnp.logical_and(zc, yc))
+                def _(zsrc=zsrc, zd=zd, zlen=zlen, ysrc=ysrc, yd=yd,
+                      ylen=ylen):
+                    cp = pltpu.make_async_copy(
+                        osc.at[0, pl.ds(zsrc, zlen), pl.ds(ysrc, ylen), :],
+                        out.at[pl.ds(zd, zlen), pl.ds(yd, ylen), :],
+                        osem)
+                    if action == "start":
+                        cp.start()
+                    else:
+                        cp.wait()
+
+    nb = 2 * p + 1
+    dy = H - p
+    (dm0, dk0, dm1, dk1, t_last, i_last_c) = corr
+    ii = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)
+    oh0 = (ii == 0).astype(xkm.dtype)
+    oh1 = (ii == i_last_c).astype(xkm.dtype)
+
+    def band_z(tt_, w9):
+        acc = None
+        for o in range(nb):
+            c = tt_[o : o + b] * w9[o]
+            acc = c if acc is None else acc + c
+        return acc
+
+    def band_y(tt_, w9):
+        acc = None
+        for o in range(nb):
+            c = tt_[:, dy + o : dy + o + b, :] * w9[o]
+            acc = c if acc is None else acc + c
+        return acc
+
+    def corr_z(tile, t_in, acc, d0, d1):
+        izz = tile // nt
+        c0 = jnp.where(izz == 0, d0, 0.0).astype(t_in.dtype)
+        c1 = jnp.where(izz == t_last, d1, 0.0).astype(t_in.dtype)
+        return (acc
+                + (c0 * oh0).reshape(b, 1, 1) * t_in[p : p + 1]
+                + (c1 * oh1).reshape(b, 1, 1)
+                * t_in[p + i_last_c : p + i_last_c + 1])
+
+    def corr_y(tile, t_in, acc, d0, d1):
+        iyy = jax.lax.rem(tile, nt)
+        c0 = jnp.where(iyy == 0, d0, 0.0).astype(t_in.dtype)
+        c1 = jnp.where(iyy == t_last, d1, 0.0).astype(t_in.dtype)
+        return (acc
+                + (c0 * oh0) * t_in[:, H : H + 1, :]
+                + (c1 * oh1) * t_in[:, H + i_last_c : H + i_last_c + 1, :])
+
+    def bands(tile, u):
+        s = corr_z(tile, u, band_z(u, wm_z), dm0[2], dm1[2])
+        q1 = corr_y(tile, s, band_y(s, wm_y), dm0[1], dm1[1])
+        q2 = corr_y(tile, s, band_y(s, wk_y), dk0[1], dk1[1])
+        tq = corr_z(tile, u, band_z(u, wk_z), dk0[2], dk1[2])
+        q3 = corr_y(tile, tq, band_y(tq, wm_y), dm0[1], dm1[1])
+        return jnp.concatenate([q1, q2 + q3], axis=2)  # (b, b, 2X)
+
+    def mm_store(tile, qq):
+        """x-matmul of the qq buffered for `tile`, write to osc, ship."""
+        if mode == "bf16":
+            qh = qq.astype(jnp.bfloat16)
+            ql = (qq - qh.astype(qq.dtype)).astype(jnp.bfloat16)
+            xh = xkm[:].astype(jnp.bfloat16)
+            xl = (xkm[:] - xh.astype(qq.dtype)).astype(jnp.bfloat16)
+
+            def mmx(a, bb):
+                return jax.lax.dot_general(
+                    a, bb, dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=qq.dtype,
+                    precision=jax.lax.Precision.DEFAULT)
+
+            res = mmx(qh, xh) + (mmx(qh, xl) + mmx(ql, xh))
+        else:
+            res = hp("zyk,ko->zyo", qq, xkm[:], prec)
+        izz = tile // nt
+        iyy = jax.lax.rem(tile, nt)
+        mz = jnp.where(izz == nt - 1,
+                       (ii <= i_last).astype(res.dtype), 1.0).reshape(b, 1, 1)
+        my = jnp.where(iyy == nt - 1,
+                       (ii <= i_last).astype(res.dtype), 1.0).reshape(1, b, 1)
+        res = res * mz * my
+        # single out scratch: the copy for tile-2 had a full pipeline
+        # stage to drain; wait before overwriting.
+        @pl.when(tile >= 1)
+        def _():
+            out_dma(tile - 1, "wait")
+
+        osc[0, p : p + b, H : H + b, :] = res
+        out_dma(tile, "start")
+
+    # ---- pipeline body: issue MXU work for t-1 first (it has no
+    # dependence on this tile's DMA), then the VPU bands for t.
+    # Scratch slot indices are static per branch (dynamic VMEM scratch
+    # indexing crashes this toolchain's Mosaic helper).
+    @pl.when(jnp.logical_and(t >= 1, nxt == 0))
+    def _():
+        mm_store(t - 1, qsc[0])
+
+    @pl.when(jnp.logical_and(t >= 1, nxt == 1))
+    def _():
+        mm_store(t - 1, qsc[1])
+
+    dma_in(slot, t).wait()
+
+    @pl.when(slot == 0)
+    def _():
+        qsc[0] = bands(t, scratch[0])
+
+    @pl.when(slot == 1)
+    def _():
+        qsc[1] = bands(t, scratch[1])
+
+    @pl.when(jnp.logical_and(t == n_grid - 1, slot == 0))
+    def _():
+        mm_store(t, qsc[0])
+        out_dma(t, "wait")
+
+    @pl.when(jnp.logical_and(t == n_grid - 1, slot == 1))
+    def _():
+        mm_store(t, qsc[1])
+        out_dma(t, "wait")
+
+
+def _kernel_v18(u_hbm, xkm, wm_y, wk_y, wm_z, wk_z, out, scratch, sem,
+                osc, osem, *, b, L, LY, X, p, H, npts, corr, prec, nt, mode):
+    """v17 with fused band stages: each z-slice read feeds BOTH the M and
+    K accumulators (halves VPU slice traffic), and the z stage is trimmed
+    to the L y-columns the y stage actually consumes."""
+    t = pl.program_id(0)
+    n_grid = nt * nt
+    slot = jax.lax.rem(t, 2)
+    nxt = jax.lax.rem(t + 1, 2)
+    i_last = (npts - 1) % b
+
+    def dma_in(sl, tt):
+        return pltpu.make_async_copy(
+            u_hbm.at[pl.ds((tt // nt) * b, L),
+                     pl.ds(jax.lax.rem(tt, nt) * b, LY), :],
+            scratch.at[sl], sem.at[sl])
+
+    @pl.when(t == 0)
+    def _():
+        dma_in(slot, t).start()
+
+    @pl.when(t + 1 < n_grid)
+    def _():
+        dma_in(nxt, t + 1).start()
+
+    @pl.when(t == 0)
+    def _():
+        osc[0] = jnp.zeros_like(osc[0])
+
+    def out_dma(tt, action):
+        izz, iyy = tt // nt, jax.lax.rem(tt, nt)
+        zcls = [(izz == 0, 0, 0, p + b),
+                (jnp.logical_and(izz > 0, izz < nt - 1), p, None, b),
+                (izz == nt - 1, p, p + (nt - 1) * b, b + p)]
+        ycls = [(iyy == 0, 0, 0, H + b),
+                (jnp.logical_and(iyy > 0, iyy < nt - 1), H, None, b),
+                (iyy == nt - 1, H, H + (nt - 1) * b, b + H)]
+        for zc, zsrc, zdst, zlen in zcls:
+            for yc, ysrc, ydst, ylen in ycls:
+                zd = p + izz * b if zdst is None else zdst
+                yd = H + iyy * b if ydst is None else ydst
+
+                @pl.when(jnp.logical_and(zc, yc))
+                def _(zsrc=zsrc, zd=zd, zlen=zlen, ysrc=ysrc, yd=yd,
+                      ylen=ylen):
+                    cp = pltpu.make_async_copy(
+                        osc.at[0, pl.ds(zsrc, zlen), pl.ds(ysrc, ylen), :],
+                        out.at[pl.ds(zd, zlen), pl.ds(yd, ylen), :],
+                        osem)
+                    if action == "start":
+                        cp.start()
+                    else:
+                        cp.wait()
+
+    dma_in(slot, t).wait()
+    u = scratch[slot]
+    iz, iy = t // nt, jax.lax.rem(t, nt)
+    nb = 2 * p + 1
+    dy = H - p
+
+    def band_z2(tt_, wa, wb):
+        """One pass over z taps feeding two accumulators; y trimmed to the
+        L columns consumed by the y stage."""
+        acca = accb = None
+        for o in range(nb):
+            sl = tt_[o : o + b, dy : dy + L, :]
+            ca, cb = sl * wa[o], sl * wb[o]
+            acca = ca if acca is None else acca + ca
+            accb = cb if accb is None else accb + cb
+        return acca, accb
+
+    def band_y2(tt_, wa, wb):
+        acca = accb = None
+        for o in range(nb):
+            sl = tt_[:, o : o + b, :]
+            ca = sl * wa[o]
+            acca = ca if acca is None else acca + ca
+            if wb is not None:
+                cb = sl * wb[o]
+                accb = cb if accb is None else accb + cb
+        return acca, accb
+
+    (dm0, dk0, dm1, dk1, t_last, i_last_c) = corr
+    ii = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)
+    oh0 = (ii == 0).astype(u.dtype)
+    oh1 = (ii == i_last_c).astype(u.dtype)
+
+    def corr_z(t_in, acc, d0, d1):
+        c0 = jnp.where(iz == 0, d0, 0.0).astype(u.dtype)
+        c1 = jnp.where(iz == t_last, d1, 0.0).astype(u.dtype)
+        return (acc
+                + (c0 * oh0).reshape(b, 1, 1)
+                * t_in[p : p + 1, dy : dy + L]
+                + (c1 * oh1).reshape(b, 1, 1)
+                * t_in[p + i_last_c : p + i_last_c + 1, dy : dy + L])
+
+    def corr_y(t_in, acc, d0, d1):
+        c0 = jnp.where(iy == 0, d0, 0.0).astype(u.dtype)
+        c1 = jnp.where(iy == t_last, d1, 0.0).astype(u.dtype)
+        return (acc
+                + (c0 * oh0) * t_in[:, p : p + 1, :]
+                + (c1 * oh1) * t_in[:, p + i_last_c : p + i_last_c + 1, :])
+
+    s0, t0_ = band_z2(u, wm_z, wk_z)      # (b, L, X) each, one slice pass
+    s = corr_z(u, s0, dm0[2], dm1[2])
+    tq = corr_z(u, t0_, dk0[2], dk1[2])
+    q1r, q2r = band_y2(s, wm_y, wk_y)     # shared slice reads of s
+    q3r, _ = band_y2(tq, wm_y, None)
+    q1 = corr_y(s, q1r, dm0[1], dm1[1])
+    q2 = corr_y(s, q2r, dk0[1], dk1[1])
+    q3 = corr_y(tq, q3r, dm0[1], dm1[1])
+    qq = jnp.concatenate([q1, q2 + q3], axis=2)  # (b, b, 2X)
+
+    if mode == "bf16":
+        qh = qq.astype(jnp.bfloat16)
+        ql = (qq - qh.astype(qq.dtype)).astype(jnp.bfloat16)
+        xh = xkm[:].astype(jnp.bfloat16)
+        xl = (xkm[:] - xh.astype(qq.dtype)).astype(jnp.bfloat16)
+
+        def mm(a, bb):
+            return jax.lax.dot_general(
+                a, bb, dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=qq.dtype,
+                precision=jax.lax.Precision.DEFAULT)
+
+        res = mm(qh, xh) + (mm(qh, xl) + mm(ql, xh))
+    else:
+        res = hp("zyk,ko->zyo", qq, xkm[:], prec)
+
+    mz = jnp.where(iz == nt - 1,
+                   (ii <= i_last).astype(u.dtype), 1.0).reshape(b, 1, 1)
+    my = jnp.where(iy == nt - 1,
+                   (ii <= i_last).astype(u.dtype), 1.0).reshape(1, b, 1)
+    res = res * mz * my
+
+    @pl.when(t >= 1)
+    def _():
+        out_dma(t - 1, "wait")
+
+    osc[0, p : p + b, H : H + b, :] = res
+    out_dma(t, "start")
+
+    @pl.when(t == n_grid - 1)
+    def _():
+        out_dma(t, "wait")
+
+
+class V17Kernel:
+    """Solver-resident halo'd-layout kernel (see _kernel_v17).
+
+    Layout: (nt*b + 2p, nt*b + 2H, X) with data at [p:p+npts, H:H+npts,
+    :npts] and zeros elsewhere.  __call__ takes/returns flat vectors
+    (pads/unpads, for parity + the legacy protocol); .raw takes/returns
+    the halo'd layout directly — the solver-resident rate.
+    """
+
+    def __init__(self, npts, p, K1, M1, h, b=24, prec="highest",
+                 dtype=jnp.float32, mode="f32", fused=False, kern_name=None):
+        prec = dict(highest=jax.lax.Precision.HIGHEST,
+                    high=jax.lax.Precision.HIGH,
+                    default=jax.lax.Precision.DEFAULT)[prec]
+        H = 8 * max(1, -(-p // 8))
+        lcm = 8 * p // int(np.gcd(8, p))
+        b -= b % lcm
+        b = max(b, lcm)
+        nt = -(-npts // b)
+        if nt < 2:
+            raise ValueError("v17 needs nt >= 2")
+        L = b + 2 * p
+        LY = b + 2 * H
+        X = 128 * (-(-npts // 128))
+        sz = nt * b + 2 * p   # z extent (tight halo; dim-0 unconstrained)
+        sy = nt * b + 2 * H   # y extent (8-aligned halo)
+        self.npts, self.p, self.b, self.nt = npts, p, b, nt
+        self.H, self.L, self.LY, self.X = H, L, LY, X
+        self.sz, self.sy = sz, sy
+        dt = dtype
+        Ks = [np.asarray(K1 / h[a]) for a in range(3)]
+        Ms = [np.asarray(M1 * h[a]) for a in range(3)]
+        i_last = (npts - 1) % b
+        t_last = (npts - 1) // b
+        wm = {a: _periodic_band(Ms[a], p, b) for a in (1, 2)}
+        wk = {a: _periodic_band(Ks[a], p, b) for a in (1, 2)}
+
+        def deficits(M1_):
+            per = _periodic_band(M1_, p, 1)[p, 0]
+            return (M1_[0, 0] - per, M1_[npts - 1, npts - 1] - per)
+
+        corr = ({a: deficits(Ms[a])[0] for a in (1, 2)},
+                {a: deficits(Ks[a])[0] for a in (1, 2)},
+                {a: deficits(Ms[a])[1] for a in (1, 2)},
+                {a: deficits(Ks[a])[1] for a in (1, 2)},
+                t_last, i_last)
+        kfn = {"v17": _kernel_v17, "v18": _kernel_v18, "v19": _kernel_v19,
+               "v20": _kernel_v20}[kern_name or ("v18" if fused else "v17")]
+        band_mats = [jnp.asarray(wm[1][:, :, None], dt),
+                     jnp.asarray(wk[1][:, :, None], dt),
+                     jnp.asarray(wm[2][:, :, None, None], dt),
+                     jnp.asarray(wk[2][:, :, None, None], dt)]
+        if kfn is _kernel_v20:
+            # block-banded x operators: diagonal (128,128) blocks + p-thin
+            # seam slivers of [KxT; MxT]
+            nblk = X // 128
+            KxT = np.zeros((X, X))
+            MxT = np.zeros((X, X))
+            KxT[:npts, :npts] = Ks[0].T
+            MxT[:npts, :npts] = Ms[0].T
+            xd = np.zeros((2, nblk, 128, 128))
+            xsl = np.zeros((2, max(2 * (nblk - 1), 1), p, 128))
+            for oi, W in enumerate((KxT, MxT)):
+                for j in range(nblk):
+                    lo = j * 128
+                    xd[oi, j] = W[lo : lo + 128, lo : lo + 128]
+                for j in range(1, nblk):  # seam j-1|j
+                    lo = j * 128
+                    xsl[oi, 2 * (j - 1)] = W[lo - p : lo, lo : lo + 128]
+                for j in range(nblk - 1):  # seam j|j+1
+                    hi = (j + 1) * 128
+                    xsl[oi, 2 * j + 1] = W[hi : hi + p,
+                                           j * 128 : j * 128 + 128]
+            mats = [jnp.asarray(xd, dt), jnp.asarray(xsl, dt)] + band_mats
+        else:
+            xkm = np.zeros((2 * X, X))
+            xkm[:npts, :npts] = Ks[0].T
+            xkm[X : X + npts, :npts] = Ms[0].T
+            mats = [jnp.asarray(xkm, dt)] + band_mats
+        kern = functools.partial(
+            kfn, b=b, L=L, LY=LY, X=X, p=p, H=H, npts=npts,
+            corr=corr, prec=prec, nt=nt, mode=mode)
+        full = pl.BlockSpec(memory_space=pltpu.VMEM)
+        scratches = [pltpu.VMEM((2, L, LY, X), dt),
+                     pltpu.SemaphoreType.DMA((2,)),
+                     pltpu.VMEM((1, L, LY, X), dt),
+                     pltpu.SemaphoreType.DMA(())]
+        if kfn is _kernel_v19:
+            scratches.append(pltpu.VMEM((2, b, b, 2 * X), dt))
+        pc = pl.pallas_call(
+            kern, grid=(nt * nt,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [full] * len(mats),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((sz, sy, X), dt),
+            scratch_shapes=scratches)
+        self.raw = jax.jit(lambda gp: pc(gp, *mats))
+        self.pad = jax.jit(lambda u: jnp.pad(
+            u.reshape((npts,) * 3),
+            [(p, sz - npts - p), (H, sy - npts - H), (0, X - npts)]))
+        self.unpad = jax.jit(
+            lambda gp: gp[p : p + npts, H : H + npts, :npts].reshape(-1))
+        self._call = jax.jit(lambda u: self.unpad(self.raw(self.pad(u))))
+
+    def __call__(self, u):
+        return self._call(u)
+
+
 # V16: ALL axes banded — x via lane rolls with full-length position tables
 # (exact at boundaries, wraparound killed by the tables' zeros).  No MXU
 # work at all; the whole apply is VPU FMAs + DMA.
@@ -944,13 +1717,24 @@ def main():
                             return ps._raw_call(up)
                     k = _Padded()
                     x_pad = pad_once(x)
+                elif v[:3] in ("v17", "v18", "v19", "v20"):
+                    md = ("bf16" if v.endswith("bf")
+                          else "copy" if "copy" in v
+                          else "bands" if "bands" in v
+                          else "mm" if "mm" in v else "f32")
+                    pr = "high" if v.endswith("h") and md == "f32" \
+                        else "highest"
+                    k = V17Kernel(npts, p, K1, M1, h, b=b, mode=md, prec=pr,
+                                  kern_name=v[:3])
                 else:
                     var, prec = (v.split("-") + ["highest"])[:2]
                     k = LabKernel(var, npts, p, K1, M1, h, b=b, prec=prec)
                 xin = x_pad if v == "v5" else x
                 y = k(xin)
                 y.block_until_ready()
-                if v == "v5" or v.startswith("vx") or v.startswith("vcopy") or v.startswith("vband"):
+                if (v == "v5" or v.startswith("vx") or v.startswith("vcopy")
+                        or v.startswith("vband") or "copy" in v
+                        or "bands" in v or "mm" in v):
                     err = float("nan")  # timing-only variant
                 else:
                     err = np.linalg.norm(np.asarray(y) - y_ref) / nrm
@@ -963,6 +1747,30 @@ def main():
                 results[name] = (dt, gd, err)
                 print(f"{name:18s}  {dt*1e3:8.3f} ms  {gd:7.2f} GDoF/s  "
                       f"rel_err {err:.2e}", flush=True)
+                if hasattr(k, "raw") and "copy" not in v:
+                    # solver-resident rate: halo'd layout in -> halo'd out
+                    gp = k.pad(x)
+                    yr = k.raw(gp)
+                    yr.block_until_ready()
+                    # chainability check: output layout must be directly
+                    # consumable as input (halo/overhang zeros intact)
+                    if "bands" in v or "mm" in v:
+                        cerr = float("nan")  # timing-only ablation
+                    else:
+                        y2 = np.asarray(k.unpad(k.raw(k.raw(gp) * 1e-9)))
+                        y2_ref = np.asarray(ref((ref(x) * 1e-9).astype(
+                            jnp.float32)))
+                        cerr = (np.linalg.norm(y2 - y2_ref)
+                                / max(np.linalg.norm(y2_ref), 1e-30))
+                    t0 = time.perf_counter()
+                    for _ in range(args.reps):
+                        yr = k.raw(gp)
+                    yr.block_until_ready()
+                    dtr = (time.perf_counter() - t0) / args.reps
+                    print(f"{name:18s}  {dtr*1e3:8.3f} ms  "
+                          f"{ndofs/dtr/1e9:7.2f} GDoF/s  [raw resident; "
+                          f"chain rel_err {cerr:.2e}]", flush=True)
+                    results[name + "-raw"] = (dtr, ndofs / dtr / 1e9, err)
             except Exception as e:
                 print(f"{name:18s}  FAILED: {type(e).__name__}: {e}"[:200],
                       flush=True)
