@@ -56,3 +56,94 @@ def test_pallas_matches_assembled_oracle():
     x = rng.standard_normal(dofs.n_dofs)
     y = np.asarray(pk(jnp.asarray(x)))
     assert np.linalg.norm(y - K @ x) / np.linalg.norm(K @ x) < 1e-12
+
+
+# ---------------------------------------------------------------------
+# solver-resident kernel (halo'd layout in/out, VERDICT r1 item 2)
+# ---------------------------------------------------------------------
+from tpufem.ops.pallas_separable import ResidentSeparable  # noqa: E402
+
+
+@pytest.mark.parametrize("p,n,tile", [(2, 8, 8), (4, 4, 8), (3, 8, 24)])
+def test_resident_matches_separable_and_chains(p, n, tile):
+    npts = n * p + 1
+    K1u, M1u = global_1d_matrices(p, n, p + 1)
+    h = 1.0 / n
+    Ks_np = [np.asarray(K1u / h)] * 3
+    Ms_np = [np.asarray(M1u * h)] * 3
+    Ks = [jnp.asarray(K1u / h)] * 3
+    Ms = [jnp.asarray(M1u * h)] * 3
+    rng = np.random.default_rng(0)
+    u = rng.standard_normal(npts**3)
+    ref = lambda v: laplace_apply_separable(v, 3, npts, Ks, Ms)
+    y_ref = np.asarray(ref(jnp.asarray(u)))
+    rk = ResidentSeparable(npts, p, Ks_np, Ms_np, "float64", tile=tile,
+                           interpret=True)
+    y = np.asarray(rk(jnp.asarray(u)))
+    nrm = np.linalg.norm(y_ref)
+    assert np.linalg.norm(y - y_ref) / nrm < 1e-13
+    # chainability: output layout is directly consumable as input —
+    # halo/overhang zeros must be maintained KERNEL-side
+    gp = rk.pad(jnp.asarray(u))
+    y1 = rk.raw(gp)
+    hz = np.asarray(y1).copy()
+    hz[rk.p : rk.p + npts, rk.H : rk.H + npts, :npts] = 0.0
+    assert np.all(hz == 0.0), "halo/overhang not zeroed by the kernel"
+    y2 = np.asarray(rk.unpad(rk.raw(y1)))
+    y2_ref = np.asarray(ref(ref(jnp.asarray(u))))
+    assert np.linalg.norm(y2 - y2_ref) / np.linalg.norm(y2_ref) < 1e-12
+
+
+def test_resident_cg_matches_flat_cg():
+    """Whole solve in the halo'd layout: same iteration count and
+    solution as the flat-vector CG."""
+    from tpufem.fem.dof_handler import DoFHandler
+    from tpufem.fem.mesh import Mesh
+    from tpufem.operators.laplace import LaplaceOperator
+    from tpufem.ops.matrix_free import MatrixFree
+    from tpufem.solvers.cg import cg_solve, make_jacobi
+    from tpufem.solvers.resident import resident_jacobi_cg
+    from tpufem.utils.config import FemConfig
+
+    mesh = Mesh.hyper_cube(3, 4)  # 16 cells/axis -> npts 33, 2 tiles
+    dofs = DoFHandler(mesh, 2)
+    mf = MatrixFree.build(
+        mesh, dofs,
+        FemConfig(3, 2, scatter="separable", use_pallas=True),
+    )
+    assert mf.resident is not None
+    op = LaplaceOperator(mf)
+    diag = op.diagonal()
+    rng = np.random.default_rng(3)
+    mask = np.asarray(mf.interior_mask)
+    b = jnp.asarray(mask * rng.standard_normal(dofs.n_dofs))
+
+    res_flat = cg_solve(op.vmult, b, M_inv=make_jacobi(diag), rtol=1e-8,
+                        maxiter=400)
+    res_r = resident_jacobi_cg(op, b, diag=diag, rtol=1e-8, maxiter=400)
+    assert int(res_r.iterations) == int(res_flat.iterations)
+    xr, xf = np.asarray(res_r.x), np.asarray(res_flat.x)
+    assert np.linalg.norm(xr - xf) <= 1e-8 * max(np.linalg.norm(xf), 1.0)
+
+
+def test_resident_gmg_cg_matches_flat():
+    """Fine-level-resident V-cycle CG: same iterations as the flat path."""
+    from tpufem.fem.dof_handler import DoFHandler
+    from tpufem.fem.mesh import Mesh
+    from tpufem.solvers.cg import cg_solve
+    from tpufem.solvers.multigrid import GeometricMultigrid
+    from tpufem.solvers.resident import resident_gmg_cg
+
+    mg = GeometricMultigrid(3, 2, 4, coarsest_refine=2, use_pallas=True)
+    assert mg.resident_context() is not None
+    dofs = DoFHandler(Mesh.hyper_cube(3, 4), 2)
+    rng = np.random.default_rng(5)
+    mask = np.asarray(mg.fine.mask)
+    b = jnp.asarray(mask * rng.standard_normal(dofs.n_dofs))
+
+    res_flat = cg_solve(mg.fine.op.vmult, b, M_inv=mg.preconditioner(),
+                        rtol=1e-8, maxiter=100)
+    res_r = resident_gmg_cg(mg, b, rtol=1e-8, maxiter=100)
+    assert int(res_r.iterations) == int(res_flat.iterations)
+    xr, xf = np.asarray(res_r.x), np.asarray(res_flat.x)
+    assert np.linalg.norm(xr - xf) <= 1e-8 * max(np.linalg.norm(xf), 1.0)

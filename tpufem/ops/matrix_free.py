@@ -89,6 +89,9 @@ class MatrixFree:
     constraints_obj: Any | None = None  # host AffineConstraints (setup use)
     dense_A: Any | None = None  # (nn, nn) shared local matrix (dense tier)
     sep_ops: Any | None = None  # ([K1_a], [M1_a]) global 1D operators
+    # solver-resident fused kernel (3D separable + use_pallas; halo'd
+    # layout in/out so CG chains applies with zero pad/unpad passes)
+    resident: Any | None = None
 
     # ------------------------------------------------------------------
     @classmethod
@@ -162,6 +165,7 @@ class MatrixFree:
         struct_jxw = None
         dense_A = None
         sep_ops = None
+        resident = None
         if scheme == "structured" and metric.kind == "general":
             # curved uniform mesh: per-qpoint metric in the blocked layout
             uniform_n = int(mesh.U // mesh.sizes[0])
@@ -218,18 +222,30 @@ class MatrixFree:
                     p, d, config.nq1, uniform_n, np.asarray(h), dtype
                 )
                 if config.use_pallas:
-                    from tpufem.ops.pallas_separable import PallasSeparable
+                    from tpufem.ops.pallas_separable import (
+                        PallasSeparable,
+                        ResidentSeparable,
+                    )
 
                     K1u, M1u = global_1d_matrices(p, uniform_n, config.nq1)
                     import jax
 
+                    Ks_np = [np.asarray(K1u / h[a]) for a in range(d)]
+                    Ms_np = [np.asarray(M1u * h[a]) for a in range(d)]
+                    interp = jax.default_backend() == "cpu"
                     sep_ops = sep_ops + (PallasSeparable(
-                        d, uniform_n * p + 1, p,
-                        [np.asarray(K1u / h[a]) for a in range(d)],
-                        [np.asarray(M1u * h[a]) for a in range(d)],
-                        dtype,
-                        interpret=jax.default_backend() == "cpu",
+                        d, uniform_n * p + 1, p, Ks_np, Ms_np, dtype,
+                        interpret=interp,
                     ),)
+                    if d == 3:
+                        try:
+                            kwargs_res = dict(mode=config.pallas_mode,
+                                              interpret=interp)
+                            resident = ResidentSeparable(
+                                uniform_n * p + 1, p, Ks_np, Ms_np,
+                                dtype, **kwargs_res)
+                        except ValueError:
+                            resident = None  # tiling constraints unmet
             if coef_q is not None:
                 n = uniform_n
                 q1 = config.nq1
@@ -298,6 +314,7 @@ class MatrixFree:
             constraints_obj=constraints,
             dense_A=dense_A,
             sep_ops=sep_ops,
+            resident=resident,
             **kwargs,
         )
 

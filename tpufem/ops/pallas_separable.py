@@ -172,6 +172,258 @@ def _kernel(u_hbm, xkm, *args, b, L, X, p, dim, corr, nt, n_grid):
     )
 
 
+def _kernel_resident(u_hbm, xkm, wm_y, wk_y, wm_z, wk_z, out, scratch, sem,
+                     osc, osem, *, b, L, LY, X, p, H, npts, corr, nt, mode):
+    """Solver-resident fused apply (kernel-lab winner "v17", 3D).
+
+    Input AND output live in the same halo'd layout (sz, sy, X) with data
+    at [p:p+npts, H:H+npts, :npts] and zeros elsewhere, so a solver can
+    chain applies with ZERO pad/unpad passes.  The kernel maintains the
+    zero-halo invariant itself: boundary tiles extend their output DMA to
+    overwrite the halo strips with zeros (sourced from the never-written
+    borders of the out scratch) and the last tile row/column masks the
+    tiling overhang.
+
+    Mosaic DMA alignment on (A, B, X) f32 arrays: dim-1 offsets/extents
+    must be 8-multiples (sublane tiling) — hence the 8-aligned H-row halo
+    in y with an aligned LY = b + 2H read window (data starts at H - p
+    inside it) — while dim-0 is unconstrained (tight p-row halo in z) and
+    dim-2 is always full.
+
+    mode "f32": one HIGHEST-precision K-stacked x matmul (~1e-7 rel).
+    mode "bf16": bf16x3 split of the x matmul (hi/lo, lo*lo dropped) —
+    ~25% faster apply at ~3e-6 rel (measured, scripts/kernel_lab.py).
+    """
+    t = pl.program_id(0)
+    n_grid = nt * nt
+    slot = t % 2
+    nxt = (t + 1) % 2
+    i_last = (npts - 1) % b
+
+    def dma_in(sl, tt):
+        return pltpu.make_async_copy(
+            u_hbm.at[pl.ds((tt // nt) * b, L),
+                     pl.ds(tt % nt * b, LY), :],
+            scratch.at[sl], sem.at[sl])
+
+    @pl.when(t == 0)
+    def _():
+        dma_in(slot, t).start()
+
+    @pl.when(t + 1 < n_grid)
+    def _():
+        dma_in(nxt, t + 1).start()
+
+    # zero the out-scratch borders once; compute only ever writes the
+    # center [p:p+b, H:H+b], so the borders stay zero and the
+    # boundary-extended copies below source genuine zeros from them
+    @pl.when(t == 0)
+    def _():
+        osc[0] = jnp.zeros_like(osc[0])
+
+    def out_dma(tt, action):
+        """Start/wait the out copy for tile tt: 9 static geometry classes
+        ({lo, mid, hi} per axis); boundary tiles extend their write over
+        the halo strips."""
+        izz, iyy = tt // nt, tt % nt
+        zcls = [(izz == 0, 0, 0, p + b),
+                (jnp.logical_and(izz > 0, izz < nt - 1), p, None, b),
+                (izz == nt - 1, p, p + (nt - 1) * b, b + p)]
+        ycls = [(iyy == 0, 0, 0, H + b),
+                (jnp.logical_and(iyy > 0, iyy < nt - 1), H, None, b),
+                (iyy == nt - 1, H, H + (nt - 1) * b, b + H)]
+        for zc, zsrc, zdst, zlen in zcls:
+            for yc, ysrc, ydst, ylen in ycls:
+                zd = p + izz * b if zdst is None else zdst
+                yd = H + iyy * b if ydst is None else ydst
+
+                @pl.when(jnp.logical_and(zc, yc))
+                def _(zsrc=zsrc, zd=zd, zlen=zlen, ysrc=ysrc, yd=yd,
+                      ylen=ylen):
+                    cp = pltpu.make_async_copy(
+                        osc.at[0, pl.ds(zsrc, zlen), pl.ds(ysrc, ylen), :],
+                        out.at[pl.ds(zd, zlen), pl.ds(yd, ylen), :],
+                        osem)
+                    if action == "start":
+                        cp.start()
+                    else:
+                        cp.wait()
+
+    dma_in(slot, t).wait()
+    u = scratch[slot]
+    iz, iy = t // nt, t % nt
+    nb = 2 * p + 1
+    dy = H - p  # y-axis data offset inside the aligned read window
+
+    def band_z(tt_, w9):
+        acc = None
+        for o in range(nb):
+            c = tt_[o : o + b] * w9[o]
+            acc = c if acc is None else acc + c
+        return acc
+
+    def band_y(tt_, w9):
+        acc = None
+        for o in range(nb):
+            c = tt_[:, dy + o : dy + o + b, :] * w9[o]
+            acc = c if acc is None else acc + c
+        return acc
+
+    (dm0, dk0, dm1, dk1, t_last, i_last_c) = corr
+    ii = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)
+    oh0 = (ii == 0).astype(u.dtype)
+    oh1 = (ii == i_last_c).astype(u.dtype)
+
+    def corr_z(t_in, acc, d0, d1):
+        c0 = jnp.where(iz == 0, d0, 0.0).astype(u.dtype)
+        c1 = jnp.where(iz == t_last, d1, 0.0).astype(u.dtype)
+        return (acc
+                + (c0 * oh0).reshape(b, 1, 1) * t_in[p : p + 1]
+                + (c1 * oh1).reshape(b, 1, 1)
+                * t_in[p + i_last_c : p + i_last_c + 1])
+
+    def corr_y(t_in, acc, d0, d1):
+        c0 = jnp.where(iy == 0, d0, 0.0).astype(u.dtype)
+        c1 = jnp.where(iy == t_last, d1, 0.0).astype(u.dtype)
+        return (acc
+                + (c0 * oh0) * t_in[:, H : H + 1, :]
+                + (c1 * oh1) * t_in[:, H + i_last_c : H + i_last_c + 1, :])
+
+    s = corr_z(u, band_z(u, wm_z), dm0[2], dm1[2])
+    q1 = corr_y(s, band_y(s, wm_y), dm0[1], dm1[1])
+    q2 = corr_y(s, band_y(s, wk_y), dk0[1], dk1[1])
+    tq = corr_z(u, band_z(u, wk_z), dk0[2], dk1[2])
+    q3 = corr_y(tq, band_y(tq, wm_y), dm0[1], dm1[1])
+    qq = jnp.concatenate([q1, q2 + q3], axis=2)  # (b, b, 2X)
+
+    if mode == "bf16":
+        # bf16x3: a ~= hi + lo exactly in bf16 pairs; lo*lo term dropped
+        qh = qq.astype(jnp.bfloat16)
+        ql = (qq - qh.astype(qq.dtype)).astype(jnp.bfloat16)
+        xh = xkm[:].astype(jnp.bfloat16)
+        xl = (xkm[:] - xh.astype(qq.dtype)).astype(jnp.bfloat16)
+
+        def mm(a, bb):
+            return jax.lax.dot_general(
+                a, bb, dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=qq.dtype,
+                precision=jax.lax.Precision.DEFAULT)
+
+        res = mm(qh, xh) + (mm(qh, xl) + mm(ql, xh))
+    else:
+        res = jax.lax.dot_general(
+            qq, xkm[:], dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=qq.dtype,
+            precision=jax.lax.Precision.HIGHEST)
+
+    # mask the tiling overhang (rows beyond npts-1) on the last tiles
+    mz = jnp.where(iz == nt - 1,
+                   (ii <= i_last).astype(u.dtype), 1.0).reshape(b, 1, 1)
+    my = jnp.where(iy == nt - 1,
+                   (ii <= i_last).astype(u.dtype), 1.0).reshape(1, b, 1)
+    res = res * mz * my
+
+    # single-buffered out scratch: the previous tile's out copy had this
+    # tile's whole compute time to drain; wait just before overwriting
+    @pl.when(t >= 1)
+    def _():
+        out_dma(t - 1, "wait")
+
+    osc[0, p : p + b, H : H + b, :] = res
+    out_dma(t, "start")
+
+    @pl.when(t == n_grid - 1)
+    def _():
+        out_dma(t, "wait")
+
+
+class ResidentSeparable:
+    """Solver-resident fused apply: halo'd layout in, same layout out.
+
+    ``raw`` chains with zero pad/unpad passes — the CG in
+    ``tpufem.solvers.resident`` keeps ALL solver vectors in this layout.
+    Measured on-chip (3D Q4, 17M DoFs): 3.2 ms/apply = 5.3 GDoF/s in bf16
+    mode vs 4.0 ms for the pad/unpad kernel (scripts/kernel_lab.py v17).
+
+    3D only (the 2D flagship is small enough for the plain kernel); raises
+    ValueError when the tiling constraints cannot be met — callers fall
+    back to :class:`PallasSeparable`.
+    """
+
+    def __init__(self, npts, p, Ks_np, Ms_np, dtype, tile=24, mode="f32",
+                 interpret=False):
+        # y-halo must be 8-row aligned (DMA sublane rule) and >= p;
+        # tile must be a multiple of lcm(8, p): % p for the periodic tap
+        # classes, % 8 so tile offsets stay sublane-aligned
+        H = 8 * max(1, -(-p // 8))
+        lcm = 8 * p // int(np.gcd(8, p))
+        b = tile - tile % lcm
+        b = max(b, lcm)
+        nt = -(-npts // b)
+        if nt < 2:
+            raise ValueError("resident kernel needs >= 2 tiles per axis")
+        if b > 32:
+            # empirically b >= 40 exceeds what the Mosaic toolchain
+            # compiles (VMEM budget); p in {5, 7} falls back
+            raise ValueError(f"tile {b} too large for the VMEM budget")
+        L = b + 2 * p
+        LY = b + 2 * H
+        X = npts if interpret else 128 * (-(-npts // 128))
+        sz = nt * b + 2 * p
+        sy = nt * b + 2 * H
+        self.npts, self.p, self.b, self.nt = npts, p, b, nt
+        self.H, self.L, self.LY, self.X = H, L, LY, X
+        self.sz, self.sy = sz, sy
+        self.mode = mode
+        dt = jnp.dtype(dtype)
+        self.dt = dt
+
+        Ks = [np.asarray(K) for K in Ks_np]
+        Ms = [np.asarray(M) for M in Ms_np]
+        i_last = (npts - 1) % b
+        t_last = (npts - 1) // b
+        wm = {a: _periodic_band(Ms[a], p, b) for a in (1, 2)}
+        wk = {a: _periodic_band(Ks[a], p, b) for a in (1, 2)}
+        corr = ({a: _deficits(Ms[a], p)[0] for a in (1, 2)},
+                {a: _deficits(Ks[a], p)[0] for a in (1, 2)},
+                {a: _deficits(Ms[a], p)[1] for a in (1, 2)},
+                {a: _deficits(Ks[a], p)[1] for a in (1, 2)},
+                t_last, i_last)
+        xkm = np.zeros((2 * X, X))
+        xkm[:npts, :npts] = Ks[0].T
+        xkm[X : X + npts, :npts] = Ms[0].T
+        mats = [jnp.asarray(xkm, dt),
+                jnp.asarray(wm[1][:, :, None], dt),
+                jnp.asarray(wk[1][:, :, None], dt),
+                jnp.asarray(wm[2][:, :, None, None], dt),
+                jnp.asarray(wk[2][:, :, None, None], dt)]
+        kern = functools.partial(
+            _kernel_resident, b=b, L=L, LY=LY, X=X, p=p, H=H, npts=npts,
+            corr=corr, nt=nt, mode=mode)
+        full = pl.BlockSpec(memory_space=pltpu.VMEM)
+        pc = pl.pallas_call(
+            kern, grid=(nt * nt,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [full] * 5,
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((sz, sy, X), dt),
+            scratch_shapes=[pltpu.VMEM((2, L, LY, X), dt),
+                            pltpu.SemaphoreType.DMA((2,)),
+                            pltpu.VMEM((1, L, LY, X), dt),
+                            pltpu.SemaphoreType.DMA(())],
+            interpret=interpret)
+        self.raw = lambda gp: pc(gp, *mats)
+        self._raw_jit = jax.jit(self.raw)
+        self.pad = jax.jit(lambda u: jnp.pad(
+            u.reshape((npts,) * 3),
+            [(p, sz - npts - p), (H, sy - npts - H), (0, X - npts)]))
+        self.unpad = jax.jit(
+            lambda gp: gp[p : p + npts, H : H + npts, :npts].reshape(-1))
+        self._call = jax.jit(lambda u: self.unpad(self.raw(self.pad(u))))
+
+    def __call__(self, u):
+        return self._call(u)
+
+
 class PallasSeparable:
     """Compiled fused apply for one (dim, npts, p, dtype, tile) shape."""
 

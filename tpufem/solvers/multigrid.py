@@ -202,3 +202,39 @@ class GeometricMultigrid:
     @property
     def fine(self) -> MGLevel:
         return self.levels[-1]
+
+    # ------------------------------------------------------------------
+    def resident_context(self):
+        """Fine-level solver-resident V-cycle: (A, M_inv, kernel, mask).
+
+        The fine level dominates the V-cycle cost (~10 fine applies per
+        preconditioned CG iteration: 2 Chebyshev smooths + residual +
+        the outer CG vmult), so its applies run in the Pallas kernel's
+        halo'd layout with zero pad/unpad (``solvers/resident.py``);
+        coarser levels (8x smaller each) keep the flat path, with ONE
+        unpad before restriction and ONE pad after prolongation per
+        cycle.  Returns None when the fine level has no resident kernel
+        (non-3D, degree with incompatible tiling, or use_pallas=False).
+        """
+        fine = self.levels[-1]
+        rk = fine.mf.resident
+        L = len(self.levels) - 1
+        if rk is None or L == 0:
+            return None
+        m = rk.pad(jnp.asarray(fine.mask, rk.dt))
+        inv_diag_res = rk.pad(jnp.asarray(fine.inv_diag, rk.dt))
+
+        def A(gp):
+            return m * rk.raw(m * gp) + (1.0 - m) * gp
+
+        def m_inv(b_res):
+            b_res = m * b_res
+            x = chebyshev_smooth(A, inv_diag_res, fine.cheb, b_res)
+            r = m * (b_res - A(x))
+            rc = self.levels[L - 1].mask * self.restrict(L, rk.unpad(r))
+            xc = self._cycle(L - 1, rc)
+            x = x + m * rk.pad(self.prolongate(L, xc))
+            return chebyshev_smooth(A, inv_diag_res, fine.cheb, b_res,
+                                    x0=x)
+
+        return A, m_inv, rk, m

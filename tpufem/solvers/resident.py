@@ -1,0 +1,97 @@
+"""Solver-resident CG: all solver vectors live in the Pallas kernel's
+halo'd layout, so every apply skips the pad/unpad passes.
+
+Round-1 measured 1.33 ms/apply of pure pad/unpad traffic on the flagship
+(docs/ROOFLINE.md "Next levers" #1); this module removes it.  The
+constraint mask algebra of ``operators/laplace.py`` (y = m·A(m·x) +
+(1-m)·x — the reference's constraint save/zero/restore around cell_loop,
+SURVEY.md §3.4) is applied directly in the halo'd space: masks pad with
+zeros, so the kernel's zero-halo invariant is preserved through every CG
+update and the applies chain bit-exactly (chain parity asserted in
+tests/test_pallas.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tpufem.solvers.cg import CGResult, cg_solve
+
+
+def _dot3(a, b):
+    """Deterministic full-array dot; halo/pad entries are zero by the
+    layout invariant so they contribute nothing."""
+    return jnp.dot(a.reshape(-1), b.reshape(-1),
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def resident_jacobi_cg(
+    op,
+    b,
+    diag=None,
+    rtol: float = 1e-5,
+    maxiter: int = 10000,
+    x0=None,
+):
+    """Jacobi-preconditioned CG with solver-resident vectors.
+
+    op: a ``LaplaceOperator`` whose MatrixFree carries a resident kernel
+    (3D separable + use_pallas).  b/diag/x0 are flat (n_dofs,) vectors;
+    the returned CGResult.x is flat again (one pad per input, one unpad
+    at the end — everything in between stays in the halo'd layout).
+    """
+    rk = op.mf.resident
+    if rk is None:
+        raise ValueError(
+            "operator has no resident kernel (needs 3D separable scheme "
+            "with use_pallas=True and a tiling-compatible degree)"
+        )
+    m = rk.pad(jnp.asarray(op.mf.interior_mask, rk.dt))
+    bp = rk.pad(jnp.asarray(b, rk.dt))
+    inv_diag = rk.pad(1.0 / jnp.asarray(
+        diag if diag is not None else op.diagonal(), rk.dt))
+    x0p = None if x0 is None else rk.pad(jnp.asarray(x0, rk.dt))
+
+    def A(gp):
+        return m * rk.raw(m * gp) + (1.0 - m) * gp
+
+    def solve(bp_, x0_):
+        return cg_solve(
+            A, bp_, M_inv=lambda r: inv_diag * r, x0=x0_,
+            rtol=rtol, maxiter=maxiter, dot=_dot3,
+        )
+
+    res = jax.jit(solve)(bp, x0p)
+    return CGResult(rk.unpad(res.x), res.iterations, res.residual,
+                    res.converged)
+
+
+def resident_gmg_cg(
+    mg,
+    b,
+    rtol: float = 1e-5,
+    maxiter: int = 10000,
+):
+    """GMG-preconditioned CG with the fine level solver-resident.
+
+    mg: a ``GeometricMultigrid`` whose fine level carries a resident
+    kernel (``mg.resident_context()`` non-None).  b is flat (n_dofs,);
+    the result is flat again.
+    """
+    ctx = mg.resident_context()
+    if ctx is None:
+        raise ValueError(
+            "multigrid fine level has no resident kernel (needs 3D "
+            "use_pallas=True with a tiling-compatible degree)"
+        )
+    A, m_inv, rk, _ = ctx
+    bp = rk.pad(jnp.asarray(b, rk.dt))
+
+    def solve(bp_):
+        return cg_solve(A, bp_, M_inv=m_inv, rtol=rtol, maxiter=maxiter,
+                        dot=_dot3)
+
+    res = jax.jit(solve)(bp)
+    return CGResult(rk.unpad(res.x), res.iterations, res.residual,
+                    res.converged)
