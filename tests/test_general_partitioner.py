@@ -132,3 +132,41 @@ def test_uniform_mesh_also_works():
     y_ref = np.asarray(op.vmult(jnp.asarray(x)))
     y = part.to_global(np.asarray(dop.vmult(dop.put_vector(x))))
     assert np.linalg.norm(y - y_ref) <= 1e-11 * np.linalg.norm(y_ref)
+
+
+@pytest.mark.parametrize("exchange", ["gather", "a2a"])
+def test_exchange_schemes_match(exchange):
+    """The pairwise all_to_all exchange (ICI path) must match the
+    all_gather import bit-for-bit."""
+    _, dofs, mf = adaptive_setup(2, 2, 2, 1)
+    op = LaplaceOperator(mf)
+    part = GeneralPartitioner.build(mf, 8)
+    dop = GeneralDistributedOperator(part, exchange=exchange)
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal(dofs.n_dofs)
+    y_ref = np.asarray(op.vmult(jnp.asarray(x)))
+    y_loc = dop.vmult(dop.put_vector(x))
+    y = part.to_global(np.asarray(y_loc))
+    assert np.linalg.norm(y - y_ref) <= 1e-11 * np.linalg.norm(y_ref)
+    # consistency of ghost copies after the apply
+    yl = np.asarray(y_loc)
+    live = part.l2g >= 0
+    assert np.allclose(yl[live], y[part.l2g[live]], rtol=0, atol=1e-12)
+
+
+def test_a2a_cg_matches_single_device():
+    _, dofs, mf = adaptive_setup(2, 2, 3, 1)
+    op = LaplaceOperator(mf)
+    diag = np.asarray(op.diagonal())
+    rng = np.random.default_rng(7)
+    b = np.asarray(mf.interior_mask) * rng.standard_normal(dofs.n_dofs)
+    res = cg_solve(
+        op.vmult, jnp.asarray(b), M_inv=make_jacobi(jnp.asarray(diag)),
+        rtol=1e-10, maxiter=500,
+    )
+    part = GeneralPartitioner.build(mf, 8)
+    dop = GeneralDistributedOperator(part, exchange="a2a")
+    x_d, iters_d, _ = dop.cg_solve(b, diag, rtol=1e-10, maxiter=500)
+    assert iters_d == int(res.iterations)
+    x_ref = np.asarray(res.x)
+    assert np.linalg.norm(x_d - x_ref) <= 1e-9 * np.linalg.norm(x_ref)

@@ -87,6 +87,10 @@ class GeneralPartitioner:
     interior: np.ndarray  # (n_shards, NL)
     owned_mask: np.ndarray  # (n_shards, NL)
     ghost_src: np.ndarray  # (n_shards, G) int64 into (n_shards*P,)+pad
+    # pairwise exchange plan (all_to_all path): for each ordered shard
+    # pair, padded local-position lists (pads -> the dump slot)
+    pair_send: np.ndarray  # (n_shards, n_shards, M) int32 owned positions
+    pair_recv: np.ndarray  # (n_shards, n_shards, M) int32 ghost slots
     # constraint rows (hanging nodes), local ids; zero-row pads
     con_dofs: np.ndarray | None  # (n_shards, CL) int32
     con_masters: np.ndarray | None  # (n_shards, CL, K) int32
@@ -178,8 +182,10 @@ class GeneralPartitioner:
 
         # position of each dof inside its owner's owned list (for ghost_src)
         own_pos = np.full(n_dofs, -1, dtype=np.int64)
+        own_pos_local = np.full(n_dofs, -1, dtype=np.int64)
         for s, o in enumerate(own_lists):
             own_pos[o] = s * Pn + np.arange(len(o))
+            own_pos_local[o] = np.arange(len(o))
 
         l2g = np.full((n_shards, NL), -1, dtype=np.int64)
         g2l = np.full((n_shards, n_dofs), dump, dtype=np.int64)
@@ -197,6 +203,25 @@ class GeneralPartitioner:
             interior[s, : len(o)] = m_glob[o]
             interior[s, Pn : Pn + len(g)] = m_glob[g]
             owned_mask[s, : len(o)] = 1
+
+        # pairwise exchange plan: for each (owner q -> shard s) pair, the
+        # owned positions q sends and the ghost slots s writes, padded to
+        # the max pair count (pads route through the zero dump slot)
+        pair_counts = np.zeros((n_shards, n_shards), dtype=np.int64)
+        for s in range(n_shards):
+            q_of = owner[ghost_lists[s]]
+            for q in range(n_shards):
+                pair_counts[q, s] = int(np.sum(q_of == q))
+        M = max(int(pair_counts.max()), 1)
+        pair_send = np.full((n_shards, n_shards, M), dump, dtype=np.int32)
+        pair_recv = np.full((n_shards, n_shards, M), dump, dtype=np.int32)
+        for s in range(n_shards):
+            g = ghost_lists[s]
+            q_of = owner[g]
+            for q in range(n_shards):
+                sel = np.where(q_of == q)[0]
+                pair_send[q, s, : len(sel)] = own_pos_local[g[sel]]
+                pair_recv[s, q, : len(sel)] = Pn + sel
 
         # local cell arrays (padded cells -> dump slots, zero metric)
         cell_dofs_l = np.full((n_shards, NCn, nn), dump, dtype=np.int32)
@@ -260,6 +285,8 @@ class GeneralPartitioner:
             interior=interior,
             owned_mask=owned_mask,
             ghost_src=ghost_src,
+            pair_send=pair_send,
+            pair_recv=pair_recv,
             con_dofs=con_dl,
             con_masters=con_ml,
             con_weights=con_wl,
@@ -316,7 +343,16 @@ class GeneralDistributedOperator:
     1-axis device mesh (ICI on real hardware).
     """
 
-    def __init__(self, part: GeneralPartitioner, device_mesh=None):
+    def __init__(self, part: GeneralPartitioner, device_mesh=None,
+                 exchange: str = "gather"):
+        """exchange: "gather" (all_gather of owned blocks — simple, used
+        on the CPU test rig) or "a2a" (pairwise all_to_all of the padded
+        per-pair lists — O(ghost) traffic riding ICI, the scalable path;
+        the reference's per-neighbor cudaMemcpyPeerAsync, SURVEY.md §3.6).
+        """
+        if exchange not in ("gather", "a2a"):
+            raise ValueError(f"unknown exchange scheme {exchange!r}")
+        self.exchange = exchange
         self.part = part
         self.mesh = (
             device_mesh if device_mesh is not None else part.device_mesh()
@@ -337,7 +373,10 @@ class GeneralDistributedOperator:
         self._inc = put(p.incidence)
         self._interior = put(p.interior.astype(dt))
         self._owned = put(p.owned_mask.astype(dt))
-        self._ghost_src = put(p.ghost_src)
+        if exchange == "a2a":
+            self._ghost_src = (put(p.pair_send), put(p.pair_recv))
+        else:
+            self._ghost_src = put(p.ghost_src)
         self._con = (
             None
             if p.con_dofs is None
@@ -361,26 +400,41 @@ class GeneralDistributedOperator:
         self._vmult = None  # built lazily (jit cache)
 
     # -- shard-local building blocks (called inside shard_map) ---------
-    def _update_ghosts(self, x, ghost_src):
+    def _update_ghosts(self, x, ex):
         p = self.part
+        if self.exchange == "a2a":
+            send, recv = ex  # (n_shards, M) each, this shard's rows
+            sb = x[send]  # values for each destination shard
+            rb = jax.lax.all_to_all(sb, p.axis_name, 0, 0)
+            x = x.at[recv.reshape(-1)].set(rb.reshape(-1))
+            return x.at[p.NL - 1].set(0.0)
         own = x[: p.P]
         allg = jax.lax.all_gather(own, p.axis_name, tiled=True)
         flat = jnp.concatenate([allg, jnp.zeros((1,), x.dtype)])
         return jnp.concatenate(
-            [own, flat[ghost_src], jnp.zeros((1,), x.dtype)]
+            [own, flat[ex], jnp.zeros((1,), x.dtype)]
         )
 
-    def _compress_add(self, y, ghost_src):
+    def _compress_add(self, y, ex):
         p = self.part
+        if self.exchange == "a2a":
+            send, recv = ex
+            # reverse exchange: ship ghost partials back to their owners
+            sb = y[recv]  # (n_shards, M): my partials for each owner
+            rb = jax.lax.all_to_all(sb, p.axis_name, 0, 0)
+            y = y.at[send.reshape(-1)].add(rb.reshape(-1))
+            # ghosts are now stale partials: zero and re-import
+            y = y.at[p.P :].set(0.0)
+            return self._update_ghosts(y, ex)
         contrib = jnp.zeros((p.n_shards * p.P + 1,), y.dtype)
-        contrib = contrib.at[ghost_src].add(y[p.P : p.P + p.G])
+        contrib = contrib.at[ex].add(y[p.P : p.P + p.G])
         tot = jax.lax.psum(contrib, p.axis_name)
         me = jax.lax.axis_index(p.axis_name)
         own = y[: p.P] + jax.lax.dynamic_slice(tot, (me * p.P,), (p.P,))
         full = jnp.concatenate(
             [own, jnp.zeros((p.G + 1,), y.dtype)]
         )
-        return self._update_ghosts(full, ghost_src)
+        return self._update_ghosts(full, ex)
 
     def _ddot(self, owned_mask):
         axis = self.part.axis_name
@@ -460,8 +514,10 @@ class GeneralDistributedOperator:
 
         def body(x, cell_dofs, inc, interior, owned, ghost_src, con, met,
                  coef):
+            ex = (tuple(a[0] for a in ghost_src)
+                  if isinstance(ghost_src, tuple) else ghost_src[0])
             arrays = (
-                cell_dofs[0], inc[0], interior[0], ghost_src[0],
+                cell_dofs[0], inc[0], interior[0], ex,
                 None if con is None else tuple(a[0] for a in con),
                 tuple(a[0] for a in met),
                 None if coef is None else coef[0],
@@ -519,8 +575,10 @@ class GeneralDistributedOperator:
 
         def body(b, diag, x0, cell_dofs, inc, interior, owned, ghost_src,
                  con, met, coef):
+            ex = (tuple(a[0] for a in ghost_src)
+                  if isinstance(ghost_src, tuple) else ghost_src[0])
             arrays = (
-                cell_dofs[0], inc[0], interior[0], ghost_src[0],
+                cell_dofs[0], inc[0], interior[0], ex,
                 None if con is None else tuple(a[0] for a in con),
                 tuple(a[0] for a in met),
                 None if coef is None else coef[0],
