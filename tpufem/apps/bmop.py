@@ -95,6 +95,34 @@ def bench_curved(dim, p, refine, dtype, reps):
     }
 
 
+def bench_resident(p, refine, dtype, reps, mode="f32"):
+    """Solver-resident fused-kernel apply (halo'd layout in/out — the rate
+    chained CG applies sustain; 3D only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpufem.ops.pallas_separable import ResidentSeparable
+    from tpufem.ops.separable import global_1d_matrices
+
+    n = 1 << refine
+    npts = n * p + 1
+    K1u, M1u = global_1d_matrices(p, n, p + 1)
+    h = 1.0 / n
+    rk = ResidentSeparable(npts, p, [np.asarray(K1u / h)] * 3,
+                           [np.asarray(M1u * h)] * 3, dtype, mode=mode,
+                           interpret=jax.default_backend() == "cpu")
+    n_dofs = npts**3
+    x = rk.pad(jnp.ones(n_dofs, jnp.dtype(dtype)))
+    dt = time_fn(rk._raw_jit, x, reps=reps)
+    return {
+        "bench": "bmop-resident",
+        "dim": 3, "degree": p, "refine": refine, "n_dofs": n_dofs,
+        "scheme": f"resident-{mode}", "dtype": dtype,
+        "s_per_apply": dt,
+        "gdofs_per_s": n_dofs / dt / 1e9,
+    }
+
+
 def bench_config(dim, p, refine, dtype, scatter, reps, with_spmv=False):
     mesh = Mesh.hyper_cube(dim, refine)
     dofs = DoFHandler(mesh, p)
@@ -149,6 +177,9 @@ def main(argv=None):
     ap.add_argument("--compare-incidence", action="store_true",
                     help="with --adaptive: also time the generic "
                          "incidence path for comparison")
+    ap.add_argument("--resident", choices=["f32", "bf16"], default=None,
+                    help="benchmark the solver-resident fused kernel "
+                         "(halo'd layout in/out, 3D only) in this mode")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (some TPU plugins ignore "
                          "JAX_PLATFORMS; this flag always works)")
@@ -158,7 +189,10 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
     for p in args.degrees:
-        if args.curved:
+        if args.resident:
+            rec = bench_resident(p, args.refine, args.dtype, args.reps,
+                                 mode=args.resident)
+        elif args.curved:
             rec = bench_curved(args.dim, p, args.refine, args.dtype,
                                args.reps)
         elif args.adaptive:
