@@ -13,6 +13,8 @@ tests/test_pallas.py).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -24,6 +26,18 @@ def _dot3(a, b):
     layout invariant so they contribute nothing."""
     return jnp.dot(a.reshape(-1), b.reshape(-1),
                    precision=jax.lax.Precision.HIGHEST)
+
+
+# jit cache keyed on the kernel's raw callable (stable per
+# ResidentSeparable instance) — a fresh closure per solve call would
+# RECOMPILE the whole program every time (minutes on the flagship)
+@partial(jax.jit, static_argnames=("raw", "rtol", "maxiter"))
+def _jacobi_solve(raw, m, inv_diag, bp, x0p, rtol, maxiter):
+    def A(gp):
+        return m * raw(m * gp) + (1.0 - m) * gp
+
+    return cg_solve(A, bp, M_inv=lambda r: inv_diag * r, x0=x0p,
+                    rtol=rtol, maxiter=maxiter, dot=_dot3)
 
 
 def resident_jacobi_cg(
@@ -53,16 +67,7 @@ def resident_jacobi_cg(
         diag if diag is not None else op.diagonal(), rk.dt))
     x0p = None if x0 is None else rk.pad(jnp.asarray(x0, rk.dt))
 
-    def A(gp):
-        return m * rk.raw(m * gp) + (1.0 - m) * gp
-
-    def solve(bp_, x0_):
-        return cg_solve(
-            A, bp_, M_inv=lambda r: inv_diag * r, x0=x0_,
-            rtol=rtol, maxiter=maxiter, dot=_dot3,
-        )
-
-    res = jax.jit(solve)(bp, x0p)
+    res = _jacobi_solve(rk.raw, m, inv_diag, bp, x0p, rtol, maxiter)
     return CGResult(rk.unpad(res.x), res.iterations, res.residual,
                     res.converged)
 
@@ -79,19 +84,23 @@ def resident_gmg_cg(
     kernel (``mg.resident_context()`` non-None).  b is flat (n_dofs,);
     the result is flat again.
     """
-    ctx = mg.resident_context()
-    if ctx is None:
-        raise ValueError(
-            "multigrid fine level has no resident kernel (needs 3D "
-            "use_pallas=True with a tiling-compatible degree)"
-        )
-    A, m_inv, rk, _ = ctx
+    # cache the jitted solve on the mg instance — a fresh closure per
+    # call would recompile the whole V-cycle program every time
+    key = (rtol, maxiter, id(mg.fine.mf.resident))
+    cache = getattr(mg, "_resident_cg_cache", None)
+    if cache is None or cache[0] != key:
+        ctx = mg.resident_context()
+        if ctx is None:
+            raise ValueError(
+                "multigrid fine level has no resident kernel (needs 3D "
+                "use_pallas=True with a tiling-compatible degree)"
+            )
+        A, m_inv, rk, _ = ctx
+        solve = jax.jit(lambda bp_: cg_solve(
+            A, bp_, M_inv=m_inv, rtol=rtol, maxiter=maxiter, dot=_dot3))
+        mg._resident_cg_cache = (key, solve, rk)
+    _, solve, rk = mg._resident_cg_cache
     bp = rk.pad(jnp.asarray(b, rk.dt))
-
-    def solve(bp_):
-        return cg_solve(A, bp_, M_inv=m_inv, rtol=rtol, maxiter=maxiter,
-                        dot=_dot3)
-
-    res = jax.jit(solve)(bp)
+    res = solve(bp)
     return CGResult(rk.unpad(res.x), res.iterations, res.residual,
                     res.converged)
