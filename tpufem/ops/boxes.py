@@ -139,6 +139,7 @@ class BoxLaplaceOperator:
         coefficient: Optional[Callable] = None,
         dtype: str = "float32",
         constrained_mask: Optional[np.ndarray] = None,
+        structured_interfaces: bool = True,
     ):
         if mesh.transform is not None:
             raise NotImplementedError(
@@ -224,6 +225,30 @@ class BoxLaplaceOperator:
         if constraints is not None and constraints.lines:
             con_mask_g |= constraints.constrained_mask()
             cdofs, masters, weights, inhom = constraints.padded_arrays()
+            # structured interface rectangles: the regular bulk of the
+            # hanging rows becomes dense slice+matmul work (box_interface);
+            # only verified-irregular rows stay on the gather fallback
+            self._rects = []
+            self._rect_meta = []
+            if structured_interfaces:
+                from tpufem.ops.box_interface import build_interface_rects
+
+                rects, leftover = build_interface_rects(
+                    self.boxes, constraints, p, d)
+                for r in rects:
+                    self._rect_meta.append((r.bf, r.bc, r.fslice, r.cslice))
+                    self._rects.append((
+                        tuple(jnp.asarray(F, self.dt) for F in r.F),
+                        jnp.asarray(r.mask, self.dt),
+                    ))
+                self.n_rect_rows = len(cdofs) - len(leftover)
+            else:
+                leftover = np.arange(len(cdofs))
+                self.n_rect_rows = 0
+            cdofs = cdofs[leftover]
+            masters = masters[leftover]
+            weights = weights[leftover]
+            inhom = inhom[leftover]
             # gather masters from owner copies
             self._mast_idx = jnp.asarray(self._owner[masters])
             self._mast_w = jnp.asarray(weights, self.dt)
@@ -248,8 +273,13 @@ class BoxLaplaceOperator:
             self._ct_tgt = jnp.asarray(np.asarray(tgt, dtype=np.int64))
             self._ct_w = jnp.asarray(np.asarray(wts), self.dt)
             self.has_hanging = True
+            self._has_fallback = len(cdofs) > 0
         else:
             self.has_hanging = False
+            self._has_fallback = False
+            self._rects = []
+            self._rect_meta = []
+            self.n_rect_rows = 0
 
         # interior mask per patch entry: 0 on constrained copies AND dead
         m = np.zeros(self.n_patch)
@@ -284,6 +314,7 @@ class BoxLaplaceOperator:
                 con_copy_idx=self._con_copy_idx,
                 ct_rows=self._ct_rows, ct_tgt=self._ct_tgt,
                 ct_w=self._ct_w,
+                rects=tuple(self._rects),
             )
         self._box_nb = tuple(nb for (nb, _, _) in self._box_args)
         self._vmult = jax.jit(self._vmult_traced)
@@ -364,9 +395,80 @@ class BoxLaplaceOperator:
         tot = jnp.sum(vals, axis=1)
         return y.at[mi.reshape(-1)].set(jnp.repeat(tot, self._Kc))
 
+    # -- structured interface rectangles (box_interface.py) ------------
+    def _split(self, u):
+        return [
+            jax.lax.dynamic_slice(u, (b.offset,), (b.n_nodes,)).reshape(
+                b.lattice_shape)
+            for b in self.boxes
+        ]
+
+    @staticmethod
+    def _join(segs):
+        return jnp.concatenate([s.reshape(-1) for s in segs])
+
+    @staticmethod
+    def _rect_interp(F, uc):
+        """V = F1 · U (1 tangential axis) or F1 · U · F2ᵀ (2 axes)."""
+        hp = jax.lax.Precision.HIGHEST
+        if len(F) == 1:
+            return F[0] @ uc
+        return jnp.einsum("af,bg,fg->ab", F[0], F[1], uc, precision=hp)
+
+    @staticmethod
+    def _rect_interp_t(F, yf):
+        hp = jax.lax.Precision.HIGHEST
+        if len(F) == 1:
+            return F[0].T @ yf
+        return jnp.einsum("af,bg,ab->fg", F[0], F[1], yf, precision=hp)
+
+    def _rect_distribute(self, pr, u):
+        """Structured part of C: per-rectangle dense interpolation."""
+        segs = self._split(u)
+        for (bf, bc, fsl, csl), (F, mask) in zip(self._rect_meta,
+                                                 pr["rects"]):
+            v = self._rect_interp(F, segs[bc][csl])
+            cur = segs[bf][fsl]
+            segs[bf] = segs[bf].at[fsl].set(mask * v + (1.0 - mask) * cur)
+        return self._join(segs)
+
+    def _rect_distribute_t(self, pr, y):
+        """Structured part of Cᵀ: transpose chains accumulated as a delta
+        patch, then reconciled across shared copies (exact: deltas sum)."""
+        segs = self._split(y)
+        dsegs = {}
+        for (bf, bc, fsl, csl), (F, mask) in zip(self._rect_meta,
+                                                 pr["rects"]):
+            yf = mask * segs[bf][fsl]
+            segs[bf] = segs[bf].at[fsl].set((1.0 - mask) * segs[bf][fsl])
+            dlt = self._rect_interp_t(F, yf)
+            if bc not in dsegs:
+                dsegs[bc] = jnp.zeros(self.boxes[bc].lattice_shape,
+                                      self.dt)
+            dsegs[bc] = dsegs[bc].at[csl].add(dlt)
+        y = self._join(segs)
+        delta = self._join([
+            dsegs.get(i, jnp.zeros(b.lattice_shape, self.dt))
+            for i, b in enumerate(self.boxes)
+        ])
+        yp = y + delta
+        # shared-copy fix: every copy of a multi DoF must carry the TOTAL
+        # delta, not just its own box's share
+        mi = pr["multi_idx"]
+        if mi.shape[0]:
+            dtot = jnp.sum(delta[mi] * pr["multi_w"], axis=1)
+            base = yp[mi[:, 0]] - delta[mi[:, 0]]
+            yp = yp.at[mi.reshape(-1)].set(
+                jnp.repeat(base + dtot, self._Kc))
+        return yp
+
     def distribute_p(self, pr, u, homogeneous: bool = True):
         """u -> C u on the patch vector (hanging values interpolated)."""
         if not self.has_hanging:
+            return u
+        if self._rect_meta:
+            u = self._rect_distribute(pr, u)
+        if not self._has_fallback:
             return u
         vals = jnp.sum(pr["mast_w"] * u[pr["mast_idx"]], axis=1)
         if not homogeneous:
@@ -379,11 +481,15 @@ class BoxLaplaceOperator:
         """y -> C^T y: hanging-row values pushed to masters, zeroed."""
         if not self.has_hanging:
             return y
-        cci = pr["con_copy_idx"]
-        yc = y[cci[:, 0]]  # (ncon,)
-        y = y.at[cci.reshape(-1)].set(
-            jnp.zeros(cci.shape[0] * cci.shape[1], dtype=y.dtype))
-        return y.at[pr["ct_tgt"]].add(pr["ct_w"] * yc[pr["ct_rows"]])
+        if self._has_fallback:
+            cci = pr["con_copy_idx"]
+            yc = y[cci[:, 0]]  # (ncon,)
+            y = y.at[cci.reshape(-1)].set(
+                jnp.zeros(cci.shape[0] * cci.shape[1], dtype=y.dtype))
+            y = y.at[pr["ct_tgt"]].add(pr["ct_w"] * yc[pr["ct_rows"]])
+        if self._rect_meta:
+            y = self._rect_distribute_t(pr, y)
+        return y
 
     # ------------------------------------------------------------------
     def _vmult_raw_p(self, pr, u):
