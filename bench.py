@@ -264,7 +264,7 @@ def main():
     # ---- curved-geometry apply (3D shell, general-metric structured
     # tier — VERDICT r1 item 7: >= 0.5 GDoF/s)
     try:
-        rec = bmop.bench_curved(3, 4 if on_tpu else 2, 3 if on_tpu else 1,
+        rec = bmop.bench_curved(3, 4 if on_tpu else 2, 5 if on_tpu else 1,
                                 dtype, reps=reps if on_tpu else 2)
         lines.append({
             "metric": "3d_shell_curved_apply",

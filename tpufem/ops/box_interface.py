@@ -68,7 +68,8 @@ def _coords(flat, shape):
     return np.stack(np.unravel_index(flat, shape), axis=-1)  # (..., d)
 
 
-def build_interface_rects(boxes, constraints, p: int, d: int):
+def build_interface_rects(boxes, constraints, p: int, d: int,
+                          merge: str = "maximal"):
     """Decompose the hanging-node constraints into interface rectangles.
 
     Returns (rects, leftover_rows): leftover_rows indexes into the sorted
@@ -152,7 +153,21 @@ def build_interface_rects(boxes, constraints, p: int, d: int):
         covered = np.zeros(grid_shape, dtype=bool)
         covered[tuple(ucell[:, k] for k in range(d - 1))] = True
 
-        for rect in _max_rectangles(covered):
+        if merge == "bounding":
+            # ONE rectangle per interface plane.  Over-coverage is exact
+            # (unverified/absent rows stay mask=0; dead coarse nodes
+            # provably receive zero in Cᵀ) but measured SLOWER on the
+            # flagship (840 -> 78 rects, 16.7 -> 19.3 ms): the per-rect
+            # einsum cost scales with region area, not op count.  Kept
+            # for meshes whose interfaces fragment pathologically.
+            rect_list = [[
+                (int(ucell[:, k].min()), int(ucell[:, k].max()) + 1)
+                for k in range(d - 1)
+            ]]
+        else:
+            rect_list = _max_rectangles(covered)
+
+        for rect in rect_list:
             u0 = [r0 for (r0, _) in rect]
             m = [r1 - r0 for (r0, r1) in rect]
             # coarse node region: [u0*p, (u0+m)*p] per tangential axis
@@ -190,8 +205,9 @@ def build_interface_rects(boxes, constraints, p: int, d: int):
                 fsl[tan[k]] = slice(fi0[k], fi0[k] + fn[k])
             cregion = cg[tuple(csl)]  # coarse gids (cn...)
             fregion = fgid[tuple(fsl)]  # fine gids (fn...)
-            if (cregion < 0).any():
-                continue
+            # dead coarse nodes (gid -1) are safe: any row predicted to
+            # reference them fails verification (mask 0), so they receive
+            # exactly zero in Cᵀ and their garbage is masked out in C
             it = np.ndindex(*fn)
             for idx in it:
                 g = int(fregion[idx])
