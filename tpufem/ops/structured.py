@@ -57,6 +57,52 @@ def unblock_axis_add(t, n: int, p: int):
     return main + shifted
 
 
+def _block_axis_inplace(t, axis: int, n: int, p: int):
+    """Split grid axis (length n*p+1) into overlapping (n, p+1) IN PLACE —
+    reshape/slice/concat on a middle axis preserve row-major contiguity.
+
+    Measured equivalent to the earlier moveaxis-based formulation (XLA
+    canonicalizes both to the same copy): the real cost of blocking is the
+    p-strided overlapped extraction itself (~4.5 ms for 9.3M blocked
+    elements at 74k Q4 cells ≈ 8 GB/s effective — the strided lane
+    pattern, not transposes).  A Pallas blocking kernel is the remaining
+    lever (docs/ROOFLINE.md)."""
+    sh = t.shape
+    sl = [slice(None)] * t.ndim
+    sl[axis] = slice(0, n * p)
+    main = t[tuple(sl)].reshape(sh[:axis] + (n, p) + sh[axis + 1 :])
+    sl[axis] = slice(p, None, p)
+    last = jnp.expand_dims(t[tuple(sl)], axis + 1)
+    return jnp.concatenate([main, last], axis=axis + 1)
+
+
+def _unblock_axis_add_inplace(t, axis: int, n: int, p: int):
+    """Transpose of _block_axis_inplace: (..., n, p+1, ...) at (axis,
+    axis+1) -> (..., n*p+1, ...) with overlap-add, in place."""
+    npts = n * p + 1
+    sh = t.shape
+    pre, post = sh[:axis], sh[axis + 2 :]
+    sl = [slice(None)] * t.ndim
+    sl[axis + 1] = slice(0, p)
+    main = t[tuple(sl)].reshape(pre + (n * p,) + post)
+    zpad = jnp.zeros(pre + (1,) + post, t.dtype)
+    main = jnp.concatenate([main, zpad], axis=axis)  # (..., npts, ...)
+    sl[axis + 1] = p
+    carry = t[tuple(sl)]  # (..., n, ...)
+    z = jnp.zeros(pre + (n, p) + post, t.dtype)
+    zsl = [slice(None)] * z.ndim
+    zsl[axis + 1] = 0
+    z = z.at[tuple(zsl)].set(carry)
+    shifted = jnp.concatenate(
+        [jnp.zeros(pre + (p,) + post, t.dtype),
+         z.reshape(pre + (n * p,) + post)],
+        axis=axis,
+    )
+    ssl = [slice(None)] * main.ndim
+    ssl[axis] = slice(0, npts)
+    return main + shifted[tuple(ssl)]
+
+
 def block_all(u, dim: int, ns, p: int):
     """Grid vector/array -> blocked layout (nz,pz,ny,py,nx,px).
 
@@ -65,23 +111,16 @@ def block_all(u, dim: int, ns, p: int):
     """
     npts = tuple(n * p + 1 for n in ns)
     t = u.reshape(npts)
-    # z (the outermost grid dim) is blocked first; unblocked grid dims stay
-    # at the front in (z, y, x) order, so the target is always position 0.
+    # axis k's grid dim sits at position 2k after blocking axes 0..k-1
     for k in range(dim):
-        t = block_axis(t, 0, ns[k], p)
+        t = _block_axis_inplace(t, 2 * k, ns[k], p)
     return t
 
 
 def unblock_all_add(t, dim: int, ns, p: int):
-    """Inverse (transpose) of block_all: blocked -> flat grid vector.
-
-    block_all consumed the leading grid dim each step and appended its
-    (cell, local) pair; the inverse unblocks the LEADING pair each step and
-    moves the resulting grid axis to the back.
-    """
-    for k in range(dim):
-        t = jnp.moveaxis(t, (0, 1), (t.ndim - 2, t.ndim - 1))
-        t = unblock_axis_add(t, ns[k], p)
+    """Inverse (transpose) of block_all: blocked -> flat grid vector."""
+    for k in reversed(range(dim)):
+        t = _unblock_axis_add_inplace(t, 2 * k, ns[k], p)
     return t.reshape(-1)
 
 
