@@ -26,7 +26,8 @@ def test_bmspmv_cli():
              "--refine", "3", "--dtype", "float64", "--reps", "2"])
     assert r.returncode == 0, r.stderr[-500:]
     rec = json.loads(r.stdout.strip().splitlines()[-1])
-    assert "spmv_gdofs_per_s" in rec and rec["bench"] == "bmop"
+    assert rec["bench"] == "bmspmv" and "gdofs_per_s" in rec
+    assert rec["csr_cross_check_rel_err"] < 1e-12  # assembled oracle
 
 
 def test_poisson_cli_bad_scatter_rejected():
