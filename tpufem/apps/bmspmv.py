@@ -77,6 +77,8 @@ def main(argv=None):
     args = ap.parse_args(argv)
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if jnp.dtype(args.dtype).itemsize >= 8:
+        jax.config.update("jax_enable_x64", True)
     for p in args.degrees:
         emit(bench_spmv(args.dim, p, args.refine, args.dtype, args.reps,
                         check=not args.no_check))
