@@ -149,15 +149,19 @@ def main():
         "rtol": solve_rtol, "n_dofs": dofs.n_dofs, "tier": solve_tier,
     })
 
-    # solver-resident Jacobi-CG: all CG vectors in the halo'd layout
-    if on_tpu and residents:
+    # solver-resident Jacobi-CG: all CG vectors in the halo'd layout.
+    # The operator's own f32-mode kernel is tried first (it compiles
+    # inside composed programs even where the standalone raw jit crashes
+    # the Mosaic helper); bf16 is the fallback.
+    if on_tpu and (mf_s.resident is not None or residents):
         from tpufem.solvers.resident import resident_jacobi_cg
 
+        candidates = {"f32": mf_s.resident, **residents}
         for mode in ("f32", "bf16"):
-            if mode not in residents:
+            if candidates.get(mode) is None:
                 continue
             try:
-                mf_s.resident = residents[mode]
+                mf_s.resident = candidates[mode]
                 resident_jacobi_cg(op_s, b, diag=diag,
                                    rtol=solve_rtol)  # compile + warm
                 t0 = time.perf_counter()
@@ -208,14 +212,16 @@ def main():
             "tier": "separable+pallas",
         })
 
-        # fine-level-resident V-cycle (solvers/resident.py)
+        # fine-level-resident V-cycle (solvers/resident.py); the level's
+        # own f32-mode kernel first, bf16 fallback (see Jacobi note)
         from tpufem.solvers.resident import resident_gmg_cg
 
+        gmg_candidates = {"f32": mg.fine.mf.resident, **residents}
         for mode in ("f32", "bf16"):
-            if mode not in residents:
+            if gmg_candidates.get(mode) is None:
                 continue
             try:
-                mg.fine.mf.resident = residents[mode]
+                mg.fine.mf.resident = gmg_candidates[mode]
                 resident_gmg_cg(mg, b, rtol=solve_rtol)  # compile + warm
                 t0 = time.perf_counter()
                 res_rmg = resident_gmg_cg(mg, b, rtol=solve_rtol)
