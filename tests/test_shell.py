@@ -151,3 +151,38 @@ def test_shell_3d_solve_converges():
         errs.append(integrate_difference(dofs, np.asarray(res.x), exact))
     rate = np.log2(errs[-2] / errs[-1])
     assert rate > 1.7, (errs, rate)
+
+
+def test_separable_metric_matches_general_and_oracle():
+    """Orthogonal shells factor exactly: the separable-metric tier must
+    match the per-qpoint general tier to rounding (same Gauss rule,
+    tensor rule factorizes) and the assembled oracle to 1e-10."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tpufem.fem.assemble import assemble_laplace
+    from tpufem.fem.dof_handler import DoFHandler
+    from tpufem.fem.mesh import Mesh
+    from tpufem.operators.laplace import LaplaceOperator
+    from tpufem.ops.matrix_free import MatrixFree
+    from tpufem.utils.config import FemConfig
+
+    for dim, refine, p in [(2, 3, 3), (3, 2, 2)]:
+        mesh = (Mesh.hyper_shell_3d(refine) if dim == 3
+                else Mesh.hyper_shell_2d(refine))
+        dofs = DoFHandler(mesh, p)
+        assert mesh.separable_metric is not None
+        op_sep = LaplaceOperator(MatrixFree.build(
+            mesh, dofs, FemConfig(dim, p, scatter="separable")))
+        op_gen = LaplaceOperator(MatrixFree.build(
+            mesh, dofs, FemConfig(dim, p, scatter="structured")))
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal(dofs.n_dofs)
+        y_sep = np.asarray(op_sep.vmult_raw(jnp.asarray(x)))
+        y_gen = np.asarray(op_gen.vmult_raw(jnp.asarray(x)))
+        nrm = np.linalg.norm(y_gen)
+        assert np.linalg.norm(y_sep - y_gen) <= 1e-12 * nrm, (dim, p)
+        K = assemble_laplace(dofs)
+        y_ref = K @ x
+        assert np.linalg.norm(y_sep - y_ref) <= 1e-10 * np.linalg.norm(
+            y_ref), (dim, p)

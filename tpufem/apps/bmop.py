@@ -112,33 +112,45 @@ def bench_curved(dim, p, refine, dtype, reps):
     mesh = (Mesh.hyper_shell_3d(refine) if dim == 3
             else Mesh.hyper_shell_2d(refine))
     dofs = DoFHandler(mesh, p)
-    mf = MatrixFree.build(
-        mesh, dofs,
-        FemConfig(dim=dim, degree=p, dtype=dtype, scatter="structured"),
-    )
-    op = LaplaceOperator(mf)
     x = jnp.ones(dofs.n_dofs, jnp.dtype(dtype))
     n_chain = max(reps, 2)
 
-    @jax.jit
-    def chain(x):
-        def body(i, v):
-            return op.vmult_raw(v) * 1e-7
+    def rate(scatter):
+        mf = MatrixFree.build(
+            mesh, dofs,
+            FemConfig(dim=dim, degree=p, dtype=dtype, scatter=scatter),
+        )
+        op = LaplaceOperator(mf)
 
-        return jax.lax.fori_loop(0, n_chain, body, x)
+        @jax.jit
+        def chain(x):
+            def body(i, v):
+                return op.vmult_raw(v) * 1e-7
 
-    y = chain(x)
-    jax.block_until_ready(y)
-    t0 = time.perf_counter()
-    y = chain(x)
-    jax.block_until_ready(y)
-    dt = (time.perf_counter() - t0) / n_chain
-    if not bool(jnp.isfinite(y).all()):
-        raise FloatingPointError("curved apply produced non-finite output")
+            return jax.lax.fori_loop(0, n_chain, body, x)
+
+        y = chain(x)
+        jax.block_until_ready(y)
+        t0 = time.perf_counter()
+        y = chain(x)
+        jax.block_until_ready(y)
+        dt = (time.perf_counter() - t0) / n_chain
+        if not bool(jnp.isfinite(y).all()):
+            raise FloatingPointError(
+                "curved apply produced non-finite output")
+        return dt
+
+    # separable-metric tier (orthogonal shells factor exactly) + the
+    # per-qpoint general-metric structured tier
+    tiers = {"separable(metric-factorized)": rate("separable"),
+             "structured(general-metric)": rate("structured")}
+    best = min(tiers, key=tiers.get)
+    dt = tiers[best]
     return {
         "bench": "bmop-curved",
         "dim": dim, "degree": p, "refine": refine,
-        "n_dofs": dofs.n_dofs, "scheme": "structured(general-metric)",
+        "n_dofs": dofs.n_dofs, "scheme": best,
+        "tiers_gdofs": {k: dofs.n_dofs / v / 1e9 for k, v in tiers.items()},
         "dtype": dtype,
         "s_per_apply": dt,
         "gdofs_per_s": dofs.n_dofs / dt / 1e9,

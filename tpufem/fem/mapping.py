@@ -82,6 +82,37 @@ def compute_metric(
             metric.quad_points = mesh.to_physical(logical)
         return metric
 
+    # general + analytic Jacobian: EXACT mapping geometry (the
+    # reference's higher-order MappingQ analogue) — per-qpoint J from the
+    # transform's closed-form derivative, chained through the per-cell
+    # affine reference->logical map
+    if getattr(mesh, "transform_jac", None) is not None:
+        logical = (
+            mesh.origins[:, None, :] + mesh.sizes[:, None, None] * qp_ref[None]
+        ) / mesh.U  # (nc, nq, d)
+        span = mesh.upper - mesh.lower
+        x = (mesh.lower + span * logical).reshape(-1, d)
+        tj = mesh.transform_jac(x).reshape(nc, nq, d, d)
+        # d phys_a / d xi_b = tj[a, b] * span_b * size_cell / U
+        scale = (
+            span[None, None, :] * mesh.sizes[:, None].astype(np.float64)[
+                :, :, None] / mesh.U
+        )  # (nc, 1, d)
+        J = tj * scale[:, :, None, :]
+        det = np.linalg.det(J)
+        if np.any(det <= 0):
+            raise ValueError(
+                "mapping produced non-positive Jacobian determinant"
+            )
+        metric = Metric(
+            "general", d, nc, nq,
+            inv_jac=np.linalg.inv(J),
+            jxw=det * quad.tensor_weights(d)[None, :],
+        )
+        if need_points:
+            metric.quad_points = mesh.to_physical(logical)
+        return metric
+
     # general: Q1 multilinear mapping of transformed corner vertices
     verts = mesh.cell_vertices()  # (nc, 2^d, d) physical
     corners = _corner_offsets(d)  # (2^d, d)

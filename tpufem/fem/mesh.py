@@ -57,6 +57,19 @@ class Mesh:
             upper if upper is not None else [1.0] * dim, dtype=np.float64
         )
         self.transform = transform
+        # Optional analytic Jacobian of the transform: callable
+        # (N, dim) -> (N, dim, dim) with J[n, a, b] = d phys_a / d x_b.
+        # When present, compute_metric uses the EXACT mapping geometry
+        # (the reference's higher-order MappingQ analogue) instead of the
+        # Q1 multilinear fallback.
+        self.transform_jac = None
+        # Optional multiplicative-separable metric (orthogonal transforms
+        # such as polar/spherical maps): separable_metric[a][b] is a 1D
+        # callable on logical x_b in [0,1] (None = 1) with the weak-form
+        # weight of gradient term a equal to prod_b w[a][b](x_b) — the
+        # exact factorization the separable tier assembles 1D weighted
+        # matrices from (tpufem.ops.separable.global_1d_weighted).
+        self.separable_metric = None
 
     # ------------------------------------------------------------------
     @property
@@ -117,6 +130,31 @@ class Mesh:
 
         m = cls.hyper_cube(2, refinements)
         m.transform = polar
+
+        def polar_jac(x):
+            r = r_inner + x[:, 0] * (r_outer - r_inner)
+            th = x[:, 1] * wedge
+            dr_ = r_outer - r_inner
+            J = np.empty(x.shape[:1] + (2, 2))
+            J[:, 0, 0] = dr_ * np.cos(th)
+            J[:, 1, 0] = dr_ * np.sin(th)
+            J[:, 0, 1] = -wedge * r * np.sin(th)
+            J[:, 1, 1] = wedge * r * np.cos(th)
+            return J
+
+        m.transform_jac = polar_jac
+        # polar coords are orthogonal: the Laplace weak-form weights
+        # factor exactly per term (|J| = dr*w*r; G = diag(1/dr^2,
+        # 1/(w r)^2)) — the separable tier assembles from these
+        dr = r_outer - r_inner
+
+        def _r(s):
+            return r_inner + s * dr
+
+        m.separable_metric = [
+            [lambda s: (wedge / dr) * _r(s), None],  # K_s weight
+            [lambda s: (dr / wedge) / _r(s), None],  # M_s weight, K_t = 1
+        ]
         return m
 
     @classmethod
@@ -147,6 +185,47 @@ class Mesh:
 
         m = cls.hyper_cube(3, refinements)
         m.transform = spherical
+
+        def spherical_jac(x):
+            dr_ = r_outer - r_inner
+            dth_ = polar[1] - polar[0]
+            r = r_inner + x[:, 0] * dr_
+            th = polar[0] + x[:, 1] * dth_
+            ph = x[:, 2] * wedge_azim
+            st, ct = np.sin(th), np.cos(th)
+            sp, cp = np.sin(ph), np.cos(ph)
+            J = np.empty(x.shape[:1] + (3, 3))
+            J[:, 0, 0] = dr_ * st * cp
+            J[:, 1, 0] = dr_ * st * sp
+            J[:, 2, 0] = dr_ * ct
+            J[:, 0, 1] = dth_ * r * ct * cp
+            J[:, 1, 1] = dth_ * r * ct * sp
+            J[:, 2, 1] = -dth_ * r * st
+            J[:, 0, 2] = -wedge_azim * r * st * sp
+            J[:, 1, 2] = wedge_azim * r * st * cp
+            J[:, 2, 2] = 0.0
+            return J
+
+        m.transform_jac = spherical_jac
+        # spherical coords are orthogonal with scale factors
+        # (dr, r dth, r sin(th) dph): every weak-form term weight
+        # factors into 1D functions of (s, t, u) — see hyper_shell_2d
+        dr = r_outer - r_inner
+        dth = polar[1] - polar[0]
+        dph = wedge_azim
+
+        def _r(s):
+            return r_inner + s * dr
+
+        def _st(t):
+            return np.sin(polar[0] + t * dth)
+
+        m.separable_metric = [
+            [lambda s: (dth * dph / dr) * _r(s) ** 2, _st, None],
+            [lambda s: np.full_like(s, dr * dph / dth), _st, None],
+            [lambda s: np.full_like(s, dr * dth / dph),
+             lambda t: 1.0 / _st(t), None],
+        ]
         return m
 
     # ------------------------------------------------------------------

@@ -146,12 +146,17 @@ class LaplaceOperator:
 
 def _vmult_raw(mf: MatrixFree, x):
     if mf.scheme == "separable":
+        npts = mf.uniform_n * mf.config.degree + 1
+        if mf.sep_ops[0] == "terms":  # orthogonal separable metric
+            from tpufem.ops.separable import laplace_apply_separable_terms
+
+            return laplace_apply_separable_terms(
+                x, mf.config.dim, npts, mf.sep_ops[1])
         if len(mf.sep_ops) == 3:  # (Ks, Ms, pallas_kernel)
             return mf.sep_ops[2](x)
         from tpufem.ops.separable import laplace_apply_separable
 
         Ks, Ms = mf.sep_ops
-        npts = mf.uniform_n * mf.config.degree + 1
         return laplace_apply_separable(x, mf.config.dim, npts, Ks, Ms)
     if mf.scheme == "dense":
         from tpufem.ops.dense_local import laplace_apply_dense

@@ -153,9 +153,24 @@ class MatrixFree:
             raise ValueError(
                 "structured scheme needs a uniform mesh and nq1 == p+1"
             )
-        if scheme in ("dense", "separable") and not dense_ok:
+        # separable also covers orthogonal curved meshes whose metric
+        # factors into 1D weights (polar/spherical shells,
+        # Mesh.separable_metric) — the operator then factors EXACTLY into
+        # sums of tensor products of weighted 1D matrices
+        sep_metric_ok = (
+            structured_ok
+            and coef_q is None
+            and getattr(mesh, "separable_metric", None) is not None
+        )
+        if scheme == "separable" and not (dense_ok or sep_metric_ok):
             raise ValueError(
-                f"{scheme} scheme needs a uniform Cartesian mesh, "
+                "separable scheme needs a uniform Cartesian mesh (or an "
+                "orthogonal separable metric), nq1 == p+1 and no "
+                "variable coefficient"
+            )
+        if scheme == "dense" and not dense_ok:
+            raise ValueError(
+                "dense scheme needs a uniform Cartesian mesh, "
                 "nq1 == p+1 and no variable coefficient"
             )
         uniform_n = None
@@ -166,7 +181,19 @@ class MatrixFree:
         dense_A = None
         sep_ops = None
         resident = None
-        if scheme == "structured" and metric.kind == "general":
+        if scheme == "separable" and metric.kind == "general":
+            # orthogonal curved mesh (polar/spherical shell): the metric
+            # factors into 1D weights, so the GLOBAL operator factors
+            # exactly into sums of tensor products of weighted 1D
+            # matrices — assembled with the same Gauss rule, hence
+            # rounding-level parity with the per-qpoint general path
+            from tpufem.ops.separable import build_separable_metric_terms
+
+            uniform_n = int(mesh.U // mesh.sizes[0])
+            sep_ops = ("terms", build_separable_metric_terms(
+                p, d, config.nq1, uniform_n, mesh.separable_metric, dtype
+            ))
+        elif scheme == "structured" and metric.kind == "general":
             # curved uniform mesh: per-qpoint metric in the blocked layout
             uniform_n = int(mesh.U // mesh.sizes[0])
             n, q1 = uniform_n, config.nq1

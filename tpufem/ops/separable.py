@@ -55,6 +55,67 @@ def global_1d_matrices(p: int, n: int, nq1: int) -> tuple[np.ndarray, np.ndarray
     return K1, M1
 
 
+def global_1d_weighted(p: int, n: int, nq1: int, wfun, kind: str
+                       ) -> np.ndarray:
+    """Assembled 1D matrix on [0,1] (n cells) with a variable weight:
+
+      kind 'K':  X[i,j] = sum_c int w(x) phi_i'(x) phi_j'(x) dx
+      kind 'M':  X[i,j] = sum_c int w(x) phi_i(x)  phi_j(x)  dx
+
+    wfun: vectorized callable on logical x (None = weight 1).  Uses the
+    same Gauss rule as the general-metric path, and a tensor Gauss rule
+    factorizes over axes exactly — so operators assembled from a
+    separable metric (Mesh.separable_metric) match the per-qpoint
+    general-metric apply to rounding, not just to quadrature order.
+    """
+    si = ShapeInfo(p, Quadrature.gauss(nq1))
+    wq = si.quad.weights_1d
+    xq = si.quad.points_1d
+    h = 1.0 / n
+    npts = n * p + 1
+    X = np.zeros((npts, npts))
+    B = si.D if kind == "K" else si.S
+    scale = (1.0 / h) if kind == "K" else h
+    for c in range(n):
+        x = (c + xq) * h
+        wv = wq * (1.0 if wfun is None else np.asarray(wfun(x)))
+        loc = np.einsum("qi,q,qj->ij", B, wv, B) * scale
+        sl = slice(c * p, c * p + p + 1)
+        X[sl, sl] += loc
+    return X
+
+
+def build_separable_metric_terms(p, dim, nq1, n, separable_metric, dtype):
+    """Per-term per-axis 1D operator matrices for an orthogonal separable
+    metric: terms[a][b] = K-type for b == a else M-type, with the mesh's
+    1D weight functions (axis indices in xyz order)."""
+    terms = []
+    for a in range(dim):
+        mats = []
+        for b in range(dim):
+            X = global_1d_weighted(
+                p, n, nq1, separable_metric[a][b],
+                "K" if b == a else "M",
+            )
+            mats.append(jnp.asarray(X, dtype))
+        terms.append(mats)
+    return terms
+
+
+def laplace_apply_separable_terms(u, dim: int, npts: int, terms):
+    """y = sum_a (X_a,d-1 (x) ... (x) X_a,0) u — the general
+    sum-of-tensor-products apply (d^2 contractions; curved orthogonal
+    meshes: polar/spherical shells)."""
+    t0 = u.reshape((npts,) * dim)
+    r = None
+    for a in range(dim):
+        t = t0
+        for b in range(dim):
+            t = _contract_grid(t, terms[a][b], b, dim)
+        r = t if r is None else r + t
+    return r.reshape(-1)
+
+
 def build_separable_operators(p, dim, nq1, n, h, dtype):
     """Per-axis scaled (K1_a, M1_a) device constants.
 
