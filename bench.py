@@ -69,7 +69,7 @@ def main():
     tier_specs = [("separable", False), ("structured", False)]
     if on_tpu:
         tier_specs.insert(0, ("separable", True))
-    tiers, tier_errors, ops = {}, {}, {}
+    tiers, tier_errors = {}, {}
     for scheme, pallas in tier_specs:
         name = scheme + ("+pallas" if pallas else "")
         try:
@@ -81,7 +81,7 @@ def main():
             op = LaplaceOperator(mf)
             dt = time_apply(op.vmult_raw, x, reps)
             tiers[name] = round(dofs.n_dofs / dt / 1e9, 4)
-            ops[name] = op
+            del mf, op  # ~0.5-1 GB HBM per tier at 17M DoFs
         except Exception as e:  # record, never hide (a Mosaic regression
             # must be visible in the JSON, not demote the headline quietly)
             tier_errors[name] = f"{type(e).__name__}: {e}"[:300]

@@ -317,7 +317,14 @@ class MatrixFree:
             dofs=dofs,
             n_dofs=dofs.n_dofs,
             n_cells=nc,
-            cell_dofs=jnp.asarray(dofs.cell_dofs),
+            # device-resident only for the gathering schemes: the
+            # gather-free tiers never touch it and it is ~0.5 GB of HBM
+            # at the 17M-DoF flagship (measured to pressure the resident
+            # GMG program into a 50x slowdown); converted lazily on
+            # first gather otherwise
+            cell_dofs=(jnp.asarray(dofs.cell_dofs)
+                       if scheme in ("incidence", "colored")
+                       else np.asarray(dofs.cell_dofs)),
             S=jnp.asarray(si.S, dtype),
             D=jnp.asarray(si.D, dtype),
             D_col=jnp.asarray(si.D_col, dtype) if si.D_col is not None else None,
@@ -348,6 +355,9 @@ class MatrixFree:
     # ------------------------------------------------------------------
     def gather(self, u):
         """read_dof_values for all cells: (n_dofs,) -> (nc, nn)."""
+        if isinstance(self.cell_dofs, np.ndarray):
+            # lazy device conversion (concrete even under trace)
+            self.cell_dofs = jnp.asarray(self.cell_dofs)
         return u[self.cell_dofs]
 
     def _ensure_incidence(self):
