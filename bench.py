@@ -209,6 +209,16 @@ def main():
             "tier": "separable+pallas",
         })
 
+    # free the 17M-DoF solver state before the adaptive/curved sections
+    # (HBM headroom: the GMG hierarchy + solve programs hold ~2 GB and
+    # the curved general-metric tier needs ~1.5 GB of its own)
+    import gc
+
+    if on_tpu:
+        del mg, res_mg, solve_mg
+    del mf_s, op_s, diag, b, solve, res, x, residents
+    gc.collect()
+
     # ---- adaptive-mesh apply (BASELINE config 4: hanging nodes active,
     # box-structured tier — VERDICT r1 item 1: >= 0.5 GDoF/s at >= 1M DoFs)
     from tpufem.apps import bmop
