@@ -8,16 +8,27 @@ literature anchor of ~1 GDoF/s for 3D high-order Laplace apply on V100-class
 GPUs (BASELINE.md, approximate — no published reference numbers were
 recoverable); solve lines carry no anchor (vs_baseline = value).
 
-Prints one JSON line per metric; the LAST line is the headline apply.
-Every apply tier is timed and reported (``tiers`` key) — a Pallas/Mosaic
-failure is recorded in ``tier_errors``, never silently swallowed.  The
-fused round-2 kernel has structured-class accuracy (~1e-7 rel), so it is
-both the speed AND the solve tier; per-tier accuracy classes are tabled
-in docs/ROOFLINE.md.
+Driver-robust by design (round-2 postmortem: BENCH_r02 was a timeout with
+ZERO output because every line was buffered to the end):
+- every JSON line prints IMMEDIATELY with flush=True, headline first;
+- a global wall-clock budget (TPUFEM_BENCH_BUDGET_S, default 900 s) gates
+  each section — skipped sections emit an explicit {"skipped": ...} line;
+- subprocess sections are hard-capped (<= 300 s / <= 120 s);
+- the best apply line is re-printed LAST (the driver parses the last line).
+
+Apply rates use the judge's 30-chained-applies protocol (in-jit fori_loop
+of back-to-back applies — the rate a CG iteration actually sustains; the
+per-call dispatch tax on this platform would otherwise dominate).
+
+All programs thread device arrays as jit ARGUMENTS (platform rule, see
+MatrixFree.device_args — closure-captured device constants D2H-hang at
+lowering; this was the root cause of the round-2 bench timeout).
 """
 
+import gc
 import json
 import os
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
@@ -28,341 +39,420 @@ import numpy as np
 
 
 BASELINE_GDOFS = 1.0  # V100-class anchor, BASELINE.md (approximate)
+T0 = time.perf_counter()
+BUDGET_S = float(os.environ.get("TPUFEM_BENCH_BUDGET_S", "900"))
+N_CHAIN = 30  # judge's chained-applies protocol
 
 
-def time_apply(fn, x, reps):
-    """Median-of-reps apply time; fixed input each rep (the operator is
-    unscaled with spectral radius >> 1, so feeding the output back would
-    overflow f32 within ~50 reps and could mask a garbage-producing
-    kernel)."""
-    y = fn(x)
-    y.block_until_ready()  # compile
+def left():
+    return BUDGET_S - (time.perf_counter() - T0)
+
+
+def emit(rec):
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def skip(metric, why):
+    return emit({"metric": metric, "value": 0.0, "unit": "GDoF/s",
+                 "vs_baseline": 0.0, "skipped": why,
+                 "elapsed_s": round(time.perf_counter() - T0, 1)})
+
+
+def err_line(metric, e, unit="GDoF/s"):
+    return emit({"metric": metric, "value": 0.0, "unit": unit,
+                 "vs_baseline": 0.0,
+                 "error": f"{type(e).__name__}: {e}"[:300]})
+
+
+def chain_rate(apply_fn, x, n_dofs, n_chain=N_CHAIN):
+    """Sustained GDoF/s over an in-jit chain of n_chain applies.
+    apply_fn must be traceable with x as its only traced arg."""
+
+    @jax.jit
+    def chain(v):
+        def body(i, v):
+            return apply_fn(v) * 1e-7  # rescale: spectral radius >> 1
+
+        return jax.lax.fori_loop(0, n_chain, body, v)
+
+    y = chain(x)
+    jax.block_until_ready(y)  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(reps):
-        y = fn(x)
-    y.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
+    y = chain(x)
+    jax.block_until_ready(y)
+    dt = (time.perf_counter() - t0) / n_chain
     if not bool(jnp.isfinite(y).all()):
         raise FloatingPointError("apply produced non-finite output")
-    return dt
+    return n_dofs / dt / 1e9, dt
 
 
-def main():
+def apply_line(metric, gdofs, tier, n_dofs, extra=None):
+    rec = {"metric": metric, "value": round(gdofs, 4), "unit": "GDoF/s",
+           "vs_baseline": round(gdofs / BASELINE_GDOFS, 4), "tier": tier,
+           "n_dofs": n_dofs,
+           "elapsed_s": round(time.perf_counter() - T0, 1)}
+    if extra:
+        rec.update(extra)
+    return emit(rec)
+
+
+def subprocess_lines(args, timeout_s):
+    """Run `bench.py <args>` capped; forward its JSON lines as they are
+    parsed (the child prints-and-flushes too, so a timeout loses nothing
+    the child already measured — we read what arrived)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)] + args,
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        stdout, rc, timed_out = out.stdout, out.returncode, False
+    except subprocess.TimeoutExpired as e:
+        stdout = (e.stdout or b"").decode() if isinstance(
+            e.stdout, bytes) else (e.stdout or "")
+        rc, timed_out = -9, True
+    recs = []
+    for ln in (stdout or "").strip().splitlines():
+        try:
+            recs.append(json.loads(ln))
+        except json.JSONDecodeError:
+            pass
+    for r in recs:
+        emit(r)
+    if not recs:
+        emit({"metric": "subprocess" + "_".join(args), "value": 0.0,
+              "unit": "s", "vs_baseline": 0.0,
+              "error": f"rc={rc} timed_out={timed_out}, no JSON output"})
+    return recs
+
+
+def _flagship(dtype="float32", refine=None, scatter="separable",
+              use_pallas=None):
     from tpufem.fem.dof_handler import DoFHandler
     from tpufem.fem.mesh import Mesh
     from tpufem.operators.laplace import LaplaceOperator
     from tpufem.ops.matrix_free import MatrixFree
-    from tpufem.solvers.cg import cg_solve, make_jacobi
     from tpufem.utils.config import FemConfig
 
     on_tpu = jax.devices()[0].platform not in ("cpu",)
-    refine = 6 if on_tpu else 3  # 64^3 cells / 17M dofs on the chip
-    dtype = "float32"
-    lines = []
-
+    if refine is None:
+        refine = int(os.environ.get("TPUFEM_BENCH_REFINE",
+                                    "6" if on_tpu else "3"))
+    if use_pallas is None:
+        use_pallas = on_tpu
     mesh = Mesh.hyper_cube(3, refine)
     dofs = DoFHandler(mesh, 4)
-    x = jnp.ones(dofs.n_dofs, jnp.dtype(dtype))
-    reps = 50 if on_tpu else 3
+    mf = MatrixFree.build(
+        mesh, dofs,
+        FemConfig(dim=3, degree=4, dtype=dtype, scatter=scatter,
+                  use_pallas=use_pallas),
+    )
+    return mesh, dofs, mf, LaplaceOperator(mf), refine
 
-    # ---- apply benchmark: every tier, with attribution -----------------
-    tier_specs = [("separable", False), ("structured", False)]
-    if on_tpu:
-        tier_specs.insert(0, ("separable", True))
+
+def _resident_kernel(refine, mode, dtype="float32"):
+    from tpufem.ops.pallas_separable import ResidentSeparable
+    from tpufem.ops.separable import global_1d_matrices
+
+    n_ax = 1 << refine
+    npts = n_ax * 4 + 1
+    K1u, M1u = global_1d_matrices(4, n_ax, 5)
+    h = 1.0 / n_ax
+    return ResidentSeparable(
+        npts, 4, [np.asarray(K1u / h)] * 3, [np.asarray(M1u * h)] * 3,
+        dtype, mode=mode,
+        interpret=jax.default_backend() == "cpu"), npts**3
+
+
+def main():
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    refine = int(os.environ.get("TPUFEM_BENCH_REFINE",
+                                "6" if on_tpu else "3"))
+    dtype = "float32"
+    n_dofs = ((1 << refine) * 4 + 1) ** 3
+    reps_note = {"protocol": f"in-jit chain of {N_CHAIN} applies",
+                 "budget_s": BUDGET_S}
+
     tiers, tier_errors = {}, {}
+    headline = None
+
+    # ---- 1. HEADLINE FIRST: solver-resident fused kernel applies -------
+    # (halo'd layout in/out — the rate chained CG applies sustain)
+    for mode in (("bf16", "f32") if on_tpu else ()):
+        name = f"resident-{mode}+pallas"
+        if left() < 60:
+            skip("3d_q4_laplace_matrix_free_apply", f"budget: {name}")
+            break
+        try:
+            rk, nd = _resident_kernel(refine, mode, dtype)
+            xr = rk.pad(jnp.ones(nd, jnp.dtype(dtype)))
+            gd, _ = chain_rate(rk.raw, xr, nd)
+            tiers[name] = round(gd, 4)
+            if headline is None or gd > headline[1]:
+                headline = (name, gd)
+            apply_line("3d_q4_laplace_matrix_free_apply", gd, name, nd,
+                       extra={**reps_note, "partial": True})
+            del rk, xr
+            gc.collect()
+        except Exception as e:
+            tier_errors[name] = f"{type(e).__name__}: {e}"[:300]
+            err_line(f"apply_{name}", e)
+
+    # ---- 2. remaining apply tiers, each streamed -----------------------
+    tier_specs = [("separable", True)] if on_tpu else []
+    tier_specs += [("separable", False), ("structured", False)]
     for scheme, pallas in tier_specs:
         name = scheme + ("+pallas" if pallas else "")
+        if left() < 180:
+            skip(f"apply_{name}", "budget")
+            continue
         try:
-            mf = MatrixFree.build(
-                mesh, dofs,
-                FemConfig(dim=3, degree=4, dtype=dtype, scatter=scheme,
-                          use_pallas=pallas),
-            )
-            op = LaplaceOperator(mf)
-            dt = time_apply(op.vmult_raw, x, reps)
-            tiers[name] = round(dofs.n_dofs / dt / 1e9, 4)
-            del mf, op  # ~0.5-1 GB HBM per tier at 17M DoFs
-        except Exception as e:  # record, never hide (a Mosaic regression
-            # must be visible in the JSON, not demote the headline quietly)
+            _, dofs, _, op, _ = _flagship(dtype, refine, scheme, pallas)
+            x = jnp.ones(dofs.n_dofs, jnp.dtype(dtype))
+            dp = op.device_args
+            gd, _ = chain_rate(lambda v: op.vmult_raw_with(dp, v), x,
+                               dofs.n_dofs)
+            tiers[name] = round(gd, 4)
+            if headline is None or gd > headline[1]:
+                headline = (name, gd)
+            apply_line(f"apply_{name}", gd, name, dofs.n_dofs)
+            del op, x, dp
+            gc.collect()
+        except Exception as e:
             tier_errors[name] = f"{type(e).__name__}: {e}"[:300]
-    # solver-resident tiers: halo'd layout in/out, zero pad/unpad — the
-    # rate CG actually sustains (chainability proven in tests/test_pallas)
-    residents = {}
-    if on_tpu:
-        from tpufem.ops.pallas_separable import ResidentSeparable
-        from tpufem.ops.separable import global_1d_matrices
-
-        n_ax = 1 << refine
-        npts = n_ax * 4 + 1
-        K1u, M1u = global_1d_matrices(4, n_ax, 5)
-        h = 1.0 / n_ax
-        Ks_np = [np.asarray(K1u / h)] * 3
-        Ms_np = [np.asarray(M1u * h)] * 3
-        for mode in ("f32", "bf16"):
-            name = f"resident-{mode}+pallas"
-            try:
-                rk = ResidentSeparable(npts, 4, Ks_np, Ms_np, dtype,
-                                       mode=mode)
-                xr = rk.pad(x)
-                dt = time_apply(rk._raw_jit, xr, reps)
-                tiers[name] = round(dofs.n_dofs / dt / 1e9, 4)
-                residents[mode] = rk
-            except Exception as e:
-                tier_errors[name] = f"{type(e).__name__}: {e}"[:300]
+            err_line(f"apply_{name}", e)
 
     if not tiers:
         raise RuntimeError(f"all apply tiers failed: {tier_errors}")
-    best_tier = max(tiers, key=tiers.get)
 
-    # ---- whole-solve benchmark (BASELINE metric "and CG solve time") ---
-    # The round-2 fused kernel has structured-class accuracy (~1e-7 rel,
-    # banded short reductions — see ops/pallas_separable.py), so it powers
-    # the solve too; CPU falls back to the structured tier.
+    # ---- 3. whole-solve benchmarks (BASELINE "and CG solve time") ------
     solve_rtol = 1e-5
-    solve_tier = "separable+pallas" if on_tpu else "structured"
-    mf_s = MatrixFree.build(
-        mesh, dofs,
-        FemConfig(dim=3, degree=4, dtype=dtype,
-                  scatter="separable" if on_tpu else "structured",
-                  use_pallas=on_tpu),
-    )
-    op_s = LaplaceOperator(mf_s)
-    diag = op_s.diagonal()
-    rng = np.random.default_rng(7)
-    mask = np.asarray(mf_s.interior_mask, np.float64)
-    b = jnp.asarray(mask * rng.standard_normal(dofs.n_dofs),
-                    jnp.dtype(dtype))
-    solve = jax.jit(lambda b_: cg_solve(
-        op_s.vmult, b_, M_inv=make_jacobi(diag), rtol=solve_rtol))
-    jax.block_until_ready(solve(b).x)  # compile + warm
-    t0 = time.perf_counter()
-    res = solve(b)
-    jax.block_until_ready(res.x)
-    t_jac = time.perf_counter() - t0
-    lines.append({
-        "metric": "3d_q4_jacobi_cg_solve",
-        "value": round(t_jac, 4), "unit": "s",
-        "vs_baseline": round(t_jac, 4),
-        "iterations": int(res.iterations),
-        "converged": bool(res.converged),
-        "residual": float(res.residual),
-        "rtol": solve_rtol, "n_dofs": dofs.n_dofs, "tier": solve_tier,
-    })
-
-    # solver-resident solves run in a FRESH SUBPROCESS: cumulative
-    # process state (allocator churn from the per-call tier timings)
-    # degrades the resident-GMG program ~70x in-context, while a clean
-    # process measures 0.21-0.24 s — the same platform quirk class as
-    # the documented dispatch poisoning (docs/ROOFLINE.md); the compile
-    # cache makes the subprocess cheap.
-    if on_tpu:
-        import subprocess
-        import sys
-
+    if left() > 240:
         try:
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--resident-solves"],
-                capture_output=True, text=True, timeout=3000,
-            )
-            got = 0
-            for ln in out.stdout.strip().splitlines():
-                try:
-                    lines.append(json.loads(ln))
-                    got += 1
-                except json.JSONDecodeError:
-                    pass
-            if out.returncode != 0 or got == 0:
-                lines.append({
-                    "metric": "resident_solves_subprocess",
-                    "value": 0.0, "unit": "s", "vs_baseline": 0.0,
-                    "error": (out.stderr or "no output")[-300:],
-                })
-        except Exception as e:
-            lines.append({
-                "metric": "resident_solves_subprocess",
-                "value": 0.0, "unit": "s", "vs_baseline": 0.0,
-                "error": f"{type(e).__name__}: {e}"[:300],
+            from tpufem.solvers.cg import cg_solve
+
+            solve_tier = "separable+pallas" if on_tpu else "structured"
+            _, dofs, _, op_s, _ = _flagship(
+                dtype, refine, "separable" if on_tpu else "structured",
+                on_tpu)
+            diag = op_s.diagonal()
+            rng = np.random.default_rng(7)
+            mask = np.asarray(op_s.mf.interior_mask, np.float64)
+            b = jnp.asarray(mask * rng.standard_normal(dofs.n_dofs),
+                            jnp.dtype(dtype))
+            inv_diag = 1.0 / diag
+            solve = jax.jit(lambda dp_, id_, b_: cg_solve(
+                lambda v: op_s.vmult_with(dp_, v), b_,
+                M_inv=lambda r: id_ * r, rtol=solve_rtol))
+            sargs = (op_s.device_args, inv_diag)
+            jax.block_until_ready(solve(*sargs, b).x)  # compile + warm
+            t0 = time.perf_counter()
+            res = solve(*sargs, b)
+            jax.block_until_ready(res.x)
+            t_jac = time.perf_counter() - t0
+            emit({
+                "metric": "3d_q4_jacobi_cg_solve",
+                "value": round(t_jac, 4), "unit": "s",
+                "vs_baseline": round(t_jac, 4),
+                "iterations": int(res.iterations),
+                "converged": bool(res.converged),
+                "residual": float(res.residual),
+                "rtol": solve_rtol, "n_dofs": dofs.n_dofs,
+                "tier": solve_tier,
+                "elapsed_s": round(time.perf_counter() - T0, 1),
             })
+            del op_s, diag, b, solve, res, sargs, inv_diag
+            gc.collect()
+        except Exception as e:
+            err_line("3d_q4_jacobi_cg_solve", e, unit="s")
+    else:
+        skip("3d_q4_jacobi_cg_solve", "budget")
 
+    if on_tpu and left() > 240:
+        try:
+            from tpufem.solvers.cg import cg_solve
+            from tpufem.solvers.multigrid import GeometricMultigrid
+
+            mg = GeometricMultigrid(3, 4, refine, coarsest_refine=1,
+                                    dtype=dtype, use_pallas=True)
+            rng = np.random.default_rng(7)
+            mask = np.asarray(mg.fine.mask, np.float64)
+            nd = mg.fine.mf.n_dofs
+            b = jnp.asarray(mask * rng.standard_normal(nd),
+                            jnp.dtype(dtype))
+            solve_mg = jax.jit(lambda dp_, gdp_, b_: cg_solve(
+                lambda v: mg.fine.op.vmult_with(dp_, v), b_,
+                M_inv=lambda r: mg.preconditioner_with(gdp_, r),
+                rtol=solve_rtol))
+            margs = (mg.fine.op.device_args, mg.device_args)
+            jax.block_until_ready(solve_mg(*margs, b).x)
+            t0 = time.perf_counter()
+            res_mg = solve_mg(*margs, b)
+            jax.block_until_ready(res_mg.x)
+            t_mg = time.perf_counter() - t0
+            emit({
+                "metric": "3d_q4_gmg_cg_solve",
+                "value": round(t_mg, 4), "unit": "s",
+                "vs_baseline": round(t_mg, 4),
+                "iterations": int(res_mg.iterations),
+                "converged": bool(res_mg.converged),
+                "residual": float(res_mg.residual),
+                "rtol": solve_rtol, "n_dofs": nd,
+                "tier": "separable+pallas",
+                "elapsed_s": round(time.perf_counter() - T0, 1),
+            })
+            del mg, b, solve_mg, res_mg, margs
+            gc.collect()
+        except Exception as e:
+            err_line("3d_q4_gmg_cg_solve", e, unit="s")
+    elif on_tpu:
+        skip("3d_q4_gmg_cg_solve", "budget")
+
+    # ---- 4. solver-resident solves in capped fresh subprocesses --------
+    # (fresh process: cumulative allocator state degraded these programs
+    # in round 2 — docs/ROOFLINE.md; the compile cache makes it cheap)
     if on_tpu:
-        from tpufem.solvers.multigrid import GeometricMultigrid
+        if left() > 320:
+            subprocess_lines(["--resident-jacobi"],
+                             timeout_s=min(300, left() - 20))
+        else:
+            skip("3d_q4_jacobi_cg_solve_resident", "budget")
+        # resident-GMG: bimodal on this platform (docs/ROOFLINE.md) —
+        # bound it: median of 3 capped fresh runs, all values reported
+        vals = []
+        for i in range(3):
+            if left() < 140:
+                break
+            recs = subprocess_lines(["--resident-gmg"],
+                                    timeout_s=min(120, left() - 20))
+            for r in recs:
+                if r.get("metric") == "3d_q4_gmg_cg_solve_resident_once" \
+                        and r.get("value", 0) > 0:
+                    vals.append(r["value"])
+        if vals:
+            med = sorted(vals)[len(vals) // 2]
+            emit({"metric": "3d_q4_gmg_cg_solve_resident",
+                  "value": med, "unit": "s", "vs_baseline": med,
+                  "values": vals, "runs": len(vals),
+                  "tier": "resident+pallas (median of capped fresh "
+                          "subprocesses)",
+                  "elapsed_s": round(time.perf_counter() - T0, 1)})
+        else:
+            skip("3d_q4_gmg_cg_solve_resident",
+                 "budget or all capped runs failed")
 
-        mg = GeometricMultigrid(3, 4, refine, coarsest_refine=1,
-                                dtype=dtype, use_pallas=True)
-        solve_mg = jax.jit(lambda b_: cg_solve(
-            mg.fine.op.vmult, b_, M_inv=mg.preconditioner(),
-            rtol=solve_rtol))
-        jax.block_until_ready(solve_mg(b).x)
-        t0 = time.perf_counter()
-        res_mg = solve_mg(b)
-        jax.block_until_ready(res_mg.x)
-        t_mg = time.perf_counter() - t0
-        lines.append({
-            "metric": "3d_q4_gmg_cg_solve",
-            "value": round(t_mg, 4), "unit": "s",
-            "vs_baseline": round(t_mg, 4),
-            "iterations": int(res_mg.iterations),
-            "converged": bool(res_mg.converged),
-            "residual": float(res_mg.residual),
-            "rtol": solve_rtol, "n_dofs": dofs.n_dofs,
-            "tier": "separable+pallas",
-        })
-
-    # free the 17M-DoF solver state before the adaptive/curved sections
-    # (HBM headroom: the GMG hierarchy + solve programs hold ~2 GB and
-    # the curved general-metric tier needs ~1.5 GB of its own)
-    import gc
-
-    if on_tpu:
-        del mg, res_mg, solve_mg
-    del mf_s, op_s, diag, b, solve, res, x, residents
-    gc.collect()
-
-    # ---- adaptive-mesh apply (BASELINE config 4: hanging nodes active,
-    # box-structured tier — VERDICT r1 item 1: >= 0.5 GDoF/s at >= 1M DoFs)
+    # ---- 5. adaptive-mesh apply (BASELINE config 4) --------------------
     from tpufem.apps import bmop
 
-    try:
-        rec = bmop.bench_adaptive(
-            3, 4 if on_tpu else 2, 4 if on_tpu else 2, 2, dtype,
-            reps=reps if on_tpu else 2)
-        lines.append({
-            "metric": "3d_adaptive_hanging_nodes_apply",
-            "value": round(rec["gdofs_per_s"], 4), "unit": "GDoF/s",
-            "vs_baseline": round(rec["gdofs_per_s"], 4),
-            "n_dofs": rec["n_dofs"], "n_hanging": rec["n_hanging"],
-            "degree": rec["degree"], "tier": "boxes",
-            "patch_overhead": rec["patch_overhead"],
-        })
-    except Exception as e:
-        lines.append({"metric": "3d_adaptive_hanging_nodes_apply",
-                      "value": 0.0, "unit": "GDoF/s", "vs_baseline": 0.0,
-                      "error": f"{type(e).__name__}: {e}"[:300]})
+    if left() > 150:
+        try:
+            rec = bmop.bench_adaptive(
+                3, 4 if on_tpu else 2, 4 if on_tpu else 2, 2, dtype,
+                reps=N_CHAIN if on_tpu else 2)
+            apply_line("3d_adaptive_hanging_nodes_apply",
+                       rec["gdofs_per_s"], "boxes", rec["n_dofs"],
+                       extra={"n_hanging": rec["n_hanging"],
+                              "degree": rec["degree"],
+                              "patch_overhead": rec["patch_overhead"]})
+        except Exception as e:
+            err_line("3d_adaptive_hanging_nodes_apply", e)
+    else:
+        skip("3d_adaptive_hanging_nodes_apply", "budget")
 
-    # ---- curved-geometry apply (3D shell, general-metric structured
-    # tier — VERDICT r1 item 7: >= 0.5 GDoF/s)
-    try:
-        rec = bmop.bench_curved(3, 4 if on_tpu else 2, 5 if on_tpu else 1,
-                                dtype, reps=reps if on_tpu else 2)
-        lines.append({
-            "metric": "3d_shell_curved_apply",
-            "value": round(rec["gdofs_per_s"], 4), "unit": "GDoF/s",
-            "vs_baseline": round(rec["gdofs_per_s"], 4),
-            "n_dofs": rec["n_dofs"], "degree": rec["degree"],
-            "tier": rec["scheme"],
-        })
-    except Exception as e:
-        lines.append({"metric": "3d_shell_curved_apply",
-                      "value": 0.0, "unit": "GDoF/s", "vs_baseline": 0.0,
-                      "error": f"{type(e).__name__}: {e}"[:300]})
+    # ---- 6. curved-geometry apply (3D shell) ---------------------------
+    if left() > 150:
+        try:
+            rec = bmop.bench_curved(3, 4 if on_tpu else 2,
+                                    5 if on_tpu else 1, dtype,
+                                    reps=N_CHAIN if on_tpu else 2)
+            apply_line("3d_shell_curved_apply", rec["gdofs_per_s"],
+                       rec["scheme"], rec["n_dofs"],
+                       extra={"degree": rec["degree"],
+                              "tiers_gdofs": rec["tiers_gdofs"]})
+        except Exception as e:
+            err_line("3d_shell_curved_apply", e)
+    else:
+        skip("3d_shell_curved_apply", "budget")
 
-    # ---- headline line LAST ------------------------------------------
-    gdofs = tiers[best_tier]
-    lines.append({
-        "metric": "3d_q4_laplace_matrix_free_apply",
-        "value": gdofs, "unit": "GDoF/s",
-        "vs_baseline": round(gdofs / BASELINE_GDOFS, 4),
-        "tier": best_tier, "tiers": tiers, "tier_errors": tier_errors,
-        "n_dofs": dofs.n_dofs,
-    })
-    for ln in lines:
-        print(json.dumps(ln))
+    # ---- headline line LAST (driver parses the last line) --------------
+    best_tier = max(tiers, key=tiers.get)
+    apply_line("3d_q4_laplace_matrix_free_apply", tiers[best_tier],
+               best_tier, n_dofs,
+               extra={**reps_note, "tiers": tiers,
+                      "tier_errors": tier_errors})
 
 
-def resident_solves():
-    """Fresh-process measurement of the solver-resident solves (see the
-    subprocess note in main).  Prints one JSON line per solve."""
-    from tpufem.fem.dof_handler import DoFHandler
-    from tpufem.fem.mesh import Mesh
-    from tpufem.operators.laplace import LaplaceOperator
-    from tpufem.ops.matrix_free import MatrixFree
-    from tpufem.ops.pallas_separable import ResidentSeparable
-    from tpufem.ops.separable import global_1d_matrices
-    from tpufem.solvers.multigrid import GeometricMultigrid
-    from tpufem.solvers.resident import resident_gmg_cg, resident_jacobi_cg
-    from tpufem.utils.config import FemConfig
+def resident_jacobi():
+    """Fresh-process solver-resident Jacobi-CG (prints one JSON line)."""
+    from tpufem.solvers.resident import resident_jacobi_cg
 
-    refine, dtype, solve_rtol = 6, "float32", 1e-5
-    mesh = Mesh.hyper_cube(3, refine)
-    dofs = DoFHandler(mesh, 4)
-    mf_s = MatrixFree.build(
-        mesh, dofs,
-        FemConfig(dim=3, degree=4, dtype=dtype, scatter="separable",
-                  use_pallas=True),
-    )
-    op_s = LaplaceOperator(mf_s)
+    refine = int(os.environ.get("TPUFEM_BENCH_REFINE", "6"))
+    solve_rtol = 1e-5
+    _, dofs, _, op_s, _ = _flagship("float32", refine, "separable", True)
     diag = op_s.diagonal()
-    rng = np.random.default_rng(7)  # same rhs as the main process
-    mask = np.asarray(mf_s.interior_mask, np.float64)
-    b = jnp.asarray(mask * rng.standard_normal(dofs.n_dofs),
-                    jnp.dtype(dtype))
+    rng = np.random.default_rng(7)
+    mask = np.asarray(op_s.mf.interior_mask, np.float64)
+    b = jnp.asarray(mask * rng.standard_normal(dofs.n_dofs), jnp.float32)
+    for mode in ("f32", "bf16"):
+        try:
+            if mode == "bf16":
+                rk, _ = _resident_kernel(refine, "bf16")
+                op_s.mf.resident = rk
+            jax.block_until_ready(resident_jacobi_cg(
+                op_s, b, diag=diag, rtol=solve_rtol).x)  # compile + warm
+            t0 = time.perf_counter()
+            res = resident_jacobi_cg(op_s, b, diag=diag, rtol=solve_rtol)
+            jax.block_until_ready(res.x)
+            dt = round(time.perf_counter() - t0, 4)
+            emit({"metric": "3d_q4_jacobi_cg_solve_resident",
+                  "value": dt, "unit": "s", "vs_baseline": dt,
+                  "iterations": int(res.iterations),
+                  "converged": bool(res.converged),
+                  "residual": float(res.residual), "rtol": solve_rtol,
+                  "n_dofs": dofs.n_dofs,
+                  "tier": f"resident-{mode}+pallas (fresh process)"})
+        except Exception as e:
+            err_line(f"3d_q4_jacobi_cg_solve_resident_{mode}", e,
+                     unit="s")
 
-    def bf16_kernel():
-        n_ax = 1 << refine
-        K1u, M1u = global_1d_matrices(4, n_ax, 5)
-        h = 1.0 / n_ax
-        return ResidentSeparable(
-            n_ax * 4 + 1, 4, [np.asarray(K1u / h)] * 3,
-            [np.asarray(M1u * h)] * 3, dtype, mode="bf16")
 
-    def run(metric, solver, set_kernel):
-        own = set_kernel("f32", None)
-        for mode in ("f32", "bf16"):
-            try:
-                if mode == "f32":
-                    if own is None:
-                        continue
-                else:
-                    set_kernel(mode, bf16_kernel())
-                solver()  # compile + warm
-                t0 = time.perf_counter()
-                res = solver()
-                jax.block_until_ready(res.x)
-                dt = round(time.perf_counter() - t0, 4)
-                print(json.dumps({
-                    "metric": metric,
-                    "value": dt,
-                    "unit": "s",
-                    "vs_baseline": dt,
-                    "iterations": int(res.iterations),
-                    "converged": bool(res.converged),
-                    "residual": float(res.residual),
-                    "rtol": solve_rtol, "n_dofs": dofs.n_dofs,
-                    "tier": f"resident-{mode}+pallas (fresh process)",
-                }), flush=True)
-                return
-            except Exception as e:
-                print(json.dumps({
-                    "metric": metric, "value": 0.0, "unit": "s",
-                    "vs_baseline": 0.0,
-                    "tier": f"resident-{mode}+pallas",
-                    "error": f"{type(e).__name__}: {e}"[:300],
-                }), flush=True)
+def resident_gmg():
+    """Fresh-process resident-GMG CG, ONE timed run (the parent takes the
+    median of three of these)."""
+    from tpufem.solvers.multigrid import GeometricMultigrid
+    from tpufem.solvers.resident import resident_gmg_cg
 
-    run("3d_q4_jacobi_cg_solve_resident",
-        lambda: resident_jacobi_cg(op_s, b, diag=diag, rtol=solve_rtol),
-        lambda mode, rk: (mf_s.resident if rk is None
-                          else setattr(mf_s, "resident", rk)))
-
-    mg = GeometricMultigrid(3, 4, refine, coarsest_refine=1, dtype=dtype,
-                            use_pallas=True)
-
-    def set_mg(mode, rk):
-        if rk is None:
-            return mg.fine.mf.resident
-        mg.fine.mf.resident = rk
-        mg._resident_cg_cache = None
-        return rk
-
-    run("3d_q4_gmg_cg_solve_resident",
-        lambda: resident_gmg_cg(mg, b, rtol=solve_rtol), set_mg)
+    refine = int(os.environ.get("TPUFEM_BENCH_REFINE", "6"))
+    solve_rtol = 1e-5
+    try:
+        mg = GeometricMultigrid(3, 4, refine, coarsest_refine=1,
+                                dtype="float32", use_pallas=True)
+        rng = np.random.default_rng(7)
+        mask = np.asarray(mg.fine.mask, np.float64)
+        nd = mg.fine.mf.n_dofs
+        b = jnp.asarray(mask * rng.standard_normal(nd), jnp.float32)
+        jax.block_until_ready(
+            resident_gmg_cg(mg, b, rtol=solve_rtol).x)  # compile + warm
+        t0 = time.perf_counter()
+        res = resident_gmg_cg(mg, b, rtol=solve_rtol)
+        jax.block_until_ready(res.x)
+        dt = round(time.perf_counter() - t0, 4)
+        emit({"metric": "3d_q4_gmg_cg_solve_resident_once",
+              "value": dt, "unit": "s", "vs_baseline": dt,
+              "iterations": int(res.iterations),
+              "converged": bool(res.converged),
+              "residual": float(res.residual), "rtol": solve_rtol,
+              "n_dofs": nd, "tier": "resident+pallas (fresh process)"})
+    except Exception as e:
+        err_line("3d_q4_gmg_cg_solve_resident_once", e, unit="s")
 
 
 if __name__ == "__main__":
-    import sys
-
-    if "--resident-solves" in sys.argv:
-        resident_solves()
+    if "--resident-jacobi" in sys.argv:
+        resident_jacobi()
+    elif "--resident-gmg" in sys.argv:
+        resident_gmg()
     else:
         main()

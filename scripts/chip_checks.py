@@ -52,11 +52,14 @@ def main():
     mask = np.asarray(mf.interior_mask, np.float64)
     b = jnp.asarray(mask * rng.standard_normal(dofs.n_dofs), jnp.float32)
 
-    solve = jax.jit(lambda b_: cg_solve(
-        op.vmult, b_, M_inv=make_jacobi(diag), rtol=1e-5))
-    r1 = solve(b)
+    inv_diag = 1.0 / diag
+    solve = jax.jit(lambda dp_, id_, b_: cg_solve(
+        lambda v: op.vmult_with(dp_, v), b_,
+        M_inv=lambda r: id_ * r, rtol=1e-5))
+    sargs = (op.device_args, inv_diag)
+    r1 = solve(*sargs, b)
     jax.block_until_ready(r1.x)
-    r2 = solve(b)
+    r2 = solve(*sargs, b)
     jax.block_until_ready(r2.x)
     bitwise = bool(jnp.all(r1.x == r2.x))
     same_iters = int(r1.iterations) == int(r2.iterations)
@@ -72,11 +75,13 @@ def main():
 
     gmg = GeometricMultigrid(dim, p, refine, coarsest_refine=1,
                              dtype="float32", use_pallas=on_tpu)
-    solve_mg = jax.jit(lambda b_: cg_solve(
-        gmg.fine.op.vmult, b_, M_inv=gmg.preconditioner(), rtol=1e-5))
-    m1 = solve_mg(b)
+    solve_mg = jax.jit(lambda dp_, gdp_, b_: cg_solve(
+        lambda v: gmg.fine.op.vmult_with(dp_, v), b_,
+        M_inv=lambda r: gmg.preconditioner_with(gdp_, r), rtol=1e-5))
+    margs = (gmg.fine.op.device_args, gmg.device_args)
+    m1 = solve_mg(*margs, b)
     jax.block_until_ready(m1.x)
-    m2 = solve_mg(b)
+    m2 = solve_mg(*margs, b)
     jax.block_until_ready(m2.x)
     bitwise_mg = bool(jnp.all(m1.x == m2.x))
     same_mg = int(m1.iterations) == int(m2.iterations)

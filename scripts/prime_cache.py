@@ -62,10 +62,11 @@ def main():
 
     def jacobi():
         op = ops["separable+pallas" if on_tpu else "structured"]
-        diag = op.diagonal()
-        solve = jax.jit(lambda b_: cg_solve(
-            op.vmult, b_, M_inv=make_jacobi(diag), rtol=1e-5, maxiter=3))
-        jax.block_until_ready(solve(x).x)
+        inv_diag = 1.0 / op.diagonal()
+        solve = jax.jit(lambda dp_, id_, b_: cg_solve(
+            lambda v: op.vmult_with(dp_, v), b_,
+            M_inv=lambda r: id_ * r, rtol=1e-5, maxiter=3))
+        jax.block_until_ready(solve(op.device_args, inv_diag, x).x)
 
     step("jacobi-cg (bench shape)", jacobi)
 
@@ -74,10 +75,12 @@ def main():
 
         mg = GeometricMultigrid(3, 4, refine, coarsest_refine=1,
                                 dtype="float32", use_pallas=on_tpu)
-        solve = jax.jit(lambda b_: cg_solve(
-            mg.fine.op.vmult, b_, M_inv=mg.preconditioner(), rtol=1e-5,
+        solve = jax.jit(lambda dp_, gdp_, b_: cg_solve(
+            lambda v: mg.fine.op.vmult_with(dp_, v), b_,
+            M_inv=lambda r: mg.preconditioner_with(gdp_, r), rtol=1e-5,
             maxiter=2))
-        jax.block_until_ready(solve(x).x)
+        jax.block_until_ready(
+            solve(mg.fine.op.device_args, mg.device_args, x).x)
 
     step("gmg-cg (bench shape)", gmg)
 

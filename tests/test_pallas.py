@@ -94,6 +94,37 @@ def test_resident_matches_separable_and_chains(p, n, tile):
     assert np.linalg.norm(y2 - y2_ref) / np.linalg.norm(y2_ref) < 1e-12
 
 
+@pytest.mark.parametrize("p,n", [(2, 16), (4, 8)])
+def test_resident_bf16_storage_mode(p, n):
+    """bf16s mode: vectors stored bf16 (the DMA-halving lever), f32
+    compute — accuracy must stay in the input-quantization class
+    (~1e-2 rel), layout invariants identical to f32 mode."""
+    npts = n * p + 1
+    K1u, M1u = global_1d_matrices(p, n, p + 1)
+    h = 1.0 / n
+    Ks_np = [np.asarray(K1u / h)] * 3
+    Ms_np = [np.asarray(M1u * h)] * 3
+    Ks = [jnp.asarray(K1u / h)] * 3
+    Ms = [jnp.asarray(M1u * h)] * 3
+    rng = np.random.default_rng(2)
+    u = rng.standard_normal(npts**3)
+    y_ref = np.asarray(laplace_apply_separable(jnp.asarray(u), 3, npts,
+                                               Ks, Ms))
+    rk = ResidentSeparable(npts, p, Ks_np, Ms_np, "float32", mode="bf16s",
+                           interpret=True)
+    assert rk.dt == jnp.dtype(jnp.bfloat16)  # storage dtype
+    gp = rk.pad(jnp.asarray(u, jnp.float32))
+    y1 = rk.raw(gp)
+    assert y1.dtype == jnp.dtype(jnp.bfloat16)
+    y = np.asarray(rk.unpad(y1), np.float64)
+    nrm = np.linalg.norm(y_ref)
+    assert np.linalg.norm(y - y_ref) / nrm < 2e-2
+    # kernel-side halo/overhang zeroing (chainability)
+    hz = np.asarray(y1, np.float32).copy()
+    hz[rk.p : rk.p + npts, rk.H : rk.H + npts, :npts] = 0.0
+    assert np.all(hz == 0.0), "halo/overhang not zeroed by the kernel"
+
+
 def test_resident_cg_matches_flat_cg():
     """Whole solve in the halo'd layout: same iteration count and
     solution as the flat-vector CG."""

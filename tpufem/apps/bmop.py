@@ -123,16 +123,16 @@ def bench_curved(dim, p, refine, dtype, reps):
         op = LaplaceOperator(mf)
 
         @jax.jit
-        def chain(x):
+        def chain(dp, x):
             def body(i, v):
-                return op.vmult_raw(v) * 1e-7
+                return op.vmult_raw_with(dp, v) * 1e-7
 
             return jax.lax.fori_loop(0, n_chain, body, x)
 
-        y = chain(x)
+        y = chain(op.device_args, x)
         jax.block_until_ready(y)
         t0 = time.perf_counter()
-        y = chain(x)
+        y = chain(op.device_args, x)
         jax.block_until_ready(y)
         dt = (time.perf_counter() - t0) / n_chain
         if not bool(jnp.isfinite(y).all()):
@@ -212,7 +212,7 @@ def bench_config(dim, p, refine, dtype, scatter, reps, with_spmv=False):
         A = EllMatrix.from_csr(assemble_laplace(dofs), jnp.dtype(dtype))
         import jax
 
-        mv = jax.jit(A.matvec)
+        mv = A.matvec  # jitted internally, arrays as args
         dt_s = time_fn(mv, x, reps=reps)
         rec["spmv_s_per_apply"] = dt_s
         rec["spmv_gdofs_per_s"] = dofs.n_dofs / dt_s / 1e9

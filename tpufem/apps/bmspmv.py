@@ -36,7 +36,7 @@ def bench_spmv(dim, p, refine, dtype, reps, check=True):
     dofs = DoFHandler(mesh, p)
     K = assemble_laplace(dofs)
     A = EllMatrix.from_csr(K, jnp.dtype(dtype))
-    mv = jax.jit(A.matvec)
+    mv = A.matvec  # jitted internally, arrays as args
     x = jnp.ones(dofs.n_dofs, jnp.dtype(dtype))
     rec = {
         "bench": "bmspmv",

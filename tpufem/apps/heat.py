@@ -73,12 +73,14 @@ def run_heat(
         # nodal interpolation of u0
         u = jnp.asarray(mask * u0_fn(dofs.dof_coords), jnp.dtype(dtype))
 
-    solve = jax.jit(lambda rhs, x0: cg_solve(
-        A.vmult, rhs, x0=x0, rtol=rtol))
+    # device arrays as jit ARGUMENTS (platform rule: see
+    # MatrixFree.device_args)
+    solve = jax.jit(lambda dpa_, rhs, x0: cg_solve(
+        lambda v: A.vmult_with(dpa_, v), rhs, x0=x0, rtol=rtol))
 
     for n in range(start, steps):
         rhs = mask * M.vmult_raw(u)
-        res = solve(rhs, u)
+        res = solve(A.device_args, rhs, u)
         if not bool(res.converged):
             import sys
 

@@ -24,7 +24,7 @@ from tpufem.fem.dof_handler import DoFHandler
 from tpufem.fem.mesh import Mesh
 from tpufem.operators.laplace import LaplaceOperator
 from tpufem.ops.matrix_free import MatrixFree
-from tpufem.solvers.cg import cg_solve, make_jacobi
+from tpufem.solvers.cg import cg_solve
 from tpufem.utils.config import FemConfig
 
 
@@ -136,14 +136,19 @@ def solve_poisson(
     import jax
 
     # jit once: re-calling must not re-trace (a 5-level V-cycle/while_loop
-    # trace alone costs tens of seconds on a small host)
-    solve = jax.jit(lambda b_, x0_: cg_solve(
-        op.vmult, b_, M_inv=make_jacobi(diag), x0=x0_, rtol=rtol))
+    # trace alone costs tens of seconds on a small host).  All device
+    # arrays (operator metric/index data, the Jacobi diagonal) enter the
+    # program as ARGUMENTS — closure-captured device constants D2H-hang
+    # at lowering on this platform (see MatrixFree.device_args).
+    inv_diag = 1.0 / diag
+    solve = jax.jit(lambda dp_, inv_d_, b_, x0_: cg_solve(
+        lambda v: op.vmult_with(dp_, v), b_,
+        M_inv=lambda r: inv_d_ * r, x0=x0_, rtol=rtol))
     if warm:
         # compile + run once so solve_time reports the steady state
-        jax.block_until_ready(solve(b_con, x0).x)
+        jax.block_until_ready(solve(op.device_args, inv_diag, b_con, x0).x)
     t1 = time.perf_counter()
-    res = solve(b_con, x0)
+    res = solve(op.device_args, inv_diag, b_con, x0)
     jax.block_until_ready(res.x)
     x = np.asarray(mf.distribute(res.x))
     iters = int(res.iterations)

@@ -71,11 +71,11 @@ def solve_poisson_mg(
         op_f = _LO(mf_f)
         solve_dt = _jnp.dtype(dtype)
         pre_dt = _jnp.dtype(precond_dtype)
-        inner = gmg.preconditioner()
-        precond = lambda r: inner(r.astype(pre_dt)).astype(solve_dt)
+        precond_with = lambda gdp_, r: gmg.preconditioner_with(
+            gdp_, r.astype(pre_dt)).astype(solve_dt)
         fine_mf, fine_op = mf_f, op_f
     else:
-        precond = gmg.preconditioner()
+        precond_with = gmg.preconditioner_with
         fine_mf, fine_op = gmg.fine.mf, gmg.fine.op
     mf = fine_mf
     dofs = mf.dofs
@@ -90,13 +90,17 @@ def solve_poisson_mg(
 
     import jax
 
-    M_inv = precond
-    solve = jax.jit(lambda b_, x0_: cg_solve(
-        op.vmult, b_, M_inv=M_inv, x0=x0_, rtol=rtol))
+    # every device array (fine operator data + the whole V-cycle
+    # hierarchy) enters the jitted solve as an ARGUMENT (platform rule,
+    # see MatrixFree.device_args)
+    solve = jax.jit(lambda dp_, gdp_, b_, x0_: cg_solve(
+        lambda v: op.vmult_with(dp_, v), b_,
+        M_inv=lambda r: precond_with(gdp_, r), x0=x0_, rtol=rtol))
+    sargs = (op.device_args, gmg.device_args)
     if warm:
-        jax.block_until_ready(solve(b_con, x0).x)
+        jax.block_until_ready(solve(*sargs, b_con, x0).x)
     t1 = time.perf_counter()
-    res = solve(b_con, x0)
+    res = solve(*sargs, b_con, x0)
     jax.block_until_ready(res.x)
     x = np.asarray(res.x)
     solve_time = time.perf_counter() - t1

@@ -9,48 +9,71 @@ The reference's ``LocalLaplace`` functor is one instance; mass and
 Helmholtz operators are others.
 
 TPU-native form: the functor maps whole *batched* arrays
-  (values (nc, nq) | None, grads (nc, dim, nq) | None, points, mf)
+  (values (nc, nq) | None, grads (nc, dim, nq) | None, ctx)
     -> (submit_values | None, submit_grads | None)
 in physical space; the framework handles basis transforms, the metric
-(J^-T / JxW) and gather/scatter.  Runs on any mesh via the gather-based
-schemes; the specialized Laplace tiers (separable/dense/structured) remain
-the fast path for the flagship operator.
+(J^-T / JxW) and gather/scatter.  ``ctx`` exposes the traced per-cell
+data (``ctx.coef_q``) plus static config.  Runs on any mesh via the
+gather-based schemes; the specialized Laplace tiers
+(separable/dense/structured) remain the fast path for the flagship
+operator.
+
+All large device arrays (metric, masks, index maps) arrive via the
+``dp = MatrixFree.device_args()`` pytree passed as a jit ARGUMENT —
+never captured as closure constants (platform rule: device constants
+force a D2H fetch at lowering that hangs on this machine's remote-TPU
+runtime; docs/ROOFLINE.md round 3).
 """
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional
+import dataclasses
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
 
+from tpufem.operators.laplace import (
+    _scatter_with,
+    distribute_transpose_with,
+    distribute_with,
+)
 from tpufem.ops import tensor_ops as tops
 from tpufem.ops.matrix_free import MatrixFree
 
 
-def _ref_to_phys_grad(mf: MatrixFree, g_ref):
+@dataclasses.dataclass
+class QuadContext:
+    """What a quadrature-point functor may read: static config plus the
+    traced per-cell arrays of the current apply."""
+
+    config: Any
+    metric_kind: str
+    coef_q: Any  # (nc, nq) traced array or None
+
+
+def _ref_to_phys_grad(mf: MatrixFree, dp, g_ref):
     """g_phys[a] = sum_b invJ[b,a] g_ref[b]."""
     if mf.metric_kind == "cartesian":
-        return g_ref * mf.inv_h[:, :, None]
+        return g_ref * dp["inv_h"][:, :, None]
     hp = jax.lax.Precision.HIGHEST
-    return jnp.einsum("cqba,cbq->caq", mf.inv_jac, g_ref, precision=hp)
+    return jnp.einsum("cqba,cbq->caq", dp["inv_jac"], g_ref, precision=hp)
 
 
-def _phys_to_ref_grad_weighted(mf: MatrixFree, g_phys):
+def _phys_to_ref_grad_weighted(mf: MatrixFree, dp, g_phys):
     """t_ref[b] = sum_a invJ[b,a] g_phys[a] * JxW."""
     if mf.metric_kind == "cartesian":
-        jxw = mf.det[:, None] * mf.w_q[None, :]
-        return g_phys * mf.inv_h[:, :, None] * jxw[:, None, :]
+        jxw = dp["det"][:, None] * dp["w_q"][None, :]
+        return g_phys * dp["inv_h"][:, :, None] * jxw[:, None, :]
     hp = jax.lax.Precision.HIGHEST
-    gw = g_phys * mf.jxw[:, None, :]
-    return jnp.einsum("cqba,caq->cbq", mf.inv_jac, gw, precision=hp)
+    gw = g_phys * dp["jxw"][:, None, :]
+    return jnp.einsum("cqba,caq->cbq", dp["inv_jac"], gw, precision=hp)
 
 
-def _jxw(mf: MatrixFree):
+def _jxw(mf: MatrixFree, dp):
     if mf.metric_kind == "cartesian":
-        return mf.det[:, None] * mf.w_q[None, :]
-    return mf.jxw
+        return dp["det"][:, None] * dp["w_q"][None, :]
+    return dp["jxw"]
 
 
 def make_cell_operator(
@@ -59,15 +82,17 @@ def make_cell_operator(
     needs_values: bool = True,
     needs_gradients: bool = True,
 ) -> Callable:
-    """Raw operator u -> integral contributions (no constraint handling).
+    """Raw operator (dp, u) -> integral contributions (no constraints).
 
-    quad_op(values, grads, mf) returns (submit_values, submit_grads) in
+    quad_op(values, grads, ctx) returns (submit_values, submit_grads) in
     physical space; either may be None.
     """
     dim = mf.config.dim
 
-    def apply(u):
-        u_loc = mf.gather(u)
+    def apply(dp, u):
+        ctx = QuadContext(config=mf.config, metric_kind=mf.metric_kind,
+                          coef_q=dp["coef_q"])
+        u_loc = u[dp["cell_dofs"]]
         vals = grads = None
         if mf.D_col is not None:
             if needs_gradients:
@@ -75,7 +100,7 @@ def make_cell_operator(
                     u_loc, mf.S, mf.D_col, dim
                 )
                 vals = v if needs_values else None
-                grads = _ref_to_phys_grad(mf, g_ref)
+                grads = _ref_to_phys_grad(mf, dp, g_ref)
             else:
                 vals = tops.eval_values(u_loc, mf.S, dim)
         else:
@@ -83,26 +108,26 @@ def make_cell_operator(
                 vals = tops.eval_values(u_loc, mf.S, dim)
             if needs_gradients:
                 g_ref = tops.eval_gradients_basis(u_loc, mf.S, mf.D, dim)
-                grads = _ref_to_phys_grad(mf, g_ref)
+                grads = _ref_to_phys_grad(mf, dp, g_ref)
 
-        sv, sg = quad_op(vals, grads, mf)
+        sv, sg = quad_op(vals, grads, ctx)
 
         if mf.D_col is not None:
-            v_int = sv * _jxw(mf) if sv is not None else None
-            g_int = _phys_to_ref_grad_weighted(mf, sg) if sg is not None \
-                else None
+            v_int = sv * _jxw(mf, dp) if sv is not None else None
+            g_int = _phys_to_ref_grad_weighted(mf, dp, sg) \
+                if sg is not None else None
             out = tops.integrate_collocation(v_int, g_int, mf.S, mf.D_col,
                                              dim)
         else:
             out = None
             if sv is not None:
-                out = tops.integrate_values(sv * _jxw(mf), mf.S, dim)
+                out = tops.integrate_values(sv * _jxw(mf, dp), mf.S, dim)
             if sg is not None:
                 gi = tops.integrate_gradients_basis(
-                    _phys_to_ref_grad_weighted(mf, sg), mf.S, mf.D, dim
+                    _phys_to_ref_grad_weighted(mf, dp, sg), mf.S, mf.D, dim
                 )
                 out = gi if out is None else out + gi
-        return mf.scatter(out)
+        return _scatter_with(mf, dp, out)
 
     return apply
 
@@ -114,22 +139,34 @@ class GenericOperator:
     def __init__(self, mf: MatrixFree, quad_op: Callable,
                  needs_values: bool = True, needs_gradients: bool = True):
         self.mf = mf
+        # generic operators always gather (no specialized tier), so the
+        # gather/scatter index maps ride along whatever the mf scheme is
+        self.device_args = mf.device_args(include_gather=True)
         raw = make_cell_operator(mf, quad_op, needs_values, needs_gradients)
+        self._raw_with = raw
         self._raw = jax.jit(raw)
 
-        def constrained(x):
-            m = mf.interior_mask
-            xh = mf.distribute(m * x)
-            y = mf.distribute_transpose(raw(xh))
+        def constrained(dp, x):
+            m = dp["mask"]
+            xh = distribute_with(dp, m * x)
+            y = distribute_transpose_with(dp, raw(dp, xh))
             return m * y + (1.0 - m) * x
 
+        self._con_with = constrained
         self._con = jax.jit(constrained)
 
     def vmult_raw(self, x):
-        return self._raw(x)
+        return self._raw(self.device_args, x)
 
     def vmult(self, x):
-        return self._con(x)
+        return self._con(self.device_args, x)
+
+    def vmult_with(self, dp, x):
+        """Traceable constrained apply for composition into solves."""
+        return self._con_with(dp, x)
+
+    def vmult_raw_with(self, dp, x):
+        return self._raw_with(dp, x)
 
     __call__ = vmult
 
@@ -139,7 +176,7 @@ class GenericOperator:
 def mass_operator(mf: MatrixFree, coefficient_q=None) -> GenericOperator:
     """M u: quad op = submit_value(coef * value)."""
 
-    def qop(vals, grads, mf_):
+    def qop(vals, grads, ctx):
         v = vals if coefficient_q is None else vals * coefficient_q
         return v, None
 
@@ -149,10 +186,10 @@ def mass_operator(mf: MatrixFree, coefficient_q=None) -> GenericOperator:
 def helmholtz_operator(mf: MatrixFree, alpha=1.0, beta=1.0) -> GenericOperator:
     """(alpha M + beta K) u: submit both value and gradient."""
 
-    def qop(vals, grads, mf_):
+    def qop(vals, grads, ctx):
         sg = beta * grads
-        if mf_.coef_q is not None:
-            sg = sg * mf_.coef_q[:, None, :]
+        if ctx.coef_q is not None:
+            sg = sg * ctx.coef_q[:, None, :]
         return alpha * vals, sg
 
     return GenericOperator(mf, qop, needs_values=True, needs_gradients=True)

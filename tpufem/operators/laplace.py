@@ -29,57 +29,111 @@ from tpufem.ops.matrix_free import MatrixFree
 from tpufem.ops import tensor_ops as tops
 
 
-def _apply_metric_to_gradients(mf: MatrixFree, g):
+def _apply_metric_to_gradients(mf: MatrixFree, dp, g):
     """g (nc, d, nq) reference gradients -> submitted reference gradients
     t[b] = sum_a invJ[b,a] * jxw * coef * (sum_b' invJ[b',a] g[b'])."""
     if mf.metric_kind == "cartesian":
         # J diagonal: t[a] = inv_h[a]^2 * det * w_q * coef * g[a]
-        scale = mf.inv_h**2 * mf.det[:, None]  # (nc, d)
-        t = g * scale[:, :, None] * mf.w_q[None, None, :]
-        if mf.coef_q is not None:
-            t = t * mf.coef_q[:, None, :]
+        scale = dp["inv_h"]**2 * dp["det"][:, None]  # (nc, d)
+        t = g * scale[:, :, None] * dp["w_q"][None, None, :]
+        if dp["coef_q"] is not None:
+            t = t * dp["coef_q"][:, None, :]
         return t
     hp = jax.lax.Precision.HIGHEST
-    gp = jnp.einsum("cqba,cbq->caq", mf.inv_jac, g, precision=hp)
-    w = mf.jxw if mf.coef_q is None else mf.jxw * mf.coef_q
+    gp = jnp.einsum("cqba,cbq->caq", dp["inv_jac"], g, precision=hp)
+    w = dp["jxw"] if dp["coef_q"] is None else dp["jxw"] * dp["coef_q"]
     gp = gp * w[:, None, :]
-    return jnp.einsum("cqba,caq->cbq", mf.inv_jac, gp, precision=hp)
+    return jnp.einsum("cqba,caq->cbq", dp["inv_jac"], gp, precision=hp)
 
 
-def laplace_cell_apply(mf: MatrixFree, u_loc):
+def laplace_cell_apply(mf: MatrixFree, dp, u_loc):
     """The per-cell-batch pipeline: evaluate -> quad op -> integrate.
 
     u_loc: (nc, nn) local values -> (nc, nn) local integrals.  This is the
     FEEvaluationGpu evaluate/submit_gradient/integrate sequence (SURVEY.md
-    §3.4) over the whole cell batch at once.
+    §3.4) over the whole cell batch at once.  All large device arrays
+    arrive via the ``dp`` pytree (MatrixFree.device_args); the 1D shape
+    matrices are host (numpy) constants.
     """
     dim = mf.config.dim
     if mf.D_col is not None:
         _, g = tops.eval_gradients_collocation(u_loc, mf.S, mf.D_col, dim)
-        t = _apply_metric_to_gradients(mf, g)
+        t = _apply_metric_to_gradients(mf, dp, g)
         return tops.integrate_collocation(None, t, mf.S, mf.D_col, dim)
     g = tops.eval_gradients_basis(u_loc, mf.S, mf.D, dim)
-    t = _apply_metric_to_gradients(mf, g)
+    t = _apply_metric_to_gradients(mf, dp, g)
     return tops.integrate_gradients_basis(t, mf.S, mf.D, dim)
 
 
+def distribute_with(dp, u, homogeneous: bool = True):
+    """u -> C u with the constraint tables from the dp pytree."""
+    if dp.get("con") is None:
+        return u
+    cd, cm, cw, ci = dp["con"]
+    vals = jnp.sum(cw * u[cm], axis=1)
+    if not homogeneous:
+        vals = vals + ci
+    return u.at[cd].set(vals, unique_indices=True)
+
+
+def distribute_transpose_with(dp, y):
+    """y -> C^T y with the constraint tables from the dp pytree."""
+    if dp.get("con") is None:
+        return y
+    cd, cm, cw, _ = dp["con"]
+    yc = y[cd]
+    y = y.at[cd].set(0.0, unique_indices=True)
+    return y.at[cm.reshape(-1)].add((cw * yc[:, None]).reshape(-1))
+
+
+def _scatter_with(mf: MatrixFree, dp, v_loc):
+    """distribute_local_to_global via the scheme's dp arrays."""
+    if mf.scheme == "colored":
+        dst = jnp.zeros((mf.n_dofs,), v_loc.dtype)
+        for cells in dp["colors"]:
+            idx = dp["cell_dofs"][cells].reshape(-1)
+            vals = v_loc[cells].reshape(-1)
+            dst = dst.at[idx].add(vals, unique_indices=True)
+        return dst
+    flat = jnp.concatenate(
+        [v_loc.reshape(-1), jnp.zeros((1,), v_loc.dtype)])
+    return jnp.sum(flat[dp["incidence"]], axis=1)
+
+
 class LaplaceOperator:
-    """vmult-able Laplace operator with constrained-DoF identity semantics."""
+    """vmult-able Laplace operator with constrained-DoF identity semantics.
+
+    ``vmult``/``vmult_raw`` are standalone jitted entry points;
+    ``vmult_with``/``vmult_raw_with`` are the traceable forms for
+    composition into larger programs (CG/GMG solves), which must thread
+    ``device_args`` explicitly so no device array is ever captured as a
+    closure constant (platform rule, see MatrixFree.device_args).
+    """
 
     def __init__(self, mf: MatrixFree):
         self.mf = mf
         self.n_dofs = mf.n_dofs
+        self.device_args = mf.device_args()
         self._vmult = jax.jit(partial(_vmult, mf))
         self._vmult_raw = jax.jit(partial(_vmult_raw, mf))
 
     def vmult(self, x):
         """y = A x with identity rows/cols on constrained DoFs (the
         reference's save/zero/restore around cell_loop, SURVEY.md §3.4)."""
-        return self._vmult(x)
+        return self._vmult(self.device_args, x)
 
     def vmult_raw(self, x):
         """y = A x without any constraint handling (oracle comparisons)."""
-        return self._vmult_raw(x)
+        return self._vmult_raw(self.device_args, x)
+
+    def vmult_with(self, dp, x):
+        """Traceable constrained apply (dp = device_args passed as a jit
+        argument by the enclosing program)."""
+        return _vmult(self.mf, dp, x)
+
+    def vmult_raw_with(self, dp, x):
+        """Traceable raw apply."""
+        return _vmult_raw(self.mf, dp, x)
 
     def __call__(self, x):
         return self.vmult(x)
@@ -144,7 +198,7 @@ class LaplaceOperator:
         return jnp.asarray(diag, jnp.dtype(mf.config.dtype))
 
 
-def _vmult_raw(mf: MatrixFree, x):
+def _vmult_raw(mf: MatrixFree, dp, x):
     if mf.scheme == "separable":
         npts = mf.uniform_n * mf.config.degree + 1
         if mf.sep_ops[0] == "terms":  # orthogonal separable metric
@@ -172,7 +226,7 @@ def _vmult_raw(mf: MatrixFree, x):
 
             return laplace_apply_structured_general(
                 x, mf.config.dim, mf.uniform_n, mf.config.degree,
-                mf.S, mf.D_col, mf.struct_invjac, mf.struct_jxw,
+                mf.S, mf.D_col, dp["struct_invjac"], dp["struct_jxw"],
             )
         from tpufem.ops.structured import laplace_apply_structured
 
@@ -180,20 +234,20 @@ def _vmult_raw(mf: MatrixFree, x):
             x, mf.config.dim, mf.uniform_n, mf.config.degree,
             mf.S, mf.D_col, mf.struct_scale, mf.struct_w,
         )
-    u_loc = mf.gather(x)
-    v_loc = laplace_cell_apply(mf, u_loc)
-    return mf.scatter(v_loc)
+    u_loc = x[dp["cell_dofs"]]
+    v_loc = laplace_cell_apply(mf, dp, u_loc)
+    return _scatter_with(mf, dp, v_loc)
 
 
-def _vmult(mf: MatrixFree, x):
+def _vmult(mf: MatrixFree, dp, x):
     """Constrained apply: y = m * C^T A C (m x) + (1-m) x.
 
     m zeroes all constrained DoFs (Dirichlet + hanging), C fills hanging
     DoFs by interpolation from their masters (resolve_hanging_nodes on
     read), C^T accumulates hanging-row results into masters (transposed
     resolution on write) — SURVEY.md §3.4."""
-    m = mf.interior_mask
-    xh = mf.distribute(m * x)
-    y = _vmult_raw(mf, xh)
-    y = mf.distribute_transpose(y)
+    m = dp["mask"]
+    xh = distribute_with(dp, m * x)
+    y = _vmult_raw(mf, dp, xh)
+    y = distribute_transpose_with(dp, y)
     return m * y + (1.0 - m) * x

@@ -171,9 +171,6 @@ def build_interface_rects(boxes, constraints, p: int, d: int,
             u0 = [r0 for (r0, _) in rect]
             m = [r1 - r0 for (r0, r1) in rect]
             # coarse node region: [u0*p, (u0+m)*p] per tangential axis
-            c_lo = [2 * p * u0[k] + off[k][1] for k in range(d - 1)]
-            # in coarse node indices: global = lo_c*2p + 2*i_c
-            ci0 = [(c_lo[k] - off[k][1]) // 2 + u0[k] * 0 for k in range(d - 1)]
             ci0 = [u0[k] * p for k in range(d - 1)]
             cn = [m[k] * p + 1 for k in range(d - 1)]
             # fine node region: global = lo_f*p + i_f

@@ -101,8 +101,9 @@ def laplace_apply_dense_masked(u, dim: int, ns, p: int, A_local,
     return unblock_all_add(t, dim, ns, p)
 
 
-def build_dense_local_matrix(p, dim, nq1, scale, dtype) -> jnp.ndarray:
-    """A = sum_a scale[a] * K_a as a device constant."""
+def build_dense_local_matrix(p, dim, nq1, scale, dtype) -> np.ndarray:
+    """A = sum_a scale[a] * K_a as a HOST constant (numpy: embedded into
+    jitted programs without the D2H-at-lowering platform hang)."""
     Ks = reference_stiffness_axes(p, dim, nq1)
     A = sum(float(scale[a]) * Ks[a] for a in range(dim))
-    return jnp.asarray(A, dtype)
+    return np.asarray(A, dtype)

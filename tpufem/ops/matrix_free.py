@@ -222,7 +222,7 @@ class MatrixFree:
         elif scheme in ("structured", "dense", "separable"):
             uniform_n = int(mesh.U // mesh.sizes[0])
             inv_h0 = metric.inv_h[0]  # identical for all cells
-            struct_scale = jnp.asarray(inv_h0**2 * metric.det[0], dtype)
+            struct_scale = np.asarray(inv_h0**2 * metric.det[0], dtype)
             # weight block broadcastable against blocked layout
             # ([nz,qz,]ny,qy,nx,qx): quadrature dims at odd positions,
             # axis order z..x (slowest first, see ops.structured)
@@ -294,7 +294,9 @@ class MatrixFree:
                     perm += [i, d + i]
                 cq = np.transpose(cq, perm)
                 wb = wb * cq
-            struct_w = jnp.asarray(wb, dtype)
+            # numpy: embedded as a host constant in jitted applies (device
+            # constants D2H-hang at lowering on this platform)
+            struct_w = np.asarray(wb, dtype)
 
         kwargs = dict(
             inv_h=None, det=None, w_q=None, inv_jac=None, jxw=None
@@ -325,9 +327,12 @@ class MatrixFree:
             cell_dofs=(jnp.asarray(dofs.cell_dofs)
                        if scheme in ("incidence", "colored")
                        else np.asarray(dofs.cell_dofs)),
-            S=jnp.asarray(si.S, dtype),
-            D=jnp.asarray(si.D, dtype),
-            D_col=jnp.asarray(si.D_col, dtype) if si.D_col is not None else None,
+            # 1D shape matrices as HOST constants (numpy): they are baked
+            # into every jitted apply; device constants would D2H-fetch at
+            # lowering, which hangs on this platform (docs/ROOFLINE.md)
+            S=np.asarray(si.S, dtype),
+            D=np.asarray(si.D, dtype),
+            D_col=np.asarray(si.D_col, dtype) if si.D_col is not None else None,
             metric_kind=metric.kind,
             incidence=None,
             colors=None,
@@ -351,6 +356,54 @@ class MatrixFree:
             resident=resident,
             **kwargs,
         )
+
+    # ------------------------------------------------------------------
+    def device_args(self, include_gather: bool | None = None):
+        """Pytree of the LARGE device-resident arrays referenced inside
+        traced applies.
+
+        Platform rule (docs/ROOFLINE.md, round 3): device arrays must
+        cross every jit boundary as ARGUMENTS.  A jax.Array captured as a
+        closure constant is fetched device-to-host at lowering
+        (``_array_mlir_constant_handler`` → ``Array._value``), and that
+        transfer intermittently hangs for minutes on this machine's
+        remote-TPU runtime — the root cause of the round-2 "bimodal
+        compile/execute" behavior.  Small setup matrices (S/D/1D
+        operators/weight blocks) are numpy and embed from host memory
+        instead; everything here is O(n_dofs)/O(n_cells) and travels as
+        arguments.
+        """
+        con = None
+        if self.has_hanging:
+            con = (self.con_dofs, self.con_masters, self.con_weights,
+                   self.con_inhom)
+        dp = {
+            "mask": self.interior_mask,
+            "coef_q": self.coef_q,
+            "inv_h": self.inv_h,
+            "det": self.det,
+            "w_q": self.w_q,
+            "inv_jac": self.inv_jac,
+            "jxw": self.jxw,
+            "struct_invjac": self.struct_invjac,
+            "struct_jxw": self.struct_jxw,
+            "con": con,
+            "cell_dofs": None,
+            "incidence": None,
+            "colors": None,
+        }
+        if include_gather is None:
+            include_gather = self.scheme in ("incidence", "colored")
+        if include_gather:
+            if isinstance(self.cell_dofs, np.ndarray):
+                self.cell_dofs = jnp.asarray(self.cell_dofs)
+            dp["cell_dofs"] = self.cell_dofs
+            if self.scheme == "colored":
+                dp["colors"] = [jnp.asarray(c)
+                                for c in self._ensure_colors()]
+            else:
+                dp["incidence"] = jnp.asarray(self._ensure_incidence())
+        return dp
 
     # ------------------------------------------------------------------
     def gather(self, u):

@@ -193,6 +193,11 @@ def _kernel_resident(u_hbm, xkm, wm_y, wk_y, wm_z, wk_z, out, scratch, sem,
     mode "f32": one HIGHEST-precision K-stacked x matmul (~1e-7 rel).
     mode "bf16": bf16x3 split of the x matmul (hi/lo, lo*lo dropped) —
     ~25% faster apply at ~3e-6 rel (measured, scripts/kernel_lab.py).
+    mode "bf16s": vectors STORED bf16 in HBM (halves the DMA floor — the
+    round-2 roofline's untried lever #3), banded stages computed in f32
+    after an in-VMEM upcast, x matmul on native bf16 MXU with f32
+    accumulation; ~4e-3 rel (input quantization) — preconditioner /
+    smoother class, not CG-solve class.
     """
     t = pl.program_id(0)
     n_grid = nt * nt
@@ -251,6 +256,9 @@ def _kernel_resident(u_hbm, xkm, wm_y, wk_y, wm_z, wk_z, out, scratch, sem,
 
     dma_in(slot, t).wait()
     u = scratch[slot]
+    if mode == "bf16s":
+        # storage is bf16; band stages run in f32 after one VMEM upcast
+        u = u.astype(jnp.float32)
     iz, iy = t // nt, t % nt
     nb = 2 * p + 1
     dy = H - p  # y-axis data offset inside the aligned read window
@@ -296,12 +304,12 @@ def _kernel_resident(u_hbm, xkm, wm_y, wk_y, wm_z, wk_z, out, scratch, sem,
     q3 = corr_y(tq, band_y(tq, wm_y), dm0[1], dm1[1])
     qq = jnp.concatenate([q1, q2 + q3], axis=2)  # (b, b, 2X)
 
-    if mode == "bf16":
-        # bf16x3: a ~= hi + lo exactly in bf16 pairs; lo*lo term dropped
+    if mode in ("bf16", "bf16s"):
+        # bf16x3: a ~= hi + lo exactly in bf16 pairs; lo*lo term dropped.
+        # bf16s inputs are already bf16-quantized, so the lo terms carry
+        # no information — a single native bf16 MXU pass suffices.
         qh = qq.astype(jnp.bfloat16)
-        ql = (qq - qh.astype(qq.dtype)).astype(jnp.bfloat16)
         xh = xkm[:].astype(jnp.bfloat16)
-        xl = (xkm[:] - xh.astype(qq.dtype)).astype(jnp.bfloat16)
 
         def mm(a, bb):
             return jax.lax.dot_general(
@@ -309,7 +317,12 @@ def _kernel_resident(u_hbm, xkm, wm_y, wk_y, wm_z, wk_z, out, scratch, sem,
                 preferred_element_type=qq.dtype,
                 precision=jax.lax.Precision.DEFAULT)
 
-        res = mm(qh, xh) + (mm(qh, xl) + mm(ql, xh))
+        if mode == "bf16s":
+            res = mm(qh, xh)
+        else:
+            ql = (qq - qh.astype(qq.dtype)).astype(jnp.bfloat16)
+            xl = (xkm[:] - xh.astype(qq.dtype)).astype(jnp.bfloat16)
+            res = mm(qh, xh) + (mm(qh, xl) + mm(ql, xh))
     else:
         res = jax.lax.dot_general(
             qq, xkm[:], dimension_numbers=(((2,), (0,)), ((), ())),
@@ -321,7 +334,7 @@ def _kernel_resident(u_hbm, xkm, wm_y, wk_y, wm_z, wk_z, out, scratch, sem,
                    (ii <= i_last).astype(u.dtype), 1.0).reshape(b, 1, 1)
     my = jnp.where(iy == nt - 1,
                    (ii <= i_last).astype(u.dtype), 1.0).reshape(1, b, 1)
-    res = res * mz * my
+    res = (res * mz * my).astype(osc.dtype)
 
     # single-buffered out scratch: the previous tile's out copy had this
     # tile's whole compute time to drain; wait just before overwriting
@@ -350,20 +363,30 @@ class ResidentSeparable:
     back to :class:`PallasSeparable`.
     """
 
-    def __init__(self, npts, p, Ks_np, Ms_np, dtype, tile=24, mode="f32",
+    def __init__(self, npts, p, Ks_np, Ms_np, dtype, tile=None, mode="f32",
                  interpret=False):
-        # y-halo must be 8-row aligned (DMA sublane rule) and >= p;
-        # tile must be a multiple of lcm(8, p): % p for the periodic tap
-        # classes, % 8 so tile offsets stay sublane-aligned
-        H = 8 * max(1, -(-p // 8))
-        lcm = 8 * p // int(np.gcd(8, p))
+        # storage dtype: bf16s keeps the HBM-resident vectors in bf16
+        # (halving the DMA floor); compute stays in `dtype` (f32)
+        cdt = jnp.dtype(dtype)
+        sdt = jnp.dtype(jnp.bfloat16) if mode == "bf16s" else cdt
+        # y-halo must be sublane-aligned (DMA rule; 8 rows for f32
+        # storage, 16 for bf16 storage) and >= p; tile must be a multiple
+        # of lcm(sub, p): % p for the periodic tap classes, % sub so tile
+        # offsets stay sublane-aligned
+        sub = 16 if sdt.itemsize == 2 else 8
+        H = sub * max(1, -(-p // sub))
+        lcm = sub * p // int(np.gcd(sub, p))
+        if tile is None:
+            # per-mode defaults that fit the 16M VMEM budget (f32 @ 24
+            # is 1% over — the round-2 standalone-compile failure)
+            tile = {"f32": 16, "bf16": 24, "bf16s": 32}[mode]
         b = tile - tile % lcm
         b = max(b, lcm)
         nt = -(-npts // b)
         if nt < 2:
             raise ValueError("resident kernel needs >= 2 tiles per axis")
-        if b > 32:
-            # empirically b >= 40 exceeds what the Mosaic toolchain
+        if b > (48 if sdt.itemsize == 2 else 32):
+            # empirically f32 b >= 40 exceeds what the Mosaic toolchain
             # compiles (VMEM budget); p in {5, 7} falls back
             raise ValueError(f"tile {b} too large for the VMEM budget")
         L = b + 2 * p
@@ -375,8 +398,11 @@ class ResidentSeparable:
         self.H, self.L, self.LY, self.X = H, L, LY, X
         self.sz, self.sy = sz, sy
         self.mode = mode
-        dt = jnp.dtype(dtype)
+        # self.dt is the LAYOUT dtype (what pad/unpad and the solver
+        # vectors use); band/matmul constants stay in the compute dtype
+        dt = sdt
         self.dt = dt
+        self.compute_dt = cdt
 
         Ks = [np.asarray(K) for K in Ks_np]
         Ms = [np.asarray(M) for M in Ms_np]
@@ -392,11 +418,19 @@ class ResidentSeparable:
         xkm = np.zeros((2 * X, X))
         xkm[:npts, :npts] = Ks[0].T
         xkm[X : X + npts, :npts] = Ms[0].T
-        mats = [jnp.asarray(xkm, dt),
-                jnp.asarray(wm[1][:, :, None], dt),
-                jnp.asarray(wk[1][:, :, None], dt),
-                jnp.asarray(wm[2][:, :, None, None], dt),
-                jnp.asarray(wk[2][:, :, None, None], dt)]
+        # NUMPY on purpose: these are baked into every enclosing jit
+        # program as compile-time constants.  Device (jnp) constants force
+        # a D2H fetch per lowering (jax embeds the VALUE into the MLIR),
+        # which on this machine's remote-TPU runtime intermittently hangs
+        # for minutes (observed: faulthandler stack in
+        # _array_mlir_constant_handler -> array._value) — the root cause
+        # of the round-2 "bimodal compile/execute" platform quirk.  Host
+        # numpy constants embed with a plain memcpy.
+        mats = [np.asarray(xkm, cdt),
+                np.asarray(wm[1][:, :, None], cdt),
+                np.asarray(wk[1][:, :, None], cdt),
+                np.asarray(wm[2][:, :, None, None], cdt),
+                np.asarray(wk[2][:, :, None, None], cdt)]
         kern = functools.partial(
             _kernel_resident, b=b, L=L, LY=LY, X=X, p=p, H=H, npts=npts,
             corr=corr, nt=nt, mode=mode)
@@ -414,7 +448,7 @@ class ResidentSeparable:
         self.raw = lambda gp: pc(gp, *mats)
         self._raw_jit = jax.jit(self.raw)
         self.pad = jax.jit(lambda u: jnp.pad(
-            u.reshape((npts,) * 3),
+            u.astype(dt).reshape((npts,) * 3),
             [(p, sz - npts - p), (H, sy - npts - H), (0, X - npts)]))
         self.unpad = jax.jit(
             lambda gp: gp[p : p + npts, H : H + npts, :npts].reshape(-1))
@@ -466,12 +500,15 @@ class PallasSeparable:
         xkm = np.zeros((2 * X, X))
         xkm[:npts, :npts] = Ks[0].T
         xkm[X : X + npts, :npts] = Ms[0].T
-        mats = [jnp.asarray(xkm, dt),
-                jnp.asarray(wm[1][:, :, None], dt),
-                jnp.asarray(wk[1][:, :, None], dt)]
+        # numpy constants — see the D2H-at-lowering note in
+        # ResidentSeparable.__init__ (device constants hang lowering on
+        # this platform)
+        mats = [np.asarray(xkm, dt),
+                np.asarray(wm[1][:, :, None], dt),
+                np.asarray(wk[1][:, :, None], dt)]
         if dim == 3:
-            mats += [jnp.asarray(wm[2][:, :, None, None], dt),
-                     jnp.asarray(wk[2][:, :, None, None], dt)]
+            mats += [np.asarray(wm[2][:, :, None, None], dt),
+                     np.asarray(wk[2][:, :, None, None], dt)]
 
         n_grid = nt * nt if dim == 3 else nt
         kern = functools.partial(

@@ -97,7 +97,10 @@ def build_separable_metric_terms(p, dim, nq1, n, separable_metric, dtype):
                 p, n, nq1, separable_metric[a][b],
                 "K" if b == a else "M",
             )
-            mats.append(jnp.asarray(X, dtype))
+            # numpy on purpose: these become closure CONSTANTS of jitted
+            # applies; device constants force a D2H fetch at lowering,
+            # which hangs on this platform (docs/ROOFLINE.md round 3)
+            mats.append(np.asarray(X, dtype))
         terms.append(mats)
     return terms
 
@@ -117,7 +120,8 @@ def laplace_apply_separable_terms(u, dim: int, npts: int, terms):
 
 
 def build_separable_operators(p, dim, nq1, n, h, dtype):
-    """Per-axis scaled (K1_a, M1_a) device constants.
+    """Per-axis scaled (K1_a, M1_a) HOST constants (numpy: embedded into
+    jitted programs without the D2H-at-lowering platform hang).
 
     h: (dim,) physical cell widths. K scales by 1/h (phi' Jacobian^2 times
     h volume), M scales by h.
@@ -125,8 +129,8 @@ def build_separable_operators(p, dim, nq1, n, h, dtype):
     K1u, M1u = global_1d_matrices(p, n, nq1)
     Ks, Ms = [], []
     for a in range(dim):
-        Ks.append(jnp.asarray(K1u / h[a], dtype))
-        Ms.append(jnp.asarray(M1u * h[a], dtype))
+        Ks.append(np.asarray(K1u / h[a], dtype))
+        Ms.append(np.asarray(M1u * h[a], dtype))
     return Ks, Ms
 
 

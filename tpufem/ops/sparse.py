@@ -15,9 +15,18 @@ matrix-free path's O(p^d).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.sparse as sp
+
+
+@jax.jit
+def ell_matvec(indices, values, x):
+    """y = A x in ELL form: gather + row reduction (all dense ops).
+    indices/values arrive as ARGUMENTS — never closure constants
+    (platform rule, see MatrixFree.device_args)."""
+    return jnp.sum(values * x[indices], axis=1)
 
 
 class EllMatrix:
@@ -45,8 +54,8 @@ class EllMatrix:
         )
 
     def matvec(self, x):
-        """y = A x: gather + row reduction (all dense ops)."""
-        return jnp.sum(self.values * x[self.indices], axis=1)
+        """y = A x (jitted; index/value arrays passed as arguments)."""
+        return ell_matvec(self.indices, self.values, x)
 
     @property
     def nnz_padded(self) -> int:

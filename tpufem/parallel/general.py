@@ -510,10 +510,8 @@ class GeneralDistributedOperator:
     def _build_vmult(self):
         p = self.part
         spec = P(p.axis_name)
-        n_static = 5  # cell_dofs, inc, interior, owned, ghost_src
 
-        def body(x, cell_dofs, inc, interior, owned, ghost_src, con, met,
-                 coef):
+        def body(x, cell_dofs, inc, interior, ghost_src, con, met, coef):
             ex = (tuple(a[0] for a in ghost_src)
                   if isinstance(ghost_src, tuple) else ghost_src[0])
             arrays = (
@@ -527,7 +525,7 @@ class GeneralDistributedOperator:
         sm = jax.shard_map(
             body,
             mesh=self.mesh,
-            in_specs=(spec,) * 9,
+            in_specs=(spec,) * 8,
             out_specs=spec,
         )
         return jax.jit(sm)
@@ -541,7 +539,6 @@ class GeneralDistributedOperator:
             self._cell_dofs,
             self._inc,
             self._interior,
-            self._owned,
             self._ghost_src,
             self._con,
             self._met,

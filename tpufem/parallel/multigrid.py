@@ -39,7 +39,7 @@ from jax.sharding import PartitionSpec as P
 from tpufem.ops.structured import laplace_apply_structured
 from tpufem.parallel.partitioner import Partitioner
 from tpufem.solvers.cg import CGResult, cg_solve
-from tpufem.solvers.chebyshev import chebyshev_smooth
+from tpufem.solvers.chebyshev import ChebyshevParams, chebyshev_smooth
 from tpufem.solvers.multigrid import GeometricMultigrid
 
 
@@ -92,13 +92,17 @@ class DistributedGMG:
             mask = part.to_local(np.asarray(lvl.mask, dt))
             inv_diag = part.to_local(np.asarray(lvl.inv_diag, dt))
             w = _shard_struct_w(np.asarray(lvl.mf.struct_w, dt), part)
+            # Chebyshev eigenvalue-range scalars are device scalars
+            # (chebyshev.estimate_lambda_max avoids host read-back) —
+            # replicated through the lvl_data pytree, never closure
+            # constants (platform rule, MatrixFree.device_args)
             out.append((jnp.asarray(mask), jnp.asarray(inv_diag),
-                        jnp.asarray(w)))
+                        jnp.asarray(w), lvl.cheb.theta, lvl.cheb.delta))
         return tuple(out)
 
     def lvl_specs(self):
         s = P(self.axis_name)
-        return tuple((s, s, s) for _ in self.gmg.levels)
+        return tuple((s, s, s, P(), P()) for _ in self.gmg.levels)
 
     # ------------------------------------------------------------------
     def _vmult_raw_local(self, l: int, x_loc, w_loc):
@@ -171,41 +175,43 @@ class DistributedGMG:
         t = self._apply_rest(Pg.T, t, self.gmg.levels[l].npts)
         return part_c.compress_add(t)
 
-    def coarse_solve_local(self, b_loc):
+    def coarse_solve_local(self, b_loc, coarse_inv):
         """Replicated dense coarse inverse after all_gather; deterministic
         and identical on every shard."""
         part = self.parts[0]
         g = jax.lax.all_gather(b_loc, self.axis_name)  # (ns, lz, ...)
         owned = g[:, :-1].reshape((-1,) + g.shape[2:])
         full = jnp.concatenate([owned, g[-1, -1:]], axis=0)
-        x = jnp.dot(self.gmg.coarse_inv, full.reshape(-1),
+        x = jnp.dot(coarse_inv, full.reshape(-1),
                     precision=jax.lax.Precision.HIGHEST)
         grid = x.reshape((self.gmg.levels[0].npts,) * self.dim)
         z0 = jax.lax.axis_index(self.axis_name) * part.local_cells_z * self.p
         return jax.lax.dynamic_slice_in_dim(grid, z0, part.local_npts_z, 0)
 
     # ------------------------------------------------------------------
-    def vcycle_local(self, b_loc, lvl_data):
+    def vcycle_local(self, b_loc, lvl_data, coarse_inv):
         """One V-cycle on local slabs — operation-for-operation the same
-        sequence as GeometricMultigrid._cycle."""
-        return self._cycle_local(len(self.gmg.levels) - 1, b_loc, lvl_data)
+        sequence as GeometricMultigrid._cycle_with."""
+        return self._cycle_local(len(self.gmg.levels) - 1, b_loc,
+                                 lvl_data, coarse_inv)
 
-    def _cycle_local(self, l: int, b, lvl_data):
-        m, inv_diag, w = lvl_data[l]
+    def _cycle_local(self, l: int, b, lvl_data, coarse_inv):
+        m, inv_diag, w, theta, delta = lvl_data[l]
         m, inv_diag, w = m[0], inv_diag[0], w[0]
         if l == 0:
-            return self.coarse_solve_local(b)
-        lvl = self.gmg.levels[l]
+            return self.coarse_solve_local(b, coarse_inv)
+        cheb = ChebyshevParams(theta, delta,
+                               self.gmg.levels[l].cheb.degree)
         A = partial(self._vmult_local, l, m_loc=m, w_loc=w)
         Af = lambda x: A(x)
         b = m * b
-        x = chebyshev_smooth(Af, inv_diag, lvl.cheb, b)
+        x = chebyshev_smooth(Af, inv_diag, cheb, b)
         r = m * (b - Af(x))
         mc = lvl_data[l - 1][0][0]
         rc = mc * self.restrict_local(l, r)
-        xc = self._cycle_local(l - 1, rc, lvl_data)
+        xc = self._cycle_local(l - 1, rc, lvl_data, coarse_inv)
         x = x + m * self.prolongate_local(l, xc)
-        x = chebyshev_smooth(Af, inv_diag, lvl.cheb, b, x0=x)
+        x = chebyshev_smooth(Af, inv_diag, cheb, b, x0=x)
         return x
 
 
@@ -229,9 +235,13 @@ def distributed_gmg_cg_solve(
     mesh = device_mesh if device_mesh is not None else part.device_mesh()
     sh = part.sharding(mesh)
 
+    from jax.sharding import NamedSharding
+
+    sh_rep = NamedSharding(mesh, P())  # replicated (the cheb scalars)
     lvl_data = dgmg.build_lvl_data(dtype)
     lvl_data = jax.tree.map(
-        lambda a: jax.device_put(a, sh), lvl_data,
+        lambda a: jax.device_put(a, sh if jnp.ndim(a) else sh_rep),
+        lvl_data,
         is_leaf=lambda x: isinstance(x, jnp.ndarray),
     )
     b_l = jax.device_put(
@@ -243,20 +253,20 @@ def distributed_gmg_cg_solve(
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(spec, dgmg.lvl_specs()),
+        in_specs=(spec, dgmg.lvl_specs(), P()),
         out_specs=CGResult(spec, P(), P(), P()),
     )
-    def solve(b_blk, lvls):
+    def solve(b_blk, lvls, coarse_inv):
         b_loc = b_blk[0]
-        m, inv_diag, w = lvls[-1]
+        m, inv_diag, w = lvls[-1][:3]
         A = partial(dgmg._vmult_local, len(gmg.levels) - 1,
                     m_loc=m[0], w_loc=w[0])
-        M_inv = lambda r: dgmg.vcycle_local(r, lvls)
+        M_inv = lambda r: dgmg.vcycle_local(r, lvls, coarse_inv)
         res = cg_solve(lambda x: A(x), b_loc, M_inv=M_inv,
                        rtol=rtol, maxiter=maxiter, dot=part.dot)
         return CGResult(res.x[None], res.iterations, res.residual,
                         res.converged)
 
-    res = solve(b_l, lvl_data)
+    res = solve(b_l, lvl_data, gmg.coarse_inv)
     x_global = part.to_global(np.asarray(res.x))
     return x_global, int(res.iterations), float(res.residual)

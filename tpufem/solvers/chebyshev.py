@@ -19,31 +19,43 @@ import jax.numpy as jnp
 
 
 class ChebyshevParams(NamedTuple):
-    theta: float  # (lam_max + lam_min)/2 of D^-1 A
-    delta: float  # (lam_max - lam_min)/2
-    degree: int
+    theta: float  # (lam_max + lam_min)/2 of D^-1 A; float OR device scalar
+    delta: float  # (lam_max - lam_min)/2;           float OR device scalar
+    degree: int  # always a static python int
 
 
 def estimate_lambda_max(
-    A: Callable, inv_diag, n: int, iters: int = 25, seed: int = 0
-) -> float:
-    """Largest eigenvalue of D^-1 A by power iteration (+5% safety).
+    A: Callable, inv_diag, n: int, iters: int = 25, seed: int = 0, dp=None
+):
+    """Largest eigenvalue of D^-1 A by power iteration (+5% safety),
+    returned as a DEVICE scalar (no host read-back: a device→host fetch
+    intermittently hangs on this machine's remote-TPU runtime,
+    docs/ROOFLINE.md round 3).
 
-    deal.II estimates with CG-Lanczos; power iteration with a safety factor
-    serves the same role (the smoothing range only needs a sound upper
-    bound).
+    A: callable(x) when dp is None, else callable(dp, x) — the dp pytree
+    (e.g. ``LaplaceOperator.device_args``) is threaded through the jitted
+    power iteration as an argument so no device array is captured as a
+    closure constant.
+
+    deal.II estimates with CG-Lanczos; power iteration with a safety
+    factor serves the same role (the smoothing range only needs a sound
+    upper bound).
     """
-    key = jax.random.PRNGKey(seed)
-    v = jax.random.normal(key, (n,), dtype=inv_diag.dtype)
 
-    def body(_, v):
-        w = inv_diag * A(v)
-        return w / jnp.linalg.norm(w)
+    def run(dp_, inv_diag_):
+        key = jax.random.PRNGKey(seed)
+        v = jax.random.normal(key, (n,), dtype=inv_diag_.dtype)
+        Af = A if dp_ is None else (lambda x: A(dp_, x))
 
-    v = jax.lax.fori_loop(0, iters, body, v)
-    w = inv_diag * A(v)
-    lam = jnp.dot(v, w) / jnp.dot(v, v)
-    return float(lam) * 1.05
+        def body(_, v):
+            w = inv_diag_ * Af(v)
+            return w / jnp.linalg.norm(w)
+
+        v = jax.lax.fori_loop(0, iters, body, v)
+        w = inv_diag_ * Af(v)
+        return jnp.dot(v, w) / jnp.dot(v, v)
+
+    return jax.jit(run)(dp, inv_diag) * 1.05
 
 
 def make_chebyshev_params(
@@ -52,11 +64,17 @@ def make_chebyshev_params(
     n: int,
     degree: int = 4,
     smoothing_range: float = 20.0,
+    dp=None,
 ) -> ChebyshevParams:
     """deal.II convention: smooth eigencomponents in
-    [lam_max/smoothing_range, 1.2*lam_max] of D^-1 A."""
+    [lam_max/smoothing_range, 1.2*lam_max] of D^-1 A.
+
+    theta/delta come back as DEVICE scalars; traced code must receive
+    them as jit arguments (see GeometricMultigrid.device_args), never as
+    closure constants.  ``degree`` stays a static python int.
+    """
     inv_diag = 1.0 / diag
-    lam_max = estimate_lambda_max(A, inv_diag, n)
+    lam_max = estimate_lambda_max(A, inv_diag, n, dp=dp)
     upper = 1.2 * lam_max
     lower = lam_max / smoothing_range
     return ChebyshevParams(

@@ -19,6 +19,14 @@ TPU-native design decisions:
   single XLA computation with zero host round-trips per iteration.
 - Coarsest level solved with a precomputed dense inverse (constrained
   rows = identity) — deterministic, and a single small matmul on device.
+- Platform rule (docs/ROOFLINE.md round 3): every device array the traced
+  V-cycle touches (level masks, inverse diagonals, Chebyshev eigenvalue
+  scalars, the coarse dense inverse, each level operator's metric/index
+  arrays) travels through the ``device_args`` pytree as a jit ARGUMENT.
+  Device arrays captured as closure constants are fetched device-to-host
+  at lowering, which intermittently hangs for minutes on this machine's
+  remote-TPU runtime.  The small 1D prolongation matrices stay host-side
+  (numpy) and embed as plain constants.
 """
 
 from __future__ import annotations
@@ -115,18 +123,21 @@ class GeometricMultigrid:
             op = LaplaceOperator(mf)
             diag = op.diagonal()
             cheb = make_chebyshev_params(
-                op.vmult, diag, dofs.n_dofs, degree=smoother_degree
+                op.vmult_with, diag, dofs.n_dofs, degree=smoother_degree,
+                dp=op.device_args,
             )
             self.levels.append(MGLevel(
                 mf=mf, op=op, inv_diag=1.0 / diag, cheb=cheb,
                 mask=mf.interior_mask,
                 npts=nbase * (1 << r) * degree + 1,
             ))
-        # 1D prolongations between consecutive levels (jnp constants)
+        # 1D prolongations between consecutive levels — HOST (numpy)
+        # constants: small, and device constants D2H-hang at lowering on
+        # this platform
         self.P1d = []
         for r in range(coarsest_refine, finest_refine):
             P = prolongation_1d(degree, nbase * (1 << r))
-            self.P1d.append(jnp.asarray(P, jnp.dtype(dtype)))
+            self.P1d.append(np.asarray(P, np.dtype(dtype)))
         # coarse dense inverse (constrained rows/cols -> identity)
         lvl0 = self.levels[0]
         K = assemble_laplace(
@@ -137,6 +148,18 @@ class GeometricMultigrid:
         self.coarse_inv = jnp.asarray(
             np.linalg.inv(Kc), jnp.dtype(dtype)
         )
+        # the pytree of every device array the traced V-cycle reads,
+        # passed as a jit ARGUMENT by all solve entry points
+        self.device_args = {
+            "coarse_inv": self.coarse_inv,
+            "levels": tuple(
+                {"dp": lvl.op.device_args, "inv_diag": lvl.inv_diag,
+                 "mask": lvl.mask,
+                 "cheb": (lvl.cheb.theta, lvl.cheb.delta)}
+                for lvl in self.levels
+            ),
+        }
+        self._vcycle_jit = None
 
     # ------------------------------------------------------------------
     def _tensor_apply(self, P, x, npts_in: int, npts_out: int):
@@ -168,36 +191,58 @@ class GeometricMultigrid:
         )
 
     # ------------------------------------------------------------------
-    def vcycle(self, b):
-        """One V-cycle as a traced function of the fine-level RHS."""
-        return self._cycle(len(self.levels) - 1, b)
+    def vcycle_with(self, gdp, b):
+        """One V-cycle, traceable: gdp = self.device_args threaded in as
+        a jit argument by the enclosing program."""
+        return self._cycle_with(gdp, len(self.levels) - 1, b)
 
-    def _cycle(self, l: int, b):
+    def vcycle(self, b):
+        """Standalone jitted V-cycle of the fine-level RHS."""
+        if self._vcycle_jit is None:
+            L = len(self.levels) - 1
+            self._vcycle_jit = jax.jit(
+                lambda gdp, b_: self._cycle_with(gdp, L, b_))
+        return self._vcycle_jit(self.device_args, b)
+
+    def _cycle_with(self, gdp, l: int, b):
         lvl = self.levels[l]
+        ld = gdp["levels"][l]
         if l == 0:
-            return jnp.dot(self.coarse_inv, b,
+            return jnp.dot(gdp["coarse_inv"], b,
                            precision=jax.lax.Precision.HIGHEST)
-        b = lvl.mask * b
-        x = chebyshev_smooth(lvl.op.vmult, lvl.inv_diag, lvl.cheb, b)
-        r = lvl.mask * (b - lvl.op.vmult(x))
-        rc = self.levels[l - 1].mask * self.restrict(l, r)
-        xc = self._cycle(l - 1, rc)
-        x = x + lvl.mask * self.prolongate(l, xc)
-        x = chebyshev_smooth(lvl.op.vmult, lvl.inv_diag, lvl.cheb, b, x0=x)
+        m = ld["mask"]
+        cheb = ChebyshevParams(ld["cheb"][0], ld["cheb"][1],
+                               lvl.cheb.degree)
+        Af = lambda x: lvl.op.vmult_with(ld["dp"], x)
+        b = m * b
+        x = chebyshev_smooth(Af, ld["inv_diag"], cheb, b)
+        r = m * (b - Af(x))
+        rc = gdp["levels"][l - 1]["mask"] * self.restrict(l, r)
+        xc = self._cycle_with(gdp, l - 1, rc)
+        x = x + m * self.prolongate(l, xc)
+        x = chebyshev_smooth(Af, ld["inv_diag"], cheb, b, x0=x)
+        return x
+
+    def preconditioner_with(self, gdp, b):
+        """Traceable M_inv body for cg_solve (PreconditionMG analogue):
+        the enclosing jit passes gdp = self.device_args as an argument."""
+        L = len(self.levels) - 1
+        x = self._cycle_with(gdp, L, b)
+        for _ in range(self.n_cycles - 1):
+            ld = gdp["levels"][L]
+            r = b - self.levels[L].op.vmult_with(ld["dp"], x)
+            x = x + self._cycle_with(gdp, L, r)
         return x
 
     def preconditioner(self) -> Callable:
-        """M_inv callable for cg_solve (PreconditionMG analogue)."""
+        """Standalone (self-jitting) M_inv callable.  For composition
+        into an enclosing jitted solve use ``preconditioner_with`` and
+        thread ``device_args`` — this form would bake device constants
+        into the enclosing trace."""
         if self.n_cycles == 1:
             return self.vcycle
-
-        def m_inv(b):
-            x = self.vcycle(b)
-            for _ in range(self.n_cycles - 1):
-                x = x + self.vcycle(b - self.levels[-1].op.vmult(x))
-            return x
-
-        return m_inv
+        jitted = jax.jit(self.preconditioner_with)
+        return lambda b: jitted(self.device_args, b)
 
     @property
     def fine(self) -> MGLevel:
@@ -205,7 +250,7 @@ class GeometricMultigrid:
 
     # ------------------------------------------------------------------
     def resident_context(self):
-        """Fine-level solver-resident V-cycle: (A, M_inv, kernel, mask).
+        """Fine-level solver-resident V-cycle: (A, M_inv, kernel, rdp).
 
         The fine level dominates the V-cycle cost (~10 fine applies per
         preconditioned CG iteration: 2 Chebyshev smooths + residual +
@@ -215,26 +260,43 @@ class GeometricMultigrid:
         unpad before restriction and ONE pad after prolongation per
         cycle.  Returns None when the fine level has no resident kernel
         (non-3D, degree with incompatible tiling, or use_pallas=False).
+
+        ``A(rdp, gp)`` and ``m_inv(rdp, b_res)`` are traceable; the
+        returned ``rdp`` pytree (halo'd mask + inverse diagonal,
+        Chebyshev scalars, the flat-level device_args) must be threaded
+        through the enclosing jit as an argument.
         """
         fine = self.levels[-1]
         rk = fine.mf.resident
         L = len(self.levels) - 1
         if rk is None or L == 0:
             return None
-        m = rk.pad(jnp.asarray(fine.mask, rk.dt))
-        inv_diag_res = rk.pad(jnp.asarray(fine.inv_diag, rk.dt))
+        rdp = {
+            "m": rk.pad(jnp.asarray(fine.mask, rk.dt)),
+            "inv_diag": rk.pad(jnp.asarray(fine.inv_diag, rk.dt)),
+            "cheb": (fine.cheb.theta, fine.cheb.delta),
+            "g": self.device_args,
+        }
+        cheb_deg = fine.cheb.degree
 
-        def A(gp):
+        def A(rdp_, gp):
+            m = rdp_["m"]
             return m * rk.raw(m * gp) + (1.0 - m) * gp
 
-        def m_inv(b_res):
+        def m_inv(rdp_, b_res):
+            m = rdp_["m"]
+            cheb = ChebyshevParams(rdp_["cheb"][0], rdp_["cheb"][1],
+                                   cheb_deg)
+            Af = lambda gp: A(rdp_, gp)
             b_res = m * b_res
-            x = chebyshev_smooth(A, inv_diag_res, fine.cheb, b_res)
-            r = m * (b_res - A(x))
-            rc = self.levels[L - 1].mask * self.restrict(L, rk.unpad(r))
-            xc = self._cycle(L - 1, rc)
+            x = chebyshev_smooth(Af, rdp_["inv_diag"], cheb, b_res)
+            r = m * (b_res - Af(x))
+            gdp = rdp_["g"]
+            rc = gdp["levels"][L - 1]["mask"] * self.restrict(
+                L, rk.unpad(r))
+            xc = self._cycle_with(gdp, L - 1, rc)
             x = x + m * rk.pad(self.prolongate(L, xc))
-            return chebyshev_smooth(A, inv_diag_res, fine.cheb, b_res,
+            return chebyshev_smooth(Af, rdp_["inv_diag"], cheb, b_res,
                                     x0=x)
 
-        return A, m_inv, rk, m
+        return A, m_inv, rk, rdp

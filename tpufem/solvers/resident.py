@@ -85,7 +85,9 @@ def resident_gmg_cg(
     the result is flat again.
     """
     # cache the jitted solve on the mg instance — a fresh closure per
-    # call would recompile the whole V-cycle program every time
+    # call would recompile the whole V-cycle program every time.  All
+    # device arrays (rdp) enter the jitted program as ARGUMENTS
+    # (platform rule, see MatrixFree.device_args).
     key = (rtol, maxiter, id(mg.fine.mf.resident))
     cache = getattr(mg, "_resident_cg_cache", None)
     if cache is None or cache[0] != key:
@@ -95,12 +97,14 @@ def resident_gmg_cg(
                 "multigrid fine level has no resident kernel (needs 3D "
                 "use_pallas=True with a tiling-compatible degree)"
             )
-        A, m_inv, rk, _ = ctx
-        solve = jax.jit(lambda bp_: cg_solve(
-            A, bp_, M_inv=m_inv, rtol=rtol, maxiter=maxiter, dot=_dot3))
-        mg._resident_cg_cache = (key, solve, rk)
-    _, solve, rk = mg._resident_cg_cache
+        A, m_inv, rk, rdp = ctx
+        solve = jax.jit(lambda rdp_, bp_: cg_solve(
+            lambda gp: A(rdp_, gp), bp_,
+            M_inv=lambda r: m_inv(rdp_, r),
+            rtol=rtol, maxiter=maxiter, dot=_dot3))
+        mg._resident_cg_cache = (key, solve, rk, rdp)
+    _, solve, rk, rdp = mg._resident_cg_cache
     bp = rk.pad(jnp.asarray(b, rk.dt))
-    res = solve(bp)
+    res = solve(rdp, bp)
     return CGResult(rk.unpad(res.x), res.iterations, res.residual,
                     res.converged)

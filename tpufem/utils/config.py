@@ -39,6 +39,10 @@ class FemConfig:
             raise ValueError("dim must be 2 or 3")
         if not (1 <= self.degree <= 12):
             raise ValueError("degree out of supported range")
+        if self.pallas_mode not in ("f32", "bf16", "bf16s"):
+            raise ValueError(
+                f"pallas_mode must be 'f32', 'bf16' or 'bf16s', got "
+                f"{self.pallas_mode!r}")
 
     @property
     def n_dofs_per_cell(self) -> int:
