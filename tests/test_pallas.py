@@ -64,7 +64,9 @@ def test_pallas_matches_assembled_oracle():
 from tpufem.ops.pallas_separable import ResidentSeparable  # noqa: E402
 
 
-@pytest.mark.parametrize("p,n,tile", [(2, 8, 8), (4, 4, 8), (3, 8, 24)])
+@pytest.mark.parametrize("p,n,tile", [(2, 8, 8), (4, 4, 8), (3, 8, 24),
+                                      (5, 4, 16), (7, 4, 16), (5, 8, 16),
+                                      (6, 4, 24), (8, 4, 16), (1, 16, 8)])
 def test_resident_matches_separable_and_chains(p, n, tile):
     npts = n * p + 1
     K1u, M1u = global_1d_matrices(p, n, p + 1)

@@ -221,13 +221,23 @@ def _vmult_raw(mf: MatrixFree, dp, x):
     if mf.scheme == "structured":
         if mf.struct_invjac is not None:  # curved/general metric
             from tpufem.ops.structured import (
-                laplace_apply_structured_general,
+                global_interp_matrices,
+                laplace_apply_global_general,
             )
 
-            return laplace_apply_structured_general(
-                x, mf.config.dim, mf.uniform_n, mf.config.degree,
-                mf.S, mf.D_col, dp["struct_invjac"], dp["struct_jxw"],
-            )
+            d, p = mf.config.dim, mf.config.degree
+            n = mf.uniform_n
+            if not hasattr(mf, "_global_EG"):
+                E, Gd = global_interp_matrices(p, n, mf.S, mf.D_col)
+                dtc = np.dtype(mf.config.dtype)
+                mf._global_EG = ([np.asarray(E, dtc)] * d,
+                                 [np.asarray(Gd, dtc)] * d)
+            E_list, G_list = mf._global_EG
+            nq = n * mf.config.nq1
+            ij = dp["struct_invjac"].reshape((nq,) * d + (d, d))
+            jw = dp["struct_jxw"].reshape((nq,) * d)
+            return laplace_apply_global_general(
+                x, d, n, p, E_list, G_list, ij, jw)
         from tpufem.ops.structured import laplace_apply_structured
 
         return laplace_apply_structured(

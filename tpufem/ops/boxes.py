@@ -230,6 +230,7 @@ class BoxLaplaceOperator:
             # only verified-irregular rows stay on the gather fallback
             self._rects = []
             self._rect_meta = []
+            self._rect_groups = []
             if structured_interfaces:
                 from tpufem.ops.box_interface import build_interface_rects
 
@@ -237,10 +238,26 @@ class BoxLaplaceOperator:
                     self.boxes, constraints, p, d)
                 for r in rects:
                     self._rect_meta.append((r.bf, r.bc, r.fslice, r.cslice))
-                    self._rects.append((
-                        tuple(jnp.asarray(F, self.dt) for F in r.F),
-                        jnp.asarray(r.mask, self.dt),
-                    ))
+                # batch rects into same-shape groups (VERDICT r2 item 4):
+                # one gather + one batched einsum + one masked scatter-add
+                # per group instead of ~840 tiny per-rect einsums.  The
+                # masked-delta form is exactly the sequential per-rect
+                # application: ownership masks are row-disjoint across
+                # rects, so overlapping regions never double-apply.
+                by_shape: dict = {}
+                for r in rects:
+                    key = r.mask.shape
+                    by_shape.setdefault(key, []).append(r)
+                for key, rs in by_shape.items():
+                    fidx = np.stack([self._region_indices(r.bf, r.fslice)
+                                     for r in rs])
+                    cidx = np.stack([self._region_indices(r.bc, r.cslice)
+                                     for r in rs])
+                    mask = np.stack([r.mask for r in rs])
+                    F = tuple(np.asarray(Fk, self.dt) for Fk in rs[0].F)
+                    self._rect_groups.append((
+                        F, jnp.asarray(fidx), jnp.asarray(cidx),
+                        jnp.asarray(mask, self.dt)))
                 self.n_rect_rows = len(cdofs) - len(leftover)
             else:
                 leftover = np.arange(len(cdofs))
@@ -279,6 +296,7 @@ class BoxLaplaceOperator:
             self._has_fallback = False
             self._rects = []
             self._rect_meta = []
+            self._rect_groups = []
             self.n_rect_rows = 0
 
         # interior mask per patch entry: 0 on constrained copies AND dead
@@ -314,7 +332,7 @@ class BoxLaplaceOperator:
                 con_copy_idx=self._con_copy_idx,
                 ct_rows=self._ct_rows, ct_tgt=self._ct_tgt,
                 ct_w=self._ct_w,
-                rects=tuple(self._rects),
+                rect_groups=tuple(self._rect_groups),
             )
         self._box_nb = tuple(nb for (nb, _, _) in self._box_args)
         self._vmult = jax.jit(self._vmult_traced)
@@ -396,61 +414,48 @@ class BoxLaplaceOperator:
         return y.at[mi.reshape(-1)].set(jnp.repeat(tot, self._Kc))
 
     # -- structured interface rectangles (box_interface.py) ------------
-    def _split(self, u):
-        return [
-            jax.lax.dynamic_slice(u, (b.offset,), (b.n_nodes,)).reshape(
-                b.lattice_shape)
-            for b in self.boxes
-        ]
+    def _region_indices(self, bi: int, sl) -> np.ndarray:
+        """Flat patch indices of a static lattice slice of box bi."""
+        b = self.boxes[bi]
+        grid = np.arange(b.n_nodes, dtype=np.int64).reshape(
+            b.lattice_shape)
+        return b.offset + grid[sl]
 
     @staticmethod
-    def _join(segs):
-        return jnp.concatenate([s.reshape(-1) for s in segs])
-
-    @staticmethod
-    def _rect_interp(F, uc):
-        """V = F1 · U (1 tangential axis) or F1 · U · F2ᵀ (2 axes)."""
+    def _rect_interp_b(F, Uc):
+        """Batched V = F1 · U (·F2ᵀ) over the rect dim r."""
         hp = jax.lax.Precision.HIGHEST
         if len(F) == 1:
-            return F[0] @ uc
-        return jnp.einsum("af,bg,fg->ab", F[0], F[1], uc, precision=hp)
+            return jnp.einsum("af,rf->ra", F[0], Uc, precision=hp)
+        return jnp.einsum("af,bg,rfg->rab", F[0], F[1], Uc, precision=hp)
 
     @staticmethod
-    def _rect_interp_t(F, yf):
+    def _rect_interp_t_b(F, Yf):
         hp = jax.lax.Precision.HIGHEST
         if len(F) == 1:
-            return F[0].T @ yf
-        return jnp.einsum("af,bg,ab->fg", F[0], F[1], yf, precision=hp)
+            return jnp.einsum("af,ra->rf", F[0], Yf, precision=hp)
+        return jnp.einsum("af,bg,rab->rfg", F[0], F[1], Yf, precision=hp)
 
     def _rect_distribute(self, pr, u):
-        """Structured part of C: per-rectangle dense interpolation."""
-        segs = self._split(u)
-        for (bf, bc, fsl, csl), (F, mask) in zip(self._rect_meta,
-                                                 pr["rects"]):
-            v = self._rect_interp(F, segs[bc][csl])
-            cur = segs[bf][fsl]
-            segs[bf] = segs[bf].at[fsl].set(mask * v + (1.0 - mask) * cur)
-        return self._join(segs)
+        """Structured part of C, batched by rect shape group.  The
+        masked-delta scatter-add equals the sequential per-rect masked
+        set: ownership masks are row-disjoint across rects."""
+        for F, fidx, cidx, mask in pr["rect_groups"]:
+            v = self._rect_interp_b(F, u[cidx])
+            delta = mask * (v - u[fidx])
+            u = u.at[fidx.reshape(-1)].add(delta.reshape(-1))
+        return u
 
     def _rect_distribute_t(self, pr, y):
-        """Structured part of Cᵀ: transpose chains accumulated as a delta
-        patch, then reconciled across shared copies (exact: deltas sum)."""
-        segs = self._split(y)
-        dsegs = {}
-        for (bf, bc, fsl, csl), (F, mask) in zip(self._rect_meta,
-                                                 pr["rects"]):
-            yf = mask * segs[bf][fsl]
-            segs[bf] = segs[bf].at[fsl].set((1.0 - mask) * segs[bf][fsl])
-            dlt = self._rect_interp_t(F, yf)
-            if bc not in dsegs:
-                dsegs[bc] = jnp.zeros(self.boxes[bc].lattice_shape,
-                                      self.dt)
-            dsegs[bc] = dsegs[bc].at[csl].add(dlt)
-        y = self._join(segs)
-        delta = self._join([
-            dsegs.get(i, jnp.zeros(b.lattice_shape, self.dt))
-            for i, b in enumerate(self.boxes)
-        ])
+        """Structured part of Cᵀ, batched: masked rows pushed to coarse
+        masters as a delta patch, then reconciled across shared copies
+        (exact: deltas sum)."""
+        delta = jnp.zeros_like(y)
+        for F, fidx, cidx, mask in pr["rect_groups"]:
+            yf = mask * y[fidx]
+            y = y.at[fidx.reshape(-1)].add(-yf.reshape(-1))
+            d = self._rect_interp_t_b(F, yf)
+            delta = delta.at[cidx.reshape(-1)].add(d.reshape(-1))
         yp = y + delta
         # shared-copy fix: every copy of a multi DoF must carry the TOTAL
         # delta, not just its own box's share

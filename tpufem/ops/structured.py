@@ -172,6 +172,110 @@ def laplace_apply_structured_general(
     return unblock_all_add(acc, dim, ns, p)
 
 
+def global_interp_matrices(p: int, n: int, S, D_col):
+    """Global nodal-grid -> quadrature-grid operators for one axis.
+
+    E (n*q1, n*p+1): value interpolation — rows of cell c are S placed at
+    columns c*p (the assembled tensor-product factor of read_dof_values +
+    evaluate).  Gd: the direct nodal -> d/dx-at-qpoints map, D_col @ S.
+
+    These are the general-metric analogue of the separable tier's global
+    1D operators: banded (bandwidth p+1), rows periodic with period q1 —
+    but used here as DENSE matmul operands: at (n*q1, n*p+1) sizes the
+    MXU absorbs the ~q1/p-fold redundancy and XLA runs each axis pass at
+    matmul speed, which beats the blocked formulation's p-strided
+    overlapped extraction by an order of magnitude (docs/ROOFLINE.md:
+    blocking measured at ~8 GB/s effective).
+    """
+    import numpy as np
+
+    S = np.asarray(S, np.float64)
+    D = np.asarray(D_col, np.float64)
+    q1 = S.shape[0]
+    E = np.zeros((n * q1, n * p + 1))
+    for c in range(n):
+        E[c * q1 : (c + 1) * q1, c * p : c * p + p + 1] = S
+    Gd = np.zeros((n * q1, n * p + 1))
+    DS = D @ S
+    for c in range(n):
+        Gd[c * q1 : (c + 1) * q1, c * p : c * p + p + 1] = DS
+    return E, Gd
+
+
+def _axis_mm(M, t, axis: int):
+    """Contract grid axis `axis` of t with M (out, in) at matmul speed."""
+    t2 = jnp.moveaxis(t, axis, -1)
+    out = jnp.einsum("...i,qi->...q", t2, M,
+                     preferred_element_type=t.dtype,
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def laplace_apply_global_general(
+    u,
+    dim: int,
+    ns,
+    p: int,
+    E_list,  # per-axis (z..x) global value-interp operators (numpy)
+    G_list,  # per-axis global derivative-interp operators (numpy)
+    invjac_q,  # (nq_z[, nq_y], nq_x, d, d) per-qpoint J^-1 on the q-grid
+    jxw_q,  # (nq_z[, nq_y], nq_x) JxW (coefficient folded in)
+):
+    """General-metric cell loop as global quadrature-grid operators:
+
+        y = sum_b C_b^T [ sum_a (J^-T)_ba jxw (J^-1 g)_a ] ,
+        g_b = C_b u,   C_b = (x) over axes: Gd on axis b, E elsewhere.
+
+    No blocking, no gather: every axis pass is one dense (banded) matmul
+    over the full grid — the TPU-native replacement for the reference's
+    per-cell shared-memory sum factorization on curved/adaptive metrics
+    (matrix_free_gpu.h general mapping mode, SURVEY.md §3.4).  Shared
+    partial chains keep it at 8 forward + 8 transpose axis passes in 3D.
+    """
+    if isinstance(ns, int):
+        ns = (ns,) * dim
+    npts = tuple(n * p + 1 for n in ns)
+    t = u.reshape(npts)
+    hp = jax.lax.Precision.HIGHEST
+    if dim == 2:
+        # axes: 0=z(row), 1=x(col); spatial component a: 0=x maps to
+        # tensor axis dim-1-a
+        Ez, Ex = E_list[0], E_list[1]
+        Gz, Gx = G_list[0], G_list[1]
+        ez = _axis_mm(Ez, t, 0)
+        g_x = _axis_mm(Gx, ez, 1)           # spatial x derivative
+        g_z = _axis_mm(Ex, _axis_mm(Gz, t, 0), 1)
+        g = [g_x, g_z]  # spatial order (x, y=z-axis)
+        gp = [sum(invjac_q[..., b, a] * g[b] for b in range(dim)) * jxw_q
+              for a in range(dim)]
+        gb_x = sum(invjac_q[..., 0, a] * gp[a] for a in range(dim))
+        gb_z = sum(invjac_q[..., 1, a] * gp[a] for a in range(dim))
+        out = _axis_mm(Ez.T, _axis_mm(Gx.T, gb_x, 1), 0)
+        out = out + _axis_mm(Gz.T, _axis_mm(Ex.T, gb_z, 1), 0)
+        return out.reshape(-1)
+    Ez, Ey, Ex = E_list
+    Gz, Gy, Gx = G_list
+    # forward with shared partials (8 axis passes)
+    a0 = _axis_mm(Ez, t, 0)                 # Ez u
+    a1 = _axis_mm(Ey, a0, 1)                # Ey Ez u
+    g_x = _axis_mm(Gx, a1, 2)
+    g_y = _axis_mm(Ex, _axis_mm(Gy, a0, 1), 2)
+    g_z = _axis_mm(Ex, _axis_mm(Ey, _axis_mm(Gz, t, 0), 1), 2)
+    g = [g_x, g_y, g_z]  # spatial (x, y, z)
+    gp = [sum(invjac_q[..., b, a] * g[b] for b in range(dim)) * jxw_q
+          for a in range(dim)]
+    gb = [sum(invjac_q[..., b, a] * gp[a] for a in range(dim))
+          for b in range(dim)]
+    # transpose with shared partials (8 axis passes)
+    tx = _axis_mm(Gx.T, gb[0], 2)           # -> nodal x, q y/z
+    ty = _axis_mm(Ex.T, _axis_mm(Gy.T, gb[1], 1), 2)
+    txy = _axis_mm(Ey.T, tx, 1) + ty        # nodal x/y, q z
+    out = _axis_mm(Ez.T, txy, 0)
+    out = out + _axis_mm(
+        Gz.T, _axis_mm(Ey.T, _axis_mm(Ex.T, gb[2], 2), 1), 0)
+    return out.reshape(-1)
+
+
 def laplace_apply_structured(
     u,
     dim: int,
