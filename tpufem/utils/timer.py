@@ -46,15 +46,26 @@ class Timer:
         return "\n".join(lines)
 
 
+def _sync(out):
+    """Force completion.  On this machine's remote-TPU runtime
+    block_until_ready can return before a Pallas-chain program finishes;
+    a scalar D2H fetch is the only reliable barrier (docs/ROOFLINE.md
+    round 3) — cheap after the process's first fetch."""
+    import jax.numpy as jnp
+
+    leaf = jax.tree.leaves(out)[0]
+    float(jnp.sum(jnp.abs(leaf.ravel()[:1])))
+
+
 def time_fn(fn, *args, reps: int = 20, warmup: int = 2) -> float:
-    """Median-free mean seconds per call with device sync (CUDA-event
+    """Mean seconds per call with a reliable device sync (CUDA-event
     analogue for benchmarking kernels)."""
     out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / reps
