@@ -80,7 +80,7 @@ def test_curved_uniform_uses_structured_tier():
     mf = MatrixFree.build(mesh, dofs, FemConfig(2, 2))
     assert mf.metric_kind == "general"
     assert mf.scheme == "structured"
-    assert mf.struct_invjac is not None
+    assert mf.struct_gsym is not None
 
 
 @pytest.mark.parametrize("dim,p,make", [
@@ -96,7 +96,7 @@ def test_curved_structured_vmult_parity(dim, p, make):
     dofs = DoFHandler(mesh, p)
     mf = MatrixFree.build(mesh, dofs,
                           FemConfig(dim, p, scatter="structured"))
-    assert mf.struct_invjac is not None
+    assert mf.struct_gsym is not None
     op = LaplaceOperator(mf)
     K = assemble_laplace(dofs)
     x = RNG.standard_normal(dofs.n_dofs)

@@ -219,7 +219,7 @@ def _vmult_raw(mf: MatrixFree, dp, x):
             x, mf.config.dim, mf.uniform_n, mf.config.degree, mf.dense_A
         )
     if mf.scheme == "structured":
-        if mf.struct_invjac is not None:  # curved/general metric
+        if mf.struct_gsym is not None:  # curved/general metric
             from tpufem.ops.structured import (
                 global_interp_matrices,
                 laplace_apply_global_general,
@@ -234,10 +234,10 @@ def _vmult_raw(mf: MatrixFree, dp, x):
                                  [np.asarray(Gd, dtc)] * d)
             E_list, G_list = mf._global_EG
             nq = n * mf.config.nq1
-            ij = dp["struct_invjac"].reshape((nq,) * d + (d, d))
-            jw = dp["struct_jxw"].reshape((nq,) * d)
+            ncomp = d * (d + 1) // 2
+            gs = dp["struct_gsym"].reshape((nq,) * d + (ncomp,))
             return laplace_apply_global_general(
-                x, d, n, p, E_list, G_list, ij, jw)
+                x, d, n, p, E_list, G_list, gs)
         from tpufem.ops.structured import laplace_apply_structured
 
         return laplace_apply_structured(

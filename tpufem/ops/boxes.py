@@ -439,23 +439,40 @@ class BoxLaplaceOperator:
     def _rect_distribute(self, pr, u):
         """Structured part of C, batched by rect shape group.  The
         masked-delta scatter-add equals the sequential per-rect masked
-        set: ownership masks are row-disjoint across rects."""
+        set: ownership masks are row-disjoint across rects, and masters
+        (the cidx reads) are never hanging rows (constraint closure), so
+        all groups read the SAME pre-update vector and land in ONE fused
+        scatter-add — a per-group update chain costs a full patch-vector
+        rewrite per group (24 x 46 MB at the 3.3M-DoF bench, measured
+        6.3 ms; fused it is one rewrite)."""
+        idxs, vals = [], []
         for F, fidx, cidx, mask in pr["rect_groups"]:
             v = self._rect_interp_b(F, u[cidx])
             delta = mask * (v - u[fidx])
-            u = u.at[fidx.reshape(-1)].add(delta.reshape(-1))
-        return u
+            idxs.append(fidx.reshape(-1))
+            vals.append(delta.reshape(-1))
+        if not idxs:
+            return u
+        return u.at[jnp.concatenate(idxs)].add(jnp.concatenate(vals))
 
     def _rect_distribute_t(self, pr, y):
         """Structured part of Cᵀ, batched: masked rows pushed to coarse
         masters as a delta patch, then reconciled across shared copies
         (exact: deltas sum)."""
-        delta = jnp.zeros_like(y)
+        fidxs, yfs, cidxs, ds = [], [], [], []
         for F, fidx, cidx, mask in pr["rect_groups"]:
             yf = mask * y[fidx]
-            y = y.at[fidx.reshape(-1)].add(-yf.reshape(-1))
             d = self._rect_interp_t_b(F, yf)
-            delta = delta.at[cidx.reshape(-1)].add(d.reshape(-1))
+            fidxs.append(fidx.reshape(-1))
+            yfs.append(yf.reshape(-1))
+            cidxs.append(cidx.reshape(-1))
+            ds.append(d.reshape(-1))
+        # one fused zeroing scatter + one fused master scatter (reads all
+        # pre-update: masked rows are row-disjoint across rects and cidx
+        # masters are never masked rows — same argument as distribute)
+        y = y.at[jnp.concatenate(fidxs)].add(-jnp.concatenate(yfs))
+        delta = jnp.zeros_like(y).at[jnp.concatenate(cidxs)].add(
+            jnp.concatenate(ds))
         yp = y + delta
         # shared-copy fix: every copy of a multi DoF must carry the TOTAL
         # delta, not just its own box's share

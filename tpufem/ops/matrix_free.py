@@ -77,9 +77,9 @@ class MatrixFree:
     uniform_n: int | None = None  # cells per axis
     struct_scale: Any | None = None  # (dim,) inv_h^2 * det
     struct_w: Any | None = None  # broadcastable quadrature(+coef) weights
-    # curved/general-metric structured data (blocked layout, round 2)
-    struct_invjac: Any | None = None  # ([nz,qz,]ny,qy,nx,qx, d, d)
-    struct_jxw: Any | None = None  # ([nz,qz,]ny,qy,nx,qx)
+    # curved/general-metric structured data (blocked layout; packed
+    # symmetric jxw * J^-1 J^-T — see ops.structured.sym_metric_components)
+    struct_gsym: Any | None = None  # ([nz,qz,]ny,qy,nx,qx, d(d+1)/2)
     # hanging-node constraint application data (None on uniform meshes):
     # the reference's hanging_nodes.cuh resolution, as C / C^T application
     con_dofs: Any | None = None  # (ncon,) int32
@@ -176,8 +176,7 @@ class MatrixFree:
         uniform_n = None
         struct_scale = None
         struct_w = None
-        struct_invjac = None
-        struct_jxw = None
+        struct_gsym = None
         dense_A = None
         sep_ops = None
         resident = None
@@ -217,8 +216,10 @@ class MatrixFree:
                     a2, perm + list(range(2 * d, 2 * d + len(trail)))
                 )
 
-            struct_invjac = jnp.asarray(to_blocked(metric.inv_jac), dtype)
-            struct_jxw = jnp.asarray(to_blocked(jxw), dtype)
+            from tpufem.ops.structured import sym_metric_components
+
+            gsym = sym_metric_components(metric.inv_jac, jxw)
+            struct_gsym = jnp.asarray(to_blocked(gsym), dtype)
         elif scheme in ("structured", "dense", "separable"):
             uniform_n = int(mesh.U // mesh.sizes[0])
             inv_h0 = metric.inv_h[0]  # identical for all cells
@@ -344,8 +345,7 @@ class MatrixFree:
             uniform_n=uniform_n,
             struct_scale=struct_scale,
             struct_w=struct_w,
-            struct_invjac=struct_invjac,
-            struct_jxw=struct_jxw,
+            struct_gsym=struct_gsym,
             con_dofs=con_arrays[0],
             con_masters=con_arrays[1],
             con_weights=con_arrays[2],
@@ -385,8 +385,7 @@ class MatrixFree:
             "w_q": self.w_q,
             "inv_jac": self.inv_jac,
             "jxw": self.jxw,
-            "struct_invjac": self.struct_invjac,
-            "struct_jxw": self.struct_jxw,
+            "struct_gsym": self.struct_gsym,
             "con": con,
             "cell_dofs": None,
             "incidence": None,

@@ -133,43 +133,37 @@ def contract_local(t, M, a: int, dim: int):
     return jnp.moveaxis(out, -1, pos)
 
 
-def laplace_apply_structured_general(
-    u,
-    dim: int,
-    ns,
-    p: int,
-    S,
-    D_col,
-    invjac_blk,  # interleaved ([nz,qz,]ny,qy,nx,qx, d, d) per-qpoint J^-1
-    jxw_blk,  # interleaved ([nz,qz,]ny,qy,nx,qx) JxW (coef folded in)
-):
-    """Gather-free blocked cell loop with a per-quadrature-point metric:
-    curved (transformed) uniform meshes leave the generic incidence path
-    entirely (round-2; reference: the mapping_update_flags general-metric
-    mode of MatrixFreeGpu::reinit, SURVEY.md §3.2).
+def sym_metric_components(inv_jac, jxw):
+    """Per-qpoint symmetric metric tensor, packed upper triangle.
 
-    Same blocking/contraction structure as the Cartesian variant; the
-    pointwise stage applies the full J^-T (coef JxW) J^-1 rotation:
-      gp[a] = sum_b invJ[b,a] g_ref[b];  gb[b] = sum_a invJ[b,a] jxw gp[a].
+    G = jxw * (J^-1 @ J^-T) collapses the two d x d rotations of the
+    general-metric pointwise stage into ONE symmetric contraction:
+      gb[b] = sum_c G[b,c] g[c]  ==  invJ (jxw invJ^T g).
+    Returns (..., d*(d+1)/2) with components ordered (xx, xy[, xz], yy
+    [, yz, zz]) — reads 6 metric fields per qpoint in 3D instead of the
+    unpacked form's 10 (J^-1 is 9 + JxW), and HBM traffic is what bounds
+    this tier.  Computed in f64 on host (numpy in, numpy out).
     """
-    if isinstance(ns, int):
-        ns = (ns,) * dim
-    t = block_all(u, dim, ns, p)
-    for a in range(dim):
-        t = contract_local(t, S, a, dim)
-    g = [contract_local(t, D_col, b, dim) for b in range(dim)]
-    gp = [
-        sum(invjac_blk[..., b, a] * g[b] for b in range(dim)) * jxw_blk
-        for a in range(dim)
-    ]
-    acc = None
-    for b in range(dim):
-        gb = sum(invjac_blk[..., b, a] * gp[a] for a in range(dim))
-        gb = contract_local(gb, D_col.T, b, dim)
-        acc = gb if acc is None else acc + gb
-    for a in range(dim):
-        acc = contract_local(acc, S.T, a, dim)
-    return unblock_all_add(acc, dim, ns, p)
+    import numpy as np
+
+    inv_jac = np.asarray(inv_jac, np.float64)
+    jxw = np.asarray(jxw, np.float64)
+    d = inv_jac.shape[-1]
+    G = jxw[..., None, None] * np.einsum(
+        "...ba,...ca->...bc", inv_jac, inv_jac)
+    comps = [G[..., b, c] for b in range(d) for c in range(b, d)]
+    return np.stack(comps, axis=-1)
+
+
+def _sym_index(d: int):
+    """(b, c) -> packed index map for the upper-triangle layout."""
+    idx = {}
+    k = 0
+    for b in range(d):
+        for c in range(b, d):
+            idx[(b, c)] = idx[(c, b)] = k
+            k += 1
+    return idx
 
 
 def global_interp_matrices(p: int, n: int, S, D_col):
@@ -218,25 +212,26 @@ def laplace_apply_global_general(
     p: int,
     E_list,  # per-axis (z..x) global value-interp operators (numpy)
     G_list,  # per-axis global derivative-interp operators (numpy)
-    invjac_q,  # (nq_z[, nq_y], nq_x, d, d) per-qpoint J^-1 on the q-grid
-    jxw_q,  # (nq_z[, nq_y], nq_x) JxW (coefficient folded in)
+    gsym_q,  # (nq_z[, nq_y], nq_x, d(d+1)/2) packed jxw * J^-1 J^-T
 ):
     """General-metric cell loop as global quadrature-grid operators:
 
-        y = sum_b C_b^T [ sum_a (J^-T)_ba jxw (J^-1 g)_a ] ,
+        y = sum_b C_b^T [ sum_c G[b,c] g_c ] ,   G = jxw * J^-1 J^-T,
         g_b = C_b u,   C_b = (x) over axes: Gd on axis b, E elsewhere.
 
     No blocking, no gather: every axis pass is one dense (banded) matmul
     over the full grid — the TPU-native replacement for the reference's
     per-cell shared-memory sum factorization on curved/adaptive metrics
     (matrix_free_gpu.h general mapping mode, SURVEY.md §3.4).  Shared
-    partial chains keep it at 8 forward + 8 transpose axis passes in 3D.
+    partial chains keep it at 8 forward + 8 transpose axis passes in 3D;
+    the pointwise stage reads the PACKED symmetric metric (6 fields in
+    3D, not 10) — this tier is HBM-bound (docs/ROOFLINE.md).
     """
     if isinstance(ns, int):
         ns = (ns,) * dim
     npts = tuple(n * p + 1 for n in ns)
     t = u.reshape(npts)
-    hp = jax.lax.Precision.HIGHEST
+    si = _sym_index(dim)
     if dim == 2:
         # axes: 0=z(row), 1=x(col); spatial component a: 0=x maps to
         # tensor axis dim-1-a
@@ -246,12 +241,10 @@ def laplace_apply_global_general(
         g_x = _axis_mm(Gx, ez, 1)           # spatial x derivative
         g_z = _axis_mm(Ex, _axis_mm(Gz, t, 0), 1)
         g = [g_x, g_z]  # spatial order (x, y=z-axis)
-        gp = [sum(invjac_q[..., b, a] * g[b] for b in range(dim)) * jxw_q
-              for a in range(dim)]
-        gb_x = sum(invjac_q[..., 0, a] * gp[a] for a in range(dim))
-        gb_z = sum(invjac_q[..., 1, a] * gp[a] for a in range(dim))
-        out = _axis_mm(Ez.T, _axis_mm(Gx.T, gb_x, 1), 0)
-        out = out + _axis_mm(Gz.T, _axis_mm(Ex.T, gb_z, 1), 0)
+        gb = [sum(gsym_q[..., si[b, c]] * g[c] for c in range(dim))
+              for b in range(dim)]
+        out = _axis_mm(Ez.T, _axis_mm(Gx.T, gb[0], 1), 0)
+        out = out + _axis_mm(Gz.T, _axis_mm(Ex.T, gb[1], 1), 0)
         return out.reshape(-1)
     Ez, Ey, Ex = E_list
     Gz, Gy, Gx = G_list
@@ -262,9 +255,7 @@ def laplace_apply_global_general(
     g_y = _axis_mm(Ex, _axis_mm(Gy, a0, 1), 2)
     g_z = _axis_mm(Ex, _axis_mm(Ey, _axis_mm(Gz, t, 0), 1), 2)
     g = [g_x, g_y, g_z]  # spatial (x, y, z)
-    gp = [sum(invjac_q[..., b, a] * g[b] for b in range(dim)) * jxw_q
-          for a in range(dim)]
-    gb = [sum(invjac_q[..., b, a] * gp[a] for a in range(dim))
+    gb = [sum(gsym_q[..., si[b, c]] * g[c] for c in range(dim))
           for b in range(dim)]
     # transpose with shared partials (8 axis passes)
     tx = _axis_mm(Gx.T, gb[0], 2)           # -> nodal x, q y/z
@@ -273,6 +264,60 @@ def laplace_apply_global_general(
     out = _axis_mm(Ez.T, txy, 0)
     out = out + _axis_mm(
         Gz.T, _axis_mm(Ey.T, _axis_mm(Ex.T, gb[2], 2), 1), 0)
+    return out.reshape(-1)
+
+
+def laplace_apply_global_diag(
+    u,
+    dim: int,
+    ns,
+    p: int,
+    E_list,  # per-axis (z..x) global value-interp operators
+    G_list,  # per-axis global derivative-interp operators
+    scale,  # (d,) spatial-axis scales inv_h^2 * det (x first)
+    wb,  # blocked-layout broadcastable weights ([nz,qz,]ny,qy,nx,qx)
+):
+    """Diagonal-metric (axis-aligned Cartesian) cell loop as global
+    quadrature-grid matmuls.  The metric is diagonal, so the pointwise
+    stage is gb[a] = scale[a] * wb * g[a] with ``wb`` a BROADCASTABLE
+    blocked array (activity-masked quadrature weights, coefficient folded
+    in) — near-zero metric HBM traffic, unlike the packed-general form.
+    Used by the box tier's per-box cell loop on adaptive meshes (dead
+    lattice cells carry weight 0).
+    """
+    if isinstance(ns, int):
+        ns = (ns,) * dim
+    npts = tuple(n * p + 1 for n in ns)
+    q1 = E_list[0].shape[0] // ns[0]
+    blk = tuple(np.ravel([(n, q1) for n in ns]))
+    t = u.reshape(npts)
+
+    def pointwise(g, a):
+        gq = g.reshape(blk) * wb * scale[a]
+        return gq.reshape(g.shape)
+
+    if dim == 2:
+        Ez, Ex = E_list[0], E_list[1]
+        Gz, Gx = G_list[0], G_list[1]
+        gb_x = pointwise(_axis_mm(Gx, _axis_mm(Ez, t, 0), 1), 0)
+        gb_z = pointwise(_axis_mm(Ex, _axis_mm(Gz, t, 0), 1), 1)
+        out = _axis_mm(Ez.T, _axis_mm(Gx.T, gb_x, 1), 0)
+        out = out + _axis_mm(Gz.T, _axis_mm(Ex.T, gb_z, 1), 0)
+        return out.reshape(-1)
+    Ez, Ey, Ex = E_list
+    Gz, Gy, Gx = G_list
+    a0 = _axis_mm(Ez, t, 0)
+    a1 = _axis_mm(Ey, a0, 1)
+    gb_x = pointwise(_axis_mm(Gx, a1, 2), 0)
+    gb_y = pointwise(_axis_mm(Ex, _axis_mm(Gy, a0, 1), 2), 1)
+    gb_z = pointwise(
+        _axis_mm(Ex, _axis_mm(Ey, _axis_mm(Gz, t, 0), 1), 2), 2)
+    tx = _axis_mm(Gx.T, gb_x, 2)
+    ty = _axis_mm(Ex.T, _axis_mm(Gy.T, gb_y, 1), 2)
+    txy = _axis_mm(Ey.T, tx, 1) + ty
+    out = _axis_mm(Ez.T, txy, 0)
+    out = out + _axis_mm(
+        Gz.T, _axis_mm(Ey.T, _axis_mm(Ex.T, gb_z, 2), 1), 0)
     return out.reshape(-1)
 
 
