@@ -233,11 +233,8 @@ def _vmult_raw(mf: MatrixFree, dp, x):
                 mf._global_EG = ([np.asarray(E, dtc)] * d,
                                  [np.asarray(Gd, dtc)] * d)
             E_list, G_list = mf._global_EG
-            nq = n * mf.config.nq1
-            ncomp = d * (d + 1) // 2
-            gs = dp["struct_gsym"].reshape((nq,) * d + (ncomp,))
             return laplace_apply_global_general(
-                x, d, n, p, E_list, G_list, gs)
+                x, d, n, p, E_list, G_list, dp["struct_gsym"])
         from tpufem.ops.structured import laplace_apply_structured
 
         return laplace_apply_structured(

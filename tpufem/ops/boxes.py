@@ -140,6 +140,7 @@ class BoxLaplaceOperator:
         dtype: str = "float32",
         constrained_mask: Optional[np.ndarray] = None,
         structured_interfaces: bool = True,
+        cell_scheme: str = "global",
     ):
         if mesh.transform is not None:
             raise NotImplementedError(
@@ -160,18 +161,53 @@ class BoxLaplaceOperator:
         self.n_dofs = dofs.n_dofs
 
         # ---- per-box apply constants -------------------------------------
-        # constant coefficient: ONE shared nn x nn local matrix per box
-        # (dense-local tier — a single MXU matmul over the cell batch,
-        # inactive cells masked) — measured ~2x the blocked structured
-        # tier's rate; variable coefficient falls back to the structured
-        # blocked apply with per-cell weights.
+        # cell_scheme picks the per-box cell loop:
+        #   "global"     — global quadrature-grid banded matmuls
+        #                  (laplace_apply_global_diag): no p-strided
+        #                  blocking, every axis pass is one dense matmul
+        #                  over the whole box lattice (the round-3 tier);
+        #   "dense"      — one shared nn x nn local matrix per box, a
+        #                  single MXU matmul over the cell batch
+        #                  (constant coefficient only);
+        #   "structured" — blocked overlapped-extraction sum
+        #                  factorization (round-2 tier).
+        if cell_scheme == "dense" and coefficient is not None:
+            cell_scheme = "structured"
+        self._cell_scheme = cell_scheme
         w1 = np.asarray(quad.weights_1d)
         ext = mesh.upper - mesh.lower  # (d,) physical extents, xyz
-        self._dense = coefficient is None
+        self._dense = cell_scheme == "dense"
         self._box_args = []
+        self._box_EG = []
+        eg_cache: dict = {}
         for b in self.boxes:
             h = b.size / mesh.U * ext  # (d,) physical cell widths, xyz
             scale = jnp.asarray(1.0 / h**2 * np.prod(h), self.dt)
+            if cell_scheme == "global":
+                from tpufem.ops.structured import global_interp_matrices
+
+                EG = []
+                for n_ax in b.nb:  # tensor-axis order z..x
+                    if n_ax not in eg_cache:
+                        E, Gd = global_interp_matrices(
+                            p, n_ax, si.S, si.D_col)
+                        eg_cache[n_ax] = (jnp.asarray(E, self.dt),
+                                          jnp.asarray(Gd, self.dt))
+                    EG.append(eg_cache[n_ax])
+                self._box_EG.append(
+                    (tuple(e for e, _ in EG), tuple(g for _, g in EG)))
+                wb = b.active.astype(np.float64).reshape(
+                    tuple(np.ravel([(n, 1) for n in b.nb]))
+                )
+                for a in range(d):  # quadrature dims at odd pos, z..x
+                    sh = [1] * (2 * d)
+                    sh[2 * (d - 1 - a) + 1] = p + 1
+                    wb = wb * w1.reshape(sh)
+                if coefficient is not None:
+                    wb = wb * self._coef_block(b, coefficient, quad)
+                self._box_args.append(
+                    (b.nb, scale, jnp.asarray(wb, self.dt)))
+                continue
             if self._dense:
                 from tpufem.ops.dense_local import build_dense_local_matrix
 
@@ -318,6 +354,7 @@ class BoxLaplaceOperator:
         # invocation.
         self.params = {
             "box_args": tuple((a1, a2) for (_, a1, a2) in self._box_args),
+            "box_EG": tuple(self._box_EG),
             "multi_idx": self._multi_idx,
             "multi_w": self._multi_w,
             "interior_mask": self.interior_mask,
@@ -516,13 +553,19 @@ class BoxLaplaceOperator:
     # ------------------------------------------------------------------
     def _vmult_raw_p(self, pr, u):
         from tpufem.ops.dense_local import laplace_apply_dense_masked
+        from tpufem.ops.structured import laplace_apply_global_diag
 
         parts = []
         for i, (arg1, arg2) in enumerate(pr["box_args"]):
             b = self.boxes[i]
             nb = self._box_nb[i]
             xb = jax.lax.dynamic_slice_in_dim(u, b.offset, b.n_nodes)
-            if self._dense:
+            if self._cell_scheme == "global":
+                E_list, G_list = pr["box_EG"][i]
+                yb = laplace_apply_global_diag(
+                    xb, self.dim, nb, self.p, E_list, G_list,
+                    arg1, arg2)
+            elif self._dense:
                 yb = laplace_apply_dense_masked(
                     xb, self.dim, nb, self.p, arg1, arg2)
             else:

@@ -77,9 +77,9 @@ class MatrixFree:
     uniform_n: int | None = None  # cells per axis
     struct_scale: Any | None = None  # (dim,) inv_h^2 * det
     struct_w: Any | None = None  # broadcastable quadrature(+coef) weights
-    # curved/general-metric structured data (blocked layout; packed
+    # curved/general-metric structured data (flat global q-grid; packed
     # symmetric jxw * J^-1 J^-T — see ops.structured.sym_metric_components)
-    struct_gsym: Any | None = None  # ([nz,qz,]ny,qy,nx,qx, d(d+1)/2)
+    struct_gsym: Any | None = None  # ((n*q1,)*d, d(d+1)/2)
     # hanging-node constraint application data (None on uniform meshes):
     # the reference's hanging_nodes.cuh resolution, as C / C^T application
     con_dofs: Any | None = None  # (ncon,) int32
@@ -219,7 +219,13 @@ class MatrixFree:
             from tpufem.ops.structured import sym_metric_components
 
             gsym = sym_metric_components(metric.inv_jac, jxw)
-            struct_gsym = jnp.asarray(to_blocked(gsym), dtype)
+            # store in the FLAT global q-grid layout (nq,)*d + (ncomp,):
+            # the 7-D interleaved blocked layout picks a pathological TPU
+            # tiling (measured: 20 GB copy for a 786 MB array at p=4 r=6)
+            ncomp = d * (d + 1) // 2
+            flat = np.ascontiguousarray(to_blocked(gsym)).reshape(
+                (n * q1,) * d + (ncomp,))
+            struct_gsym = jnp.asarray(flat, dtype)
         elif scheme in ("structured", "dense", "separable"):
             uniform_n = int(mesh.U // mesh.sizes[0])
             inv_h0 = metric.inv_h[0]  # identical for all cells
