@@ -142,3 +142,70 @@ def test_box_cg_solve_matches_incidence_path():
     x_b = op.from_patch(op.distribute(res_b.x))
     assert int(res_b.iterations) == int(res_i.iterations)
     assert np.linalg.norm(x_b - x_i) / np.linalg.norm(x_i) < 1e-9
+
+
+def _curved_adaptive(dim, refinements):
+    """Adaptively refined shell wedge — curved x hanging nodes (the
+    reference's adaptive shell path, SURVEY.md §3.1)."""
+    mesh = (Mesh.hyper_shell_2d(refinements) if dim == 2
+            else Mesh.hyper_shell_3d(refinements))
+    flags = np.zeros(mesh.n_cells, bool)
+    flags[: mesh.n_cells // 3] = True
+    return mesh.refine(flags)
+
+
+@pytest.mark.parametrize("dim,p,r", [(2, 1, 3), (2, 3, 3), (3, 2, 2)])
+def test_box_curved_adaptive_vmult_parity(dim, p, r):
+    """Curved ADAPTIVE meshes ride the box tier's global-general cell
+    loop (per-qpoint packed metric, dead cells G=0) — raw apply must
+    match the assembled oracle to rounding."""
+    mesh = _curved_adaptive(dim, r)
+    dofs = DoFHandler(mesh, p)
+    ac = make_hanging_node_constraints(dofs)
+    op = BoxLaplaceOperator(mesh, dofs, constraints=ac, dtype="float64")
+    assert op._cell_scheme == "global-general"
+    x = RNG.standard_normal(dofs.n_dofs)
+    K = assemble_laplace(dofs)
+    y = op.from_patch(op.vmult_raw(op.to_patch(x)))
+    ref = K @ x
+    assert np.linalg.norm(y - ref) / np.linalg.norm(ref) < 1e-10
+
+
+def test_box_curved_adaptive_solve_converges():
+    """u = x^2 - y^2 (harmonic) on adaptively refined shell wedges:
+    the L2 error of the box-tier solve must decay under refinement
+    (same Dirichlet setup as the incidence path, applied in patch
+    space — the curved x hanging-node composition end-to-end)."""
+    from tpufem.apps.poisson import dirichlet_setup
+    from tpufem.fem.assemble import assemble_rhs, integrate_difference
+    from tpufem.operators.laplace import LaplaceOperator
+    from tpufem.ops.matrix_free import MatrixFree
+    from tpufem.solvers.cg import cg_solve
+    from tpufem.utils.config import FemConfig
+
+    exact = lambda x: x[:, 0] ** 2 - x[:, 1] ** 2
+    zero = lambda x: np.zeros(len(x))
+    errs = []
+    for r in (2, 3, 4):
+        mesh = _curved_adaptive(2, r)
+        dofs = DoFHandler(mesh, 2)
+        ac = make_hanging_node_constraints(dofs)
+        op = BoxLaplaceOperator(mesh, dofs, constraints=ac,
+                                dtype="float64")
+        mf = MatrixFree.build(mesh, dofs, FemConfig(2, 2),
+                              constraints=ac)
+        iop = LaplaceOperator(mf)
+        b = assemble_rhs(dofs, zero)
+        g = np.zeros(dofs.n_dofs)
+        bm = dofs.boundary_mask
+        g[bm] = exact(dofs.dof_coords[bm])
+        b_con, x0 = dirichlet_setup(iop, b, g)
+        diag = op.diagonal()
+        res = cg_solve(op.vmult, op.to_patch(np.asarray(b_con)),
+                       M_inv=lambda rr: rr / diag,
+                       x0=op.to_patch(np.asarray(x0)), rtol=1e-12,
+                       dot=op.dot)
+        x = op.from_patch(op.distribute(res.x))
+        errs.append(integrate_difference(dofs, x, exact))
+    rate = np.log2(errs[-2] / errs[-1])
+    assert rate > 1.8, (errs, rate)

@@ -143,10 +143,12 @@ class BoxLaplaceOperator:
         cell_scheme: str = "global",
     ):
         if mesh.transform is not None:
-            raise NotImplementedError(
-                "box tier needs a Cartesian (untransformed) mesh; curved "
-                "adaptive meshes use the incidence path"
-            )
+            # curved adaptive (transform x refinement, VERDICT r2 item 6):
+            # the per-box cell loop carries the full per-qpoint packed
+            # symmetric metric (dead lattice cells get G = 0) through
+            # laplace_apply_global_general — same machinery as the
+            # uniform curved tier, per box.
+            cell_scheme = "global-general"
         self.mesh, self.dofs = mesh, dofs
         self.coefficient = coefficient
         p, d = dofs.degree, mesh.dim
@@ -180,10 +182,25 @@ class BoxLaplaceOperator:
         self._box_args = []
         self._box_EG = []
         eg_cache: dict = {}
+        gsym_cells = None
+        if cell_scheme == "global-general":
+            from tpufem.fem.mapping import compute_metric
+            from tpufem.ops.structured import sym_metric_components
+
+            metric = compute_metric(mesh, quad,
+                                    need_points=coefficient is not None)
+            jxw = metric.jxw
+            if coefficient is not None:
+                jxw = jxw * coefficient(
+                    metric.quad_points.reshape(-1, d)
+                ).reshape(jxw.shape)
+            gsym_cells = sym_metric_components(metric.inv_jac, jxw)
+        q1 = p + 1
+        ncomp = d * (d + 1) // 2
         for b in self.boxes:
             h = b.size / mesh.U * ext  # (d,) physical cell widths, xyz
             scale = jnp.asarray(1.0 / h**2 * np.prod(h), self.dt)
-            if cell_scheme == "global":
+            if cell_scheme in ("global", "global-general"):
                 from tpufem.ops.structured import global_interp_matrices
 
                 EG = []
@@ -196,6 +213,24 @@ class BoxLaplaceOperator:
                     EG.append(eg_cache[n_ax])
                 self._box_EG.append(
                     (tuple(e for e, _ in EG), tuple(g for _, g in EG)))
+                if cell_scheme == "global-general":
+                    # packed symmetric metric on the box q-grid, dead
+                    # cells G = 0 (their qpoint contributions vanish)
+                    rel = mesh.origins[b.cells] // b.size - b.lo  # xyz
+                    gs = gsym_cells[b.cells].reshape(
+                        (len(b.cells),) + (q1,) * d + (ncomp,))
+                    blk = np.zeros(tuple(np.ravel(
+                        [(n, q1) for n in b.nb])) + (ncomp,))
+                    ix: list = []
+                    for a in range(d):  # tensor-axis order z..x
+                        ix.append(rel[:, d - 1 - a])
+                        ix.append(slice(None))
+                    blk[tuple(ix)] = gs
+                    gbox = blk.reshape(
+                        tuple(n * q1 for n in b.nb) + (ncomp,))
+                    self._box_args.append(
+                        (b.nb, jnp.asarray(gbox, self.dt), None))
+                    continue
                 wb = b.active.astype(np.float64).reshape(
                     tuple(np.ravel([(n, 1) for n in b.nb]))
                 )
@@ -284,6 +319,8 @@ class BoxLaplaceOperator:
                 for r in rects:
                     key = r.mask.shape
                     by_shape.setdefault(key, []).append(r)
+                fidx_np, cidx_np, mask_np = [], [], []
+                self._rect_sizes = []
                 for key, rs in by_shape.items():
                     fidx = np.stack([self._region_indices(r.bf, r.fslice)
                                      for r in rs])
@@ -291,9 +328,41 @@ class BoxLaplaceOperator:
                                      for r in rs])
                     mask = np.stack([r.mask for r in rs])
                     F = tuple(np.asarray(Fk, self.dt) for Fk in rs[0].F)
-                    self._rect_groups.append((
-                        F, jnp.asarray(fidx), jnp.asarray(cidx),
-                        jnp.asarray(mask, self.dt)))
+                    self._rect_groups.append((F, jnp.asarray(cidx)))
+                    self._rect_sizes.append((fidx.shape, fidx.size))
+                    fidx_np.append(fidx.reshape(-1))
+                    cidx_np.append(cidx.reshape(-1))
+                    mask_np.append(mask.reshape(-1) != 0)
+                # STATIC scatter plans (sorted-unique indices lower to
+                # the fast TPU scatter path; the generic concat-scatter
+                # was ~4.5 ms of the 12.6 ms 3.3M-DoF apply, measured):
+                #   distribute  = pure SET of interpolated values on
+                #     owned rows (row-disjoint across rects);
+                #   distribute_t = gather owned rows -> zero them ->
+                #     per-group transpose interp -> segment-sum onto
+                #     unique masters -> one sorted-unique scatter-add.
+                if fidx_np:
+                    fc = np.concatenate(fidx_np)
+                    cc = np.concatenate(cidx_np)
+                    mc = np.concatenate(mask_np)
+                    keep = np.nonzero(mc)[0]
+                    dst = fc[keep]
+                    assert len(np.unique(dst)) == len(dst), (
+                        "rect ownership masks must be row-disjoint")
+                    order = np.argsort(dst, kind="stable")
+                    self._rs_src = jnp.asarray(keep[order])
+                    self._rs_dst = jnp.asarray(dst[order])
+                    self._rs_keep = jnp.asarray(keep)  # ascending
+                    self._rs_gather = jnp.asarray(fc[keep])
+                    self._rs_total = int(len(fc))
+                    order_c = np.argsort(cc, kind="stable")
+                    cs = cc[order_c]
+                    seg = np.concatenate(
+                        [[0], np.cumsum(cs[1:] != cs[:-1])])
+                    self._ct_corder = jnp.asarray(order_c)
+                    self._ct_segids = jnp.asarray(seg)
+                    self._ct_nseg = int(seg[-1]) + 1 if len(seg) else 0
+                    self._ct_uniq = jnp.asarray(np.unique(cs))
                 self.n_rect_rows = len(cdofs) - len(leftover)
             else:
                 leftover = np.arange(len(cdofs))
@@ -371,6 +440,14 @@ class BoxLaplaceOperator:
                 ct_w=self._ct_w,
                 rect_groups=tuple(self._rect_groups),
             )
+            if self._rect_groups:
+                self.params.update(
+                    rs_src=self._rs_src, rs_dst=self._rs_dst,
+                    rs_keep=self._rs_keep, rs_gather=self._rs_gather,
+                    ct_corder=self._ct_corder,
+                    ct_segids=self._ct_segids,
+                    ct_uniq=self._ct_uniq,
+                )
         self._box_nb = tuple(nb for (nb, _, _) in self._box_args)
         self._vmult = jax.jit(self._vmult_traced)
         self._vmult_raw = jax.jit(self._vmult_raw_traced)
@@ -475,41 +552,47 @@ class BoxLaplaceOperator:
 
     def _rect_distribute(self, pr, u):
         """Structured part of C, batched by rect shape group.  The
-        masked-delta scatter-add equals the sequential per-rect masked
-        set: ownership masks are row-disjoint across rects, and masters
-        (the cidx reads) are never hanging rows (constraint closure), so
-        all groups read the SAME pre-update vector and land in ONE fused
-        scatter-add — a per-group update chain costs a full patch-vector
-        rewrite per group (24 x 46 MB at the 3.3M-DoF bench, measured
-        6.3 ms; fused it is one rewrite)."""
-        idxs, vals = [], []
-        for F, fidx, cidx, mask in pr["rect_groups"]:
-            v = self._rect_interp_b(F, u[cidx])
-            delta = mask * (v - u[fidx])
-            idxs.append(fidx.reshape(-1))
-            vals.append(delta.reshape(-1))
-        if not idxs:
+        masked set: ownership masks are row-disjoint across rects, and
+        masters (the cidx reads) are never hanging rows (constraint
+        closure), so all groups read the SAME pre-update vector and the
+        update is a pure SET of interpolated values on the statically
+        pre-sorted unique owned rows — the sorted-unique scatter lowers
+        to the fast TPU path (the generic masked-delta concat-scatter
+        was ~4.5 ms of the 12.6 ms 3.3M-DoF apply, measured)."""
+        if not pr["rect_groups"]:
             return u
-        return u.at[jnp.concatenate(idxs)].add(jnp.concatenate(vals))
+        vs = [self._rect_interp_b(F, u[cidx]).reshape(-1)
+              for F, cidx in pr["rect_groups"]]
+        v_all = jnp.concatenate(vs) if len(vs) > 1 else vs[0]
+        return u.at[pr["rs_dst"]].set(
+            v_all[pr["rs_src"]],
+            indices_are_sorted=True, unique_indices=True)
 
     def _rect_distribute_t(self, pr, y):
-        """Structured part of Cᵀ, batched: masked rows pushed to coarse
-        masters as a delta patch, then reconciled across shared copies
-        (exact: deltas sum)."""
-        fidxs, yfs, cidxs, ds = [], [], [], []
-        for F, fidx, cidx, mask in pr["rect_groups"]:
-            yf = mask * y[fidx]
-            d = self._rect_interp_t_b(F, yf)
-            fidxs.append(fidx.reshape(-1))
-            yfs.append(yf.reshape(-1))
-            cidxs.append(cidx.reshape(-1))
-            ds.append(d.reshape(-1))
-        # one fused zeroing scatter + one fused master scatter (reads all
-        # pre-update: masked rows are row-disjoint across rects and cidx
-        # masters are never masked rows — same argument as distribute)
-        y = y.at[jnp.concatenate(fidxs)].add(-jnp.concatenate(yfs))
-        delta = jnp.zeros_like(y).at[jnp.concatenate(cidxs)].add(
-            jnp.concatenate(ds))
+        """Structured part of Cᵀ: owned rows gathered and zeroed (static
+        sorted-unique plan), transpose-interpolated per group, then
+        segment-summed onto the unique masters in one sorted-unique
+        scatter-add; finally reconciled across shared copies (exact:
+        deltas sum)."""
+        yk = y[pr["rs_gather"]]  # owned-row values, keep(ascending) order
+        y = y.at[pr["rs_dst"]].set(
+            jnp.zeros_like(pr["rs_dst"], dtype=y.dtype),
+            indices_are_sorted=True, unique_indices=True)
+        yf_cat = jnp.zeros((self._rs_total,), y.dtype).at[
+            pr["rs_keep"]].set(
+            yk, indices_are_sorted=True, unique_indices=True)
+        ds, off = [], 0
+        for (F, _), (shape, size) in zip(pr["rect_groups"],
+                                         self._rect_sizes):
+            yf = yf_cat[off:off + size].reshape(shape)
+            ds.append(self._rect_interp_t_b(F, yf).reshape(-1))
+            off += size
+        md = jnp.concatenate(ds) if len(ds) > 1 else ds[0]
+        sums = jax.ops.segment_sum(
+            md[pr["ct_corder"]], pr["ct_segids"],
+            num_segments=self._ct_nseg, indices_are_sorted=True)
+        delta = jnp.zeros_like(y).at[pr["ct_uniq"]].add(
+            sums, indices_are_sorted=True, unique_indices=True)
         yp = y + delta
         # shared-copy fix: every copy of a multi DoF must carry the TOTAL
         # delta, not just its own box's share
@@ -560,7 +643,15 @@ class BoxLaplaceOperator:
             b = self.boxes[i]
             nb = self._box_nb[i]
             xb = jax.lax.dynamic_slice_in_dim(u, b.offset, b.n_nodes)
-            if self._cell_scheme == "global":
+            if self._cell_scheme == "global-general":
+                from tpufem.ops.structured import (
+                    laplace_apply_global_general,
+                )
+
+                E_list, G_list = pr["box_EG"][i]
+                yb = laplace_apply_global_general(
+                    xb, self.dim, nb, self.p, E_list, G_list, arg1)
+            elif self._cell_scheme == "global":
                 E_list, G_list = pr["box_EG"][i]
                 yb = laplace_apply_global_diag(
                     xb, self.dim, nb, self.p, E_list, G_list,
