@@ -140,36 +140,39 @@ class GeneralPartitioner:
         cell_shard = np.asarray(cell_shard, dtype=np.int32)
         assert cell_shard.shape == (nc,)
 
-        # DoF owner = shard of the first cell referencing it (cells sorted
-        # by shard makes this the lowest referencing shard)
+        shard_cells = [np.where(cell_shard == s)[0] for s in range(n_shards)]
+
+        # DoF owner = lowest shard referencing it: one batched fancy-index
+        # write per shard, descending, so the lowest shard wins (the old
+        # per-cell Python loop was O(n_cells) interpreter time — the
+        # single binding cost at 1e6 cells)
         owner = np.full(n_dofs, -1, dtype=np.int32)
-        order = np.argsort(cell_shard, kind="stable")
-        for c in order[::-1]:
-            owner[cd[c]] = cell_shard[c]
+        for s in range(n_shards - 1, -1, -1):
+            owner[cd[shard_cells[s]]] = s
         assert (owner >= 0).all(), "mesh has DoFs referenced by no cell"
 
         # referenced set per shard: own cells' dofs + masters of any
-        # constrained dof among them (C/C^T need masters locally)
-        con_rows: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        # constrained dof among them (C/C^T need masters locally);
+        # constraint rows are looked up through a dof->row index array
+        # (the dict + per-dof membership test was O(n_dofs) interpreter)
+        con_idx = None
         if mf.has_hanging:
             cg = np.asarray(mf.con_dofs)
             mg = np.asarray(mf.con_masters)
             wg = np.asarray(mf.con_weights)
-            for i, dof in enumerate(cg):
-                con_rows[int(dof)] = (mg[i], wg[i])
+            if len(cg):
+                con_idx = np.full(n_dofs, -1, dtype=np.int64)
+                con_idx[cg] = np.arange(len(cg))
 
-        shard_cells = [np.where(cell_shard == s)[0] for s in range(n_shards)]
         referenced = []
         for s in range(n_shards):
             ref = np.unique(cd[shard_cells[s]])
-            if con_rows:
-                extra = [
-                    con_rows[int(g)][0][con_rows[int(g)][1] != 0.0]
-                    for g in ref
-                    if int(g) in con_rows
-                ]
-                if extra:
-                    ref = np.union1d(ref, np.concatenate(extra))
+            if con_idx is not None:
+                rows_s = con_idx[ref]
+                rows_s = rows_s[rows_s >= 0]
+                if len(rows_s):
+                    m, w = mg[rows_s], wg[rows_s]
+                    ref = np.union1d(ref, m[w != 0.0])
             referenced.append(ref)
 
         own_lists = [r[owner[r] == s] for s, r in enumerate(referenced)]
@@ -188,21 +191,54 @@ class GeneralPartitioner:
             own_pos_local[o] = np.arange(len(o))
 
         l2g = np.full((n_shards, NL), -1, dtype=np.int64)
-        g2l = np.full((n_shards, n_dofs), dump, dtype=np.int64)
         ghost_src = np.full((n_shards, Gn), n_shards * Pn, dtype=np.int64)
         interior = np.zeros((n_shards, NL), mf.interior_mask.dtype)
         owned_mask = np.zeros((n_shards, NL), mf.interior_mask.dtype)
         m_glob = np.asarray(mf.interior_mask)
+        # ONE (n_dofs,) global->local scratch, reset between shards by
+        # un-writing only the touched entries (the dense (n_shards,
+        # n_dofs) matrix cost n_shards full-size fills)
+        g2l_s = np.full(n_dofs, dump, dtype=np.int64)
+
+        cell_dofs_l = np.full((n_shards, NCn, nn), dump, dtype=np.int32)
+        con_dl = con_ml = con_wl = None
+        if con_idx is not None:
+            wdt = wg.dtype
+            shard_rows = [
+                referenced[s][con_idx[referenced[s]] >= 0]
+                for s in range(n_shards)
+            ]
+            CL = max(max((len(r) for r in shard_rows), default=0), 1)
+            Kc = mg.shape[1]
+            con_dl = np.full((n_shards, CL), dump, dtype=np.int32)
+            con_ml = np.full((n_shards, CL, Kc), dump, dtype=np.int32)
+            con_wl = np.zeros((n_shards, CL, Kc), dtype=wdt)
+
         for s in range(n_shards):
             o, g = own_lists[s], ghost_lists[s]
             l2g[s, : len(o)] = o
             l2g[s, Pn : Pn + len(g)] = g
-            g2l[s, o] = np.arange(len(o))
-            g2l[s, g] = Pn + np.arange(len(g))
+            g2l_s[o] = np.arange(len(o))
+            g2l_s[g] = Pn + np.arange(len(g))
             ghost_src[s, : len(g)] = own_pos[g]
             interior[s, : len(o)] = m_glob[o]
             interior[s, Pn : Pn + len(g)] = m_glob[g]
             owned_mask[s, : len(o)] = 1
+            # local cell arrays (padded cells -> dump slots)
+            cells = shard_cells[s]
+            cell_dofs_l[s, : len(cells)] = g2l_s[cd[cells]]
+            # local constraint rows, vectorized over the shard's rows
+            if con_idx is not None and len(shard_rows[s]):
+                rows = shard_rows[s]
+                ci = con_idx[rows]
+                mgr, wgr = mg[ci], wg[ci]  # (L, Kc)
+                con_dl[s, : len(rows)] = g2l_s[rows]
+                con_ml[s, : len(rows)] = np.where(
+                    wgr != 0.0, g2l_s[mgr], dump)
+                con_wl[s, : len(rows)] = wgr
+            # reset the touched scratch entries for the next shard
+            g2l_s[o] = dump
+            g2l_s[g] = dump
 
         # pairwise exchange plan: for each (owner q -> shard s) pair, the
         # owned positions q sends and the ghost slots s writes, padded to
@@ -223,11 +259,6 @@ class GeneralPartitioner:
                 pair_send[q, s, : len(sel)] = own_pos_local[g[sel]]
                 pair_recv[s, q, : len(sel)] = Pn + sel
 
-        # local cell arrays (padded cells -> dump slots, zero metric)
-        cell_dofs_l = np.full((n_shards, NCn, nn), dump, dtype=np.int32)
-        for s, cells in enumerate(shard_cells):
-            cell_dofs_l[s, : len(cells)] = g2l[s][cd[cells]]
-
         def slice_cells(arr, fill=0.0):
             if arr is None:
                 return None
@@ -246,27 +277,6 @@ class GeneralPartitioner:
         inc = np.full((n_shards, NL, K), NCn * nn, dtype=np.int32)
         for s, i in enumerate(incs):
             inc[s, :, : i.shape[1]] = i
-
-        # local constraint rows: every constrained dof present locally
-        con_dl = con_ml = con_wl = None
-        if con_rows:
-            wdt = np.asarray(mf.con_weights).dtype
-            rows = [
-                [g for g in referenced[s] if int(g) in con_rows]
-                for s in range(n_shards)
-            ]
-            CL = max(max((len(r) for r in rows), default=0), 1)
-            Kc = np.asarray(mf.con_masters).shape[1]
-            con_dl = np.full((n_shards, CL), dump, dtype=np.int32)
-            con_ml = np.full((n_shards, CL, Kc), dump, dtype=np.int32)
-            con_wl = np.zeros((n_shards, CL, Kc), dtype=wdt)
-            for s in range(n_shards):
-                for i, g in enumerate(rows[s]):
-                    mg, wg = con_rows[int(g)]
-                    con_dl[s, i] = g2l[s, int(g)]
-                    live = wg != 0.0
-                    con_ml[s, i, live] = g2l[s][mg[live]]
-                    con_wl[s, i] = wg
 
         return cls(
             n_shards=n_shards,
