@@ -278,7 +278,7 @@ class BoxLaplaceOperator:
             m_idx[r, : len(c)] = c
             m_idx[r, len(c) :] = c[0]  # pad = owner (0-weight / re-set)
             m_w[r, : len(c)] = 1.0
-        self._multi_idx = jnp.asarray(m_idx)
+        self._multi_idx = jnp.asarray(m_idx.astype(np.int32))
         self._multi_w = jnp.asarray(m_w, self.dt)
         self._Kc = Kc
 
@@ -296,19 +296,39 @@ class BoxLaplaceOperator:
         if constraints is not None and constraints.lines:
             con_mask_g |= constraints.constrained_mask()
             cdofs, masters, weights, inhom = constraints.padded_arrays()
+            cdofs_all = cdofs
             # structured interface rectangles: the regular bulk of the
             # hanging rows becomes dense slice+matmul work (box_interface);
             # only verified-irregular rows stay on the gather fallback
             self._rects = []
             self._rect_meta = []
             self._rect_groups = []
+            self._pairs = []
             if structured_interfaces:
                 from tpufem.ops.box_interface import build_interface_rects
 
                 rects, leftover = build_interface_rects(
                     self.boxes, constraints, p, d)
+                if structured_interfaces != "rects":
+                    # dense 2:1 pair transfers (box_pairs): index-free
+                    # C/C^T; rects whose region does not fit stay on the
+                    # gather fallback
+                    from tpufem.ops.box_pairs import build_pair_plans
+
+                    plans, dropped = build_pair_plans(
+                        self.boxes, rects, p, d)
+                    if dropped:
+                        extra = np.unique(np.concatenate(
+                            [r.rows for r in dropped]))
+                        leftover = np.union1d(leftover, extra)
+                    drop_ids = {id(r) for r in dropped}
+                    rects = [r for r in rects if id(r) not in drop_ids]
+                    self._pairs = plans
                 for r in rects:
                     self._rect_meta.append((r.bf, r.bc, r.fslice, r.cslice))
+            if self._pairs:
+                self.n_rect_rows = len(cdofs) - len(leftover)
+            elif structured_interfaces:
                 # batch rects into same-shape groups (VERDICT r2 item 4):
                 # one gather + one batched einsum + one masked scatter-add
                 # per group instead of ~840 tiny per-rect einsums.  The
@@ -321,6 +341,7 @@ class BoxLaplaceOperator:
                     by_shape.setdefault(key, []).append(r)
                 fidx_np, cidx_np, mask_np = [], [], []
                 self._rect_sizes = []
+                self._rc_sizes = []
                 for key, rs in by_shape.items():
                     fidx = np.stack([self._region_indices(r.bf, r.fslice)
                                      for r in rs])
@@ -328,11 +349,17 @@ class BoxLaplaceOperator:
                                      for r in rs])
                     mask = np.stack([r.mask for r in rs])
                     F = tuple(np.asarray(Fk, self.dt) for Fk in rs[0].F)
-                    self._rect_groups.append((F, jnp.asarray(cidx)))
+                    self._rect_groups.append((F,))
                     self._rect_sizes.append((fidx.shape, fidx.size))
+                    self._rc_sizes.append((cidx.shape, cidx.size))
                     fidx_np.append(fidx.reshape(-1))
                     cidx_np.append(cidx.reshape(-1))
                     mask_np.append(mask.reshape(-1) != 0)
+                # ONE fused master-region gather for all groups (24
+                # separate 3D-indexed gathers cost ~1.3 ms of fixed
+                # per-op latency at the 3.3M-DoF bench, measured)
+                self._rc_gather = jnp.asarray(np.concatenate(
+                    cidx_np).astype(np.int32)) if cidx_np else None
                 # STATIC scatter plans (sorted-unique indices lower to
                 # the fast TPU scatter path; the generic concat-scatter
                 # was ~4.5 ms of the 12.6 ms 3.3M-DoF apply, measured):
@@ -350,19 +377,19 @@ class BoxLaplaceOperator:
                     assert len(np.unique(dst)) == len(dst), (
                         "rect ownership masks must be row-disjoint")
                     order = np.argsort(dst, kind="stable")
-                    self._rs_src = jnp.asarray(keep[order])
-                    self._rs_dst = jnp.asarray(dst[order])
-                    self._rs_keep = jnp.asarray(keep)  # ascending
-                    self._rs_gather = jnp.asarray(fc[keep])
+                    self._rs_src = jnp.asarray(keep[order].astype(np.int32))
+                    self._rs_dst = jnp.asarray(dst[order].astype(np.int32))
+                    self._rs_keep = jnp.asarray(keep.astype(np.int32))  # ascending
+                    self._rs_gather = jnp.asarray(fc[keep].astype(np.int32))
                     self._rs_total = int(len(fc))
                     order_c = np.argsort(cc, kind="stable")
                     cs = cc[order_c]
                     seg = np.concatenate(
                         [[0], np.cumsum(cs[1:] != cs[:-1])])
-                    self._ct_corder = jnp.asarray(order_c)
-                    self._ct_segids = jnp.asarray(seg)
+                    self._ct_corder = jnp.asarray(order_c.astype(np.int32))
+                    self._ct_segids = jnp.asarray(seg.astype(np.int32))
                     self._ct_nseg = int(seg[-1]) + 1 if len(seg) else 0
-                    self._ct_uniq = jnp.asarray(np.unique(cs))
+                    self._ct_uniq = jnp.asarray(np.unique(cs).astype(np.int32))
                 self.n_rect_rows = len(cdofs) - len(leftover)
             else:
                 leftover = np.arange(len(cdofs))
@@ -372,13 +399,14 @@ class BoxLaplaceOperator:
             weights = weights[leftover]
             inhom = inhom[leftover]
             # gather masters from owner copies
-            self._mast_idx = jnp.asarray(self._owner[masters])
+            self._mast_idx = jnp.asarray(
+                self._owner[masters].astype(np.int32))
             self._mast_w = jnp.asarray(weights, self.dt)
             self._con_inhom = jnp.asarray(inhom, self.dt)
             # write interpolated values to every copy of each hanging dof
             cc_idx, cc_row = self._all_copies(cdofs, live, starts, ends,
                                               gids)
-            self._con_copy_idx = jnp.asarray(cc_idx)
+            self._con_copy_idx = jnp.asarray(cc_idx.astype(np.int32))
             self._con_copy_row = jnp.asarray(cc_row)
             # C^T: (hanging value) * w added to every copy of the master
             rows, tgt, wts = [], [], []
@@ -391,8 +419,8 @@ class BoxLaplaceOperator:
                         rows.append(i)
                         tgt.append(c)
                         wts.append(weights[i, j])
-            self._ct_rows = jnp.asarray(np.asarray(rows, dtype=np.int64))
-            self._ct_tgt = jnp.asarray(np.asarray(tgt, dtype=np.int64))
+            self._ct_rows = jnp.asarray(np.asarray(rows, dtype=np.int32))
+            self._ct_tgt = jnp.asarray(np.asarray(tgt, dtype=np.int32))
             self._ct_w = jnp.asarray(np.asarray(wts), self.dt)
             self.has_hanging = True
             self._has_fallback = len(cdofs) > 0
@@ -402,7 +430,70 @@ class BoxLaplaceOperator:
             self._rects = []
             self._rect_meta = []
             self._rect_groups = []
+            self._pairs = []
             self.n_rect_rows = 0
+
+        # ---- dense pair-transfer device data (box_pairs) ----------------
+        self._pair_meta = []
+        pair_P, pair_h, pair_alive, pair_msh = [], [], [], []
+        pair_E, pair_S = [], []
+        self._single_compress = False
+        if self._pairs:
+            from tpufem.ops.box_pairs import uncovered_multi_rows
+
+            fb = uncovered_multi_rows(self.boxes, self._pairs, gids,
+                                      live, starts, ends)
+            # sweep-excluded rows must be UNTOUCHED by the sweeps: zero
+            # their positions out of every msh mask so the index fallback
+            # sees unmodified copies
+            box_offs = np.array([b.offset for b in self.boxes])
+            for r in fb:
+                gi = multi[r]
+                for c in live[starts[gi] : ends[gi]]:
+                    bi = int(np.searchsorted(box_offs, c, side="right")) - 1
+                    bx = self.boxes[bi]
+                    crd = np.unravel_index(int(c) - bx.offset,
+                                           bx.lattice_shape)
+                    for pl in self._pairs:
+                        if pl.bf == bi:
+                            sls, arr = pl.sub_f, pl.msh
+                        elif pl.bc == bi:
+                            sls, arr = pl.sub_c, pl.msh
+                        else:
+                            continue
+                        idx, inside = [], True
+                        for a, sl in enumerate(sls):
+                            st = sl.step or 1
+                            if (crd[a] < sl.start or crd[a] >= sl.stop
+                                    or (crd[a] - sl.start) % st):
+                                inside = False
+                                break
+                            idx.append((crd[a] - sl.start) // st)
+                        if inside:
+                            arr[tuple(idx)] = 0.0
+            self._multi_fb_np = (m_idx[fb], m_w[fb])
+            for pl in self._pairs:
+                self._pair_meta.append(dict(
+                    bc=pl.bc, bf=pl.bf, src_sl=pl.src_sl,
+                    dst_sl=pl.dst_sl, sub_f=pl.sub_f, sub_c=pl.sub_c))
+                pair_P.append(tuple(jnp.asarray(Pa, self.dt)
+                                    for Pa in pl.P))
+                pair_h.append(jnp.asarray(pl.h, self.dt))
+                pair_alive.append(jnp.asarray(pl.alive, self.dt))
+                pair_msh.append(jnp.asarray(pl.msh, self.dt))
+                pair_E.append(jnp.asarray(pl.E, self.dt))
+                pair_S.append(tuple(jnp.asarray(Sa, self.dt)
+                                    for Sa in pl.S))
+            # ONE compress per apply: C^T deltas fold into the partial
+            # field before the single reconciliation — valid only when
+            # hanging rows are single-copy (their partials are already
+            # totals) and no gather-fallback C^T rows exist (those write
+            # to every master copy directly, which double-counts under a
+            # later compress)
+            hang_gids = set(int(g) for g in cdofs_all)
+            multi_gids = set(int(g) for g in gids[multi])
+            self._single_compress = (
+                not (hang_gids & multi_gids) and not self._has_fallback)
 
         # interior mask per patch entry: 0 on constrained copies AND dead
         m = np.zeros(self.n_patch)
@@ -444,10 +535,21 @@ class BoxLaplaceOperator:
                 self.params.update(
                     rs_src=self._rs_src, rs_dst=self._rs_dst,
                     rs_keep=self._rs_keep, rs_gather=self._rs_gather,
+                    rc_gather=self._rc_gather,
                     ct_corder=self._ct_corder,
                     ct_segids=self._ct_segids,
                     ct_uniq=self._ct_uniq,
                 )
+        if self._pairs:
+            mfb_i, mfb_w = self._multi_fb_np
+            self.params.update(
+                pair_P=tuple(pair_P), pair_h=tuple(pair_h),
+                pair_alive=tuple(pair_alive),
+                pair_msh=tuple(pair_msh),
+                pair_E=tuple(pair_E), pair_S=tuple(pair_S),
+                multi_fb_idx=jnp.asarray(mfb_i.astype(np.int32)),
+                multi_fb_w=jnp.asarray(mfb_w, self.dt),
+            )
         self._box_nb = tuple(nb for (nb, _, _) in self._box_args)
         self._vmult = jax.jit(self._vmult_traced)
         self._vmult_raw = jax.jit(self._vmult_raw_traced)
@@ -519,13 +621,109 @@ class BoxLaplaceOperator:
     def compress_p(self, pr, y):
         """Sum partial contributions across all copies of each shared DoF
         and broadcast the total back — the box-interface analogue of the
-        partitioner's compress(add) (SURVEY.md §3.6)."""
+        partitioner's compress(add) (SURVEY.md §3.6).
+
+        With dense pair plans, covered copies reconcile via strided-slab
+        down/up sweeps over the pair overlap volumes (index-free); only
+        sweep-uncovered rows take the gather/scatter fallback."""
+        if self._pair_meta:
+            y = self._sweep_compress(pr, y)
+            mi = pr["multi_fb_idx"]
+            if mi.shape[0]:
+                tot = jnp.sum(y[mi] * pr["multi_fb_w"], axis=1)
+                y = y.at[mi.reshape(-1)].set(
+                    jnp.repeat(tot, mi.shape[1]))
+            return y
         mi = pr["multi_idx"]
         if mi.shape[0] == 0:
             return y
         vals = y[mi] * pr["multi_w"]  # (n_multi, Kc)
         tot = jnp.sum(vals, axis=1)
         return y.at[mi.reshape(-1)].set(jnp.repeat(tot, self._Kc))
+
+    # -- dense 2:1 pair transfers (box_pairs) ---------------------------
+    def _seg(self, u, bi):
+        b = self.boxes[bi]
+        return u[b.offset : b.offset + b.n_nodes].reshape(b.lattice_shape)
+
+    def _put_seg(self, u, bi, seg):
+        b = self.boxes[bi]
+        return jax.lax.dynamic_update_slice(
+            u, seg.reshape(-1), (b.offset,))
+
+    @staticmethod
+    def _pair_apply(P, U, transpose=False):
+        """Separable per-axis contraction (set-semantics prolongation or
+        its transpose), MXU matmuls at HIGHEST precision."""
+        hp = jax.lax.Precision.HIGHEST
+        for a, Pa in enumerate(P):
+            M = Pa.T if transpose else Pa
+            U = jnp.moveaxis(
+                jnp.tensordot(M, jnp.moveaxis(U, a, 0),
+                              axes=((1,), (0,)), precision=hp), 0, a)
+        return U
+
+    def _sweep_compress(self, pr, y):
+        """Copy reconciliation over the pair chain: down sweep pushes
+        coarse partials onto the shared fine-lattice copies, up sweep
+        broadcasts the fine totals back — 2(n_pairs) dense passes.
+
+        Both sweeps ride MXU einsums: down reuses the prolongation chain
+        (exact identity rows at shared positions, mask E commits them);
+        up selects the shared fine values with the 0/1 matrices S.  The
+        strided-slab formulation measured 10.5 ms at the 3.3M-DoF bench —
+        step-2 slices along the lane axis lower pathologically."""
+        for i, meta in enumerate(self._pair_meta):  # coarse -> fine
+            uC = self._seg(y, meta["bc"])[meta["src_sl"]]
+            V = self._pair_apply(pr["pair_P"][i], uC)
+            Fseg = self._seg(y, meta["bf"])
+            Fseg = Fseg.at[meta["dst_sl"]].add(pr["pair_E"][i] * V)
+            y = self._put_seg(y, meta["bf"], Fseg)
+        for i in reversed(range(len(self._pair_meta))):  # fine -> coarse
+            meta = self._pair_meta[i]
+            msh = pr["pair_msh"][i]
+            Fs = self._pair_apply(pr["pair_S"][i],
+                                  self._seg(y, meta["bf"])[meta["dst_sl"]])
+            Cseg = self._seg(y, meta["bc"])
+            Cs = Cseg[meta["sub_c"]]
+            Cseg = Cseg.at[meta["sub_c"]].set(
+                msh * Fs + (1.0 - msh) * Cs)
+            y = self._put_seg(y, meta["bc"], Cseg)
+        return y
+
+    def _pair_distribute(self, pr, u):
+        """Dense C: per pair, prolong the coarse overlap block and commit
+        the verified hanging rows with the 0/1 ownership mask.  Masters
+        are never hanging (chain closure), so pair order is free."""
+        for i, meta in enumerate(self._pair_meta):
+            h = pr["pair_h"][i]
+            uC = self._seg(u, meta["bc"])[meta["src_sl"]]
+            V = self._pair_apply(pr["pair_P"][i], uC)
+            Fseg = self._seg(u, meta["bf"])
+            blk = Fseg[meta["dst_sl"]]
+            Fseg = Fseg.at[meta["dst_sl"]].set(
+                blk * (1.0 - h) + h * V)
+            u = self._put_seg(u, meta["bf"], Fseg)
+        return u
+
+    def _pair_distribute_t(self, pr, y):
+        """Dense Cᵀ: restrict the masked hanging rows onto the coarse
+        blocks as a delta field, zero the hanging rows, reconcile the
+        delta across shared copies with the sweep compress, add."""
+        delta = jnp.zeros_like(y)
+        for i, meta in enumerate(self._pair_meta):
+            h = pr["pair_h"][i]
+            Fseg = self._seg(y, meta["bf"])
+            yh = Fseg[meta["dst_sl"]] * h
+            dC = self._pair_apply(pr["pair_P"][i], yh, transpose=True)
+            dC = dC * pr["pair_alive"][i]
+            Dc = self._seg(delta, meta["bc"])
+            Dc = Dc.at[meta["src_sl"]].add(dC)
+            delta = self._put_seg(delta, meta["bc"], Dc)
+            Fseg = Fseg.at[meta["dst_sl"]].set(
+                Fseg[meta["dst_sl"]] * (1.0 - h))
+            y = self._put_seg(y, meta["bf"], Fseg)
+        return y + self.compress_p(pr, delta)
 
     # -- structured interface rectangles (box_interface.py) ------------
     def _region_indices(self, bi: int, sl) -> np.ndarray:
@@ -561,8 +759,13 @@ class BoxLaplaceOperator:
         was ~4.5 ms of the 12.6 ms 3.3M-DoF apply, measured)."""
         if not pr["rect_groups"]:
             return u
-        vs = [self._rect_interp_b(F, u[cidx]).reshape(-1)
-              for F, cidx in pr["rect_groups"]]
+        uc_cat = u[pr["rc_gather"]]  # ONE gather for every group
+        vs, off = [], 0
+        for (F,), (shape, size) in zip(pr["rect_groups"],
+                                       self._rc_sizes):
+            uc = uc_cat[off:off + size].reshape(shape)
+            vs.append(self._rect_interp_b(F, uc).reshape(-1))
+            off += size
         v_all = jnp.concatenate(vs) if len(vs) > 1 else vs[0]
         return u.at[pr["rs_dst"]].set(
             v_all[pr["rs_src"]],
@@ -582,8 +785,8 @@ class BoxLaplaceOperator:
             pr["rs_keep"]].set(
             yk, indices_are_sorted=True, unique_indices=True)
         ds, off = [], 0
-        for (F, _), (shape, size) in zip(pr["rect_groups"],
-                                         self._rect_sizes):
+        for (F,), (shape, size) in zip(pr["rect_groups"],
+                                       self._rect_sizes):
             yf = yf_cat[off:off + size].reshape(shape)
             ds.append(self._rect_interp_t_b(F, yf).reshape(-1))
             off += size
@@ -608,7 +811,9 @@ class BoxLaplaceOperator:
         """u -> C u on the patch vector (hanging values interpolated)."""
         if not self.has_hanging:
             return u
-        if self._rect_meta:
+        if self._pair_meta:
+            u = self._pair_distribute(pr, u)
+        elif self._rect_groups:
             u = self._rect_distribute(pr, u)
         if not self._has_fallback:
             return u
@@ -629,12 +834,15 @@ class BoxLaplaceOperator:
             y = y.at[cci.reshape(-1)].set(
                 jnp.zeros(cci.shape[0] * cci.shape[1], dtype=y.dtype))
             y = y.at[pr["ct_tgt"]].add(pr["ct_w"] * yc[pr["ct_rows"]])
-        if self._rect_meta:
+        if self._pair_meta:
+            y = self._pair_distribute_t(pr, y)
+        elif self._rect_groups:
             y = self._rect_distribute_t(pr, y)
         return y
 
     # ------------------------------------------------------------------
-    def _vmult_raw_p(self, pr, u):
+    def _cells_p(self, pr, u):
+        """Per-box cell loops, PARTIAL sums (copies unreconciled)."""
         from tpufem.ops.dense_local import laplace_apply_dense_masked
         from tpufem.ops.structured import laplace_apply_global_diag
 
@@ -664,14 +872,40 @@ class BoxLaplaceOperator:
                     xb, self.dim, nb, self.p, pr["S"], pr["D_col"],
                     arg1, arg2)
             parts.append(yb)
-        y = jnp.concatenate(parts)
-        return self.compress_p(pr, y)
+        return jnp.concatenate(parts)
+
+    def _vmult_raw_p(self, pr, u):
+        return self.compress_p(pr, self._cells_p(pr, u))
+
+    def _pair_delta_t_inline(self, pr, y):
+        """C^T folded into the PARTIAL field: read hanging-row values
+        (single-copy, so partial == total), zero them, add the restricted
+        deltas onto the coarse blocks as partials — the one compress that
+        follows reconciles cell partials and deltas together."""
+        for i, meta in enumerate(self._pair_meta):
+            h = pr["pair_h"][i]
+            Fseg = self._seg(y, meta["bf"])
+            yh = Fseg[meta["dst_sl"]] * h
+            dC = self._pair_apply(pr["pair_P"][i], yh, transpose=True)
+            dC = dC * pr["pair_alive"][i]
+            Fseg = Fseg.at[meta["dst_sl"]].set(
+                Fseg[meta["dst_sl"]] * (1.0 - h))
+            y = self._put_seg(y, meta["bf"], Fseg)
+            Cseg = self._seg(y, meta["bc"])
+            Cseg = Cseg.at[meta["src_sl"]].add(dC)
+            y = self._put_seg(y, meta["bc"], Cseg)
+        return y
 
     def _vmult_p(self, pr, x):
         m = pr["interior_mask"]
         xh = self.distribute_p(pr, m * x)
-        y = self._vmult_raw_p(pr, xh)
-        y = self.distribute_transpose_p(pr, y)
+        if self._single_compress and self._pair_meta:
+            y = self._cells_p(pr, xh)
+            y = self._pair_delta_t_inline(pr, y)
+            y = self.compress_p(pr, y)
+        else:
+            y = self._vmult_raw_p(pr, xh)
+            y = self.distribute_transpose_p(pr, y)
         return m * y + (1.0 - m) * x
 
     def _vmult_traced(self, pr, x):
