@@ -654,8 +654,12 @@ class BoxLaplaceOperator:
     @staticmethod
     def _pair_apply(P, U, transpose=False):
         """Separable per-axis contraction (set-semantics prolongation or
-        its transpose), MXU matmuls at HIGHEST precision."""
-        hp = jax.lax.Precision.HIGHEST
+        its transpose).  f32 runs at HIGH (bf16x3): the bf16 split of the
+        snapped exact-identity rows recombines exactly, so the compress
+        sweeps stay faithful; f64 keeps HIGHEST."""
+        from tpufem.ops.structured import axis_mm_precision
+
+        hp = axis_mm_precision(U.dtype)
         for a, Pa in enumerate(P):
             M = Pa.T if transpose else Pa
             U = jnp.moveaxis(

@@ -197,12 +197,26 @@ def global_interp_matrices(p: int, n: int, S, D_col):
     return E, Gd
 
 
+# f32 grid contractions run at HIGH (bf16x3 — f32-equivalent mantissa
+# coverage for these banded operators, measured parity ~1e-7 rel):
+# HIGHEST lowers every f32 matmul to ~6 MXU passes and cost 17% of the
+# whole adaptive apply (measured round 3).  f64 (the CPU oracle path)
+# keeps HIGHEST.
+_AXIS_MM_PRECISION_F32 = jax.lax.Precision.HIGH
+
+
+def axis_mm_precision(dtype):
+    return (_AXIS_MM_PRECISION_F32
+            if jnp.dtype(dtype) == jnp.float32
+            else jax.lax.Precision.HIGHEST)
+
+
 def _axis_mm(M, t, axis: int):
     """Contract grid axis `axis` of t with M (out, in) at matmul speed."""
     t2 = jnp.moveaxis(t, axis, -1)
     out = jnp.einsum("...i,qi->...q", t2, M,
                      preferred_element_type=t.dtype,
-                     precision=jax.lax.Precision.HIGHEST)
+                     precision=axis_mm_precision(t.dtype))
     return jnp.moveaxis(out, -1, axis)
 
 
