@@ -209,3 +209,23 @@ def test_box_curved_adaptive_solve_converges():
         errs.append(integrate_difference(dofs, x, exact))
     rate = np.log2(errs[-2] / errs[-1])
     assert rate > 1.8, (errs, rate)
+
+
+@pytest.mark.parametrize("dim,p,steps,base", [(2, 2, 3, 3), (3, 1, 2, 2)])
+def test_box_deep_level_chain_parity(dim, p, steps, base):
+    """3-4 size groups: shared-copy chains span >= 2 pair sweeps and
+    masters live on interior levels — the dense sweep-compress chain
+    (box_pairs) end-to-end against the assembled oracle."""
+    mesh, dofs, ac, op = _mesh_and_op(dim, p, steps=steps, base=base)
+    assert len(op._pair_meta) >= 2
+    K = assemble_laplace(dofs)
+    x = RNG.standard_normal(dofs.n_dofs)
+    y_raw = op.from_patch(op.vmult_raw(op.to_patch(x)))
+    y_o = np.asarray(K @ x)
+    assert np.linalg.norm(y_raw - y_o) / np.linalg.norm(y_o) < 1e-12
+    m_g = ~(dofs.boundary_mask | ac.constrained_mask())
+    xa = ac.distribute(m_g * x)
+    y = ac.distribute_transpose(np.asarray(K @ xa))
+    y_o = m_g * y + (~m_g) * x
+    y_box = op.from_patch(op.vmult(op.to_patch(x)))
+    assert np.linalg.norm(y_box - y_o) / np.linalg.norm(y_o) < 1e-12

@@ -88,13 +88,10 @@ def build_interface_rects(boxes, constraints, p: int, d: int,
         if sel.any():
             rpos[sel] = _coords(flat_pos[cdofs[sel]], b.lattice_shape)
 
-    # quick per-row map for verification
-    row_of_dof = {int(g): i for i, g in enumerate(cdofs)}
-    rows_live = [
-        {int(m): float(w) for m, w in zip(masters[i], weights[i])
-         if w != 0.0}
-        for i in range(ncon)
-    ]
+    # dense gid -> constraint-row lookup (the dict + per-node Python
+    # verification loop cost 21 s of the 53 s flagship setup, measured)
+    crow = np.full(len(box_id), -1, dtype=np.int64)
+    crow[cdofs] = np.arange(ncon)
 
     # rows with an inhomogeneity must keep the gather path (the rect
     # apply is purely linear)
@@ -104,22 +101,33 @@ def build_interface_rects(boxes, constraints, p: int, d: int,
 
     # candidate planes from seed rows (full face interpolation: masters
     # span a (p+1)^(d-1) grid with one shared coarse-plane coordinate)
-    nnz = (weights != 0.0).sum(axis=1)
-    seeds = np.nonzero(nnz == (p + 1) ** (d - 1))[0]
+    live_w = weights != 0.0
+    nnz = live_w.sum(axis=1)
+    k_face = (p + 1) ** (d - 1)
+    seeds = np.nonzero(nnz == k_face)[0]
     planes: dict[tuple, list[int]] = {}
-    for r in seeds:
-        ms = np.fromiter(rows_live[r].keys(), dtype=np.int64)
-        mb = box_id[ms]
-        if (mb != mb[0]).any():
-            continue
-        bc = int(mb[0])
-        mpos = _coords(flat_pos[ms], boxes[bc].lattice_shape)
-        fixed = [a for a in range(d) if (mpos[:, a] == mpos[0, a]).all()]
-        if len(fixed) != 1:
-            continue
-        ax = fixed[0]  # lattice axis (z..x order) normal to the face
-        key = (int(rb[r]), bc, ax, int(mpos[0, ax]), int(rpos[r, ax]))
-        planes.setdefault(key, []).append(int(r))
+    if len(seeds):
+        # (S, k_face) live masters per seed, vectorized (nonzero returns
+        # row-major order and every seed row has exactly k_face lives)
+        srow, spos = np.nonzero(live_w[seeds])
+        ms = masters[seeds[srow], spos].reshape(-1, k_face)
+        mb = np.where(ms >= 0, box_id[np.maximum(ms, 0)], -1)
+        same_box = (mb == mb[:, :1]).all(axis=1) & (mb[:, 0] >= 0)
+        for bc in np.unique(mb[same_box, 0]):
+            sel = same_box & (mb[:, 0] == bc)
+            mpos = _coords(flat_pos[ms[sel]],
+                           boxes[int(bc)].lattice_shape)  # (S', k, d)
+            eq = (mpos == mpos[:, :1, :]).all(axis=1)  # (S', d)
+            one = eq.sum(axis=1) == 1
+            if not one.any():
+                continue
+            ax_s = np.argmax(eq[one], axis=1)
+            rr = seeds[sel][one]
+            zc_s = mpos[one, 0][np.arange(one.sum()), ax_s]
+            zf_s = rpos[rr, ax_s]
+            for r, ax, zc, zf in zip(rr, ax_s, zc_s, zf_s):
+                key = (int(rb[r]), int(bc), int(ax), int(zc), int(zf))
+                planes.setdefault(key, []).append(int(r))
 
     for (bf, bc, ax, zc, zf), plane_rows in planes.items():
         fine, coarse = boxes[bf], boxes[bc]
@@ -205,36 +213,11 @@ def build_interface_rects(boxes, constraints, p: int, d: int,
             # dead coarse nodes (gid -1) are safe: any row predicted to
             # reference them fails verification (mask 0), so they receive
             # exactly zero in Cᵀ and their garbage is masked out in C
-            it = np.ndindex(*fn)
-            for idx in it:
-                g = int(fregion[idx])
-                if g < 0:
-                    continue
-                r = row_of_dof.get(g)
-                if r is None or assigned[r] or inhomogeneous[r]:
-                    continue
-                pred = {}
-                wrow = np.ones(1)
-                # tensor weight = prod_k F[k][idx[k], :]
-                Wk = [F[k][idx[k]] for k in range(d - 1)]
-                if d - 1 == 1:
-                    nzj = np.nonzero(np.abs(Wk[0]) > 1e-13)[0]
-                    for j in nzj:
-                        pred[int(cregion[j])] = float(Wk[0][j])
-                else:
-                    nz1 = np.nonzero(np.abs(Wk[0]) > 1e-13)[0]
-                    nz2 = np.nonzero(np.abs(Wk[1]) > 1e-13)[0]
-                    for j1 in nz1:
-                        for j2 in nz2:
-                            pred[int(cregion[j1, j2])] = float(
-                                Wk[0][j1] * Wk[1][j2])
-                actual = rows_live[r]
-                if set(pred) != set(actual):
-                    continue
-                if any(abs(pred[g2] - actual[g2]) > 1e-10 for g2 in pred):
-                    continue
-                mask[idx] = 1.0
-                rows_here.append(r)
+            ok_nodes, rows_ok = _verify_region(
+                fregion, cregion, F, crow, assigned, inhomogeneous,
+                masters, weights, live_w, nnz)
+            mask[ok_nodes] = 1.0
+            rows_here = rows_ok.tolist()
             if not rows_here:
                 continue
             assigned[np.asarray(rows_here)] = True
@@ -245,6 +228,83 @@ def build_interface_rects(boxes, constraints, p: int, d: int,
 
     leftover = np.nonzero(~assigned)[0]
     return rects, leftover
+
+
+def _verify_region(fregion, cregion, F, crow, assigned, inhom,
+                   masters, weights, live_w, nnz_act):
+    """Vectorized per-node verification of a candidate rectangle.
+
+    A fine node is verified iff its constraint row EQUALS the tensor
+    prediction prod_k F[k][i_k, :] over the coarse region: support sets
+    match (counts equal + every support node alive + every actual master
+    found inside the per-axis bands) and weights agree to 1e-10.
+    Replaces the per-node Python loop (21 s of the 53 s flagship setup).
+
+    Returns (ok_nodes index tuple into the region, row indices)."""
+    fn = fregion.shape
+    dm1 = len(fn)
+    bands = []
+    for k in range(dm1):
+        A = np.abs(F[k]) > 1e-13
+        cnt = A.sum(axis=1)
+        first = np.argmax(A, axis=1)
+        last = F[k].shape[1] - 1 - np.argmax(A[:, ::-1], axis=1)
+        contig = (last - first + 1 == cnt) & (cnt > 0)
+        bands.append((first, last, cnt, contig))
+
+    g = fregion.reshape(-1)
+    r = np.where(g >= 0, crow[np.maximum(g, 0)], -1)
+    rs0 = np.maximum(r, 0)
+    cand = (r >= 0) & ~assigned[rs0] & ~inhom[rs0]
+
+    I = np.stack(np.unravel_index(np.arange(g.size), fn), axis=-1)
+    cnt_node = np.ones(g.size, dtype=np.int64)
+    for k in range(dm1):
+        first, last, cnt, contig = bands[k]
+        cand &= contig[I[:, k]]
+        cnt_node *= cnt[I[:, k]]
+    cand &= cnt_node == nnz_act[rs0]
+
+    # all-support-alive via inclusive prefix sums over the coarse region
+    Ps = (cregion >= 0).astype(np.int64)
+    for k in range(dm1):
+        Ps = np.cumsum(Ps, axis=k)
+    Ppad = np.pad(Ps, [(1, 0)] * dm1)
+    a = np.stack([bands[k][0][I[:, k]] for k in range(dm1)], axis=-1)
+    b = np.stack([bands[k][1][I[:, k]] for k in range(dm1)], axis=-1)
+    if dm1 == 1:
+        alive_n = Ppad[b[:, 0] + 1] - Ppad[a[:, 0]]
+    else:
+        alive_n = (Ppad[b[:, 0] + 1, b[:, 1] + 1]
+                   - Ppad[a[:, 0], b[:, 1] + 1]
+                   - Ppad[b[:, 0] + 1, a[:, 1]]
+                   + Ppad[a[:, 0], a[:, 1]])
+    cand &= alive_n == np.prod(b - a + 1, axis=-1)
+
+    idxs = np.nonzero(cand)[0]
+    if len(idxs) == 0:
+        return tuple(np.zeros(0, np.int64) for _ in range(dm1)), \
+            np.zeros(0, np.int64)
+
+    rr = r[idxs]
+    m, w, lv = masters[rr], weights[rr], live_w[rr]  # (L, Km)
+    cflat = cregion.reshape(-1)
+    order = np.argsort(cflat, kind="stable")
+    sortc = cflat[order]
+    pos = np.clip(np.searchsorted(sortc, m), 0, len(sortc) - 1)
+    found = sortc[pos] == m
+    J = np.unravel_index(order[pos], cregion.shape)
+    predw = np.ones(m.shape)
+    okm = found.copy()
+    for k in range(dm1):
+        ik = I[idxs, k][:, None]
+        jk = J[k]
+        okm &= (jk >= a[idxs, k][:, None]) & (jk <= b[idxs, k][:, None])
+        predw *= F[k][ik, jk]
+    okm &= np.abs(predw - w) <= 1e-10
+    rowok = np.where(lv, okm, True).all(axis=1)
+    keep = idxs[rowok]
+    return np.unravel_index(keep, fn), r[keep]
 
 
 def _max_rectangles(covered: np.ndarray):
