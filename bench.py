@@ -10,9 +10,16 @@ recoverable); solve lines carry no anchor (vs_baseline = value).
 
 Driver-robust by design (round-2 postmortem: BENCH_r02 was a timeout with
 ZERO output because every line was buffered to the end):
+- a "bench_started" line prints BEFORE any backend use, and device init is
+  probed in a killable subprocess with CPU fallback (the TPU tunnel was
+  observed wedged for hours in round 3 — device init hangs uninterruptibly);
 - every JSON line prints IMMEDIATELY with flush=True, headline first;
-- a global wall-clock budget (TPUFEM_BENCH_BUDGET_S, default 900 s) gates
-  each section — skipped sections emit an explicit {"skipped": ...} line;
+- a global wall-clock budget (TPUFEM_BENCH_BUDGET_S, default 540 s) gates
+  each section — skipped sections emit an explicit {"skipped": ...} line —
+  and a watchdog thread re-prints the best headline line and exits 0 at the
+  deadline even if the main thread is stuck in a device call;
+- a first-compile time >120 s marks the cache cold and drops the remaining
+  sections to refine 5 (2.1M DoFs);
 - subprocess sections are hard-capped (<= 300 s / <= 120 s);
 - the best apply line is re-printed LAST (the driver parses the last line).
 
@@ -37,26 +44,60 @@ Measurement rules for this platform (measured, round 3):
 import gc
 import json
 import os
+import subprocess
 import sys
 import threading
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 
+BASELINE_GDOFS = 1.0  # V100-class anchor, BASELINE.md (approximate)
+T0 = time.perf_counter()
+BUDGET_S = float(os.environ.get("TPUFEM_BENCH_BUDGET_S", "540"))
+N_CHAIN = 30  # judge's chained-applies protocol
+ROOFLINE_GDOFS = 110.0  # per-chip HBM bound; anything above is bogus
+
+# first parseable line BEFORE any backend use: device init can hang
+# forever when the TPU tunnel is wedged (observed round 3: the axon
+# backend blocked in jax.devices() for hours) and the artifact must
+# never be empty because of it
+print(json.dumps({
+    "metric": "bench_started", "value": 0.0, "unit": "none",
+    "vs_baseline": 0.0, "budget_s": BUDGET_S}), flush=True)
+
+
+def _device_init_alive(timeout_s: float = 90.0) -> bool:
+    """Probe backend init + one op in a SUBPROCESS with a hard timeout —
+    a wedged TPU hangs device init uninterruptibly, so the probe must be
+    killable from outside the interpreter."""
+    code = ("import jax, jax.numpy as jnp; "
+            "(jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready(); "
+            "print('TPU_OK')")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, timeout=timeout_s)
+        return b"TPU_OK" in r.stdout
+    except Exception:
+        return False
+
+
+_want_cpu = bool(os.environ.get("TPUFEM_BENCH_CPU")) or "--cpu" in sys.argv
+if not _want_cpu and os.environ.get("JAX_PLATFORMS", "") not in ("cpu",):
+    if not _device_init_alive():
+        print(json.dumps({
+            "metric": "platform_fallback", "value": 0.0, "unit": "none",
+            "vs_baseline": 0.0,
+            "note": "device init probe failed (TPU tunnel wedged) — "
+                    "falling back to the CPU backend"}), flush=True)
+        _want_cpu = True
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-if os.environ.get("TPUFEM_BENCH_CPU") or "--cpu" in sys.argv:
+if _want_cpu:
     # the axon TPU plugin ignores JAX_PLATFORMS; this always works
     jax.config.update("jax_platforms", "cpu")
-
-
-BASELINE_GDOFS = 1.0  # V100-class anchor, BASELINE.md (approximate)
-T0 = time.perf_counter()
-BUDGET_S = float(os.environ.get("TPUFEM_BENCH_BUDGET_S", "900"))
-N_CHAIN = 30  # judge's chained-applies protocol
-ROOFLINE_GDOFS = 110.0  # per-chip HBM bound; anything above is bogus
 
 
 def left():
@@ -95,6 +136,30 @@ def emit(rec):
     return rec
 
 
+_BEST = {"rec": None}  # best headline-capable apply line seen so far
+
+
+def arm_watchdog(deadline_s: float):
+    """Daemon thread that, at the wall-clock deadline, re-prints the best
+    headline line (or an explicit empty-handed marker) and exits 0 —
+    effective even when the main thread is stuck in an uninterruptible
+    device call (compile or fetch on a wedged tunnel)."""
+
+    def run():
+        time.sleep(max(deadline_s - (time.perf_counter() - T0), 1.0))
+        rec = _BEST["rec"] or {
+            "metric": "3d_q4_laplace_matrix_free_apply", "value": 0.0,
+            "unit": "GDoF/s", "vs_baseline": 0.0,
+            "error": "watchdog: no apply tier completed before deadline"}
+        rec = dict(rec)
+        rec["watchdog_exit"] = True
+        rec["elapsed_s"] = round(time.perf_counter() - T0, 1)
+        print(json.dumps(rec), flush=True)
+        os._exit(0)
+
+    threading.Thread(target=run, daemon=True).start()
+
+
 def skip(metric, why):
     return emit({"metric": metric, "value": 0.0, "unit": "GDoF/s",
                  "vs_baseline": 0.0, "skipped": why,
@@ -122,7 +187,9 @@ def chain_rate(apply_fn, x, n_dofs, n_chain=N_CHAIN, n_calls=2):
 
         return jax.lax.fori_loop(0, n_chain, body, v)
 
+    tc = time.perf_counter()
     y = chain(x)  # compile
+    compile_s = time.perf_counter() - tc  # compile + async dispatch
     d2h_ready()
     s = float(jnp.sum(jnp.abs(y)))  # warm + real sync
     if not np.isfinite(s):
@@ -134,7 +201,7 @@ def chain_rate(apply_fn, x, n_dofs, n_chain=N_CHAIN, n_calls=2):
     dt = (time.perf_counter() - t0) / (n_chain * n_calls)
     if not np.isfinite(s):
         raise FloatingPointError("apply produced non-finite output")
-    return n_dofs / dt / 1e9, dt
+    return n_dofs / dt / 1e9, dt, compile_s
 
 
 def apply_line(metric, gdofs, tier, n_dofs, extra=None):
@@ -146,6 +213,11 @@ def apply_line(metric, gdofs, tier, n_dofs, extra=None):
         rec["suspect"] = "above HBM roofline — timing artifact"
     if extra:
         rec.update(extra)
+    if "suspect" not in rec and (
+            _BEST["rec"] is None or gdofs > _BEST["rec"]["value"]):
+        best = dict(rec)
+        best["metric"] = "3d_q4_laplace_matrix_free_apply"
+        _BEST["rec"] = best
     return emit(rec)
 
 
@@ -188,6 +260,7 @@ def _resident_kernel(refine, mode, dtype="float32"):
 
 
 def main():
+    arm_watchdog(BUDGET_S)  # guaranteed final line + exit 0 at deadline
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     start_d2h_warmup()  # overlap the 25-300s first-fetch with compiles
     refine = int(os.environ.get("TPUFEM_BENCH_REFINE",
@@ -199,27 +272,42 @@ def main():
                  "budget_s": BUDGET_S}
 
     tiers, tier_errors = {}, {}
+    cold_cache = False
 
     # ---- 1. HEADLINE FIRST: solver-resident fused kernel applies -------
     # (halo'd layout in/out — the rate chained CG applies sustain;
     # bf16s = bf16-stored vectors, the DMA-halving mode)
     for mode in (("bf16s", "bf16", "f32") if on_tpu else ()):
         name = f"resident-{mode}+pallas"
-        if left() < 60:
+        if left() < (200 if cold_cache else 60):
             skip("3d_q4_laplace_matrix_free_apply", f"budget: {name}")
             break
         try:
             rk, nd = _resident_kernel(refine, mode, dtype)
             xr = rk.pad(jnp.ones(nd, jnp.dtype(dtype)))
-            gd, _ = chain_rate(rk.raw, xr, nd)
+            gd, _, comp_s = chain_rate(rk.raw, xr, nd)
             tiers[name] = round(gd, 4)
             apply_line("3d_q4_laplace_matrix_free_apply", gd, name, nd,
-                       extra={**reps_note, "partial": True})
+                       extra={**reps_note, "partial": True,
+                              "compile_s": round(comp_s, 1)})
+            if comp_s > 120:  # compile cache is cold on this container
+                cold_cache = True
             del rk, xr
             gc.collect()
         except Exception as e:
             tier_errors[name] = f"{type(e).__name__}: {e}"[:300]
             err_line(f"apply_{name}", e)
+
+    # cold-cache fallback (VERDICT r2 item 1d): heavyweight 17M-DoF solve
+    # programs compile for minutes on a cold container — drop to refine 5
+    # (2.1M DoFs) for the remaining sections and say so.  A smaller
+    # headline with a note beats an empty artifact.
+    if cold_cache and refine > 5 and "TPUFEM_BENCH_REFINE" not in os.environ:
+        refine = 5
+        emit({"metric": "cold_cache_refine_drop", "value": 5.0,
+              "unit": "refine", "vs_baseline": 0.0,
+              "note": "first compile >120s: remaining sections run at "
+                      "refine 5 (2.1M DoFs) to fit the budget"})
 
     # ---- 2. separable apply + whole-solve benchmarks -------------------
     # (solves FIRST among the non-headline sections: they are a BASELINE
@@ -239,7 +327,7 @@ def main():
                 on_tpu)
             x = jnp.ones(dofs.n_dofs, jnp.dtype(dtype))
             dp = op_s.device_args
-            gd, _ = chain_rate(lambda v: op_s.vmult_raw_with(dp, v), x,
+            gd, _, _ = chain_rate(lambda v: op_s.vmult_raw_with(dp, v), x,
                                dofs.n_dofs)
             tiers[name] = round(gd, 4)
             apply_line(f"apply_{name}", gd, name, dofs.n_dofs)
@@ -391,7 +479,7 @@ def main():
             _, dofs, _, op, _ = _flagship(dtype, refine, scheme, pallas)
             x = jnp.ones(dofs.n_dofs, jnp.dtype(dtype))
             dp = op.device_args
-            gd, _ = chain_rate(lambda v: op.vmult_raw_with(dp, v), x,
+            gd, _, _ = chain_rate(lambda v: op.vmult_raw_with(dp, v), x,
                                dofs.n_dofs)
             tiers[name] = round(gd, 4)
             apply_line(f"apply_{name}", gd, name, dofs.n_dofs)

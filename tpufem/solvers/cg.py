@@ -40,6 +40,7 @@ def cg_solve(
     maxiter: int = 10000,
     dot: Callable = _default_dot,
     stall_iters: Optional[int] = None,
+    track_best: Optional[bool] = None,
 ) -> CGResult:
     """Solve A x = b with (optionally preconditioned) CG.
 
@@ -49,11 +50,17 @@ def cg_solve(
 
     ``stall_iters``: f32 solves can plateau above rtol (residual hits the
     rounding floor); the loop exits once no new residual minimum has been
-    seen for this many iterations, returning the best iterate.  Has no
-    effect on solves that converge (a new minimum resets the counter).
-    Default: disabled for f64 (CG residuals are not monotone and an
-    ill-conditioned f64 solve must be allowed its full maxiter budget),
-    max(100, maxiter // 10) for f32/bf16.
+    seen for this many iterations.  Has no effect on solves that converge
+    (a new minimum resets the counter).  Default: disabled for f64 (CG
+    residuals are not monotone and an ill-conditioned f64 solve must be
+    allowed its full maxiter budget), max(100, maxiter // 10) for
+    f32/bf16.
+
+    ``track_best``: carry the best iterate seen and return it on a
+    stall/NaN exit.  Costs ~2 extra N-vector passes per iteration in a
+    BLAS-1-bound loop; default = on exactly when stall detection is
+    active.  With False, a stall exit returns the final iterate (same to
+    leading order: the residual has plateaued at the rounding floor).
     """
     if M_inv is None:
         M_inv = lambda r: r
@@ -64,6 +71,8 @@ def cg_solve(
             stall_iters = maxiter  # disabled: never triggers before maxiter
         else:
             stall_iters = max(100, maxiter // 10)
+    if track_best is None:
+        track_best = stall_iters < maxiter
 
     bnorm = jnp.sqrt(dot(b, b))
     tol = jnp.maximum(rtol * bnorm, atol)
@@ -72,19 +81,20 @@ def cg_solve(
     z0 = M_inv(r0)
     rz0 = dot(r0, z0)
     rn0 = jnp.sqrt(dot(r0, r0))
+    xb0 = (x0,) if track_best else ()
     state0 = (x0, r0, z0, z0, rz0, rn0, jnp.int32(0),
-              x0, rn0, jnp.int32(0))
-    # state: x, r, z, p, rz, rnorm, k, x_best, rn_best, since_best
+              rn0, jnp.int32(0)) + xb0
+    # state: x, r, z, p, rz, rnorm, k, rn_best, since_best[, x_best]
 
     def cond(s):
-        rnorm, k, since_best = s[5], s[6], s[9]
+        rnorm, k, since_best = s[5], s[6], s[8]
         ok = jnp.logical_and(rnorm > tol, k < maxiter)
         # NaN-safe: a non-finite residual also exits
         ok = jnp.logical_and(ok, jnp.isfinite(rnorm))
         return jnp.logical_and(ok, since_best < stall_iters)
 
     def body(s):
-        x, r, z, p, rz, rnorm, k, xb, rnb, sb = s
+        x, r, z, p, rz, rnorm, k, rnb, sb = s[:9]
         v = A(p)
         pv = dot(p, v)
         alpha = rz / pv
@@ -96,18 +106,18 @@ def cg_solve(
         beta = rz_new / rz
         p = z + beta * p
         improved = rnorm < rnb
-        xb = jnp.where(improved, x, xb)
+        xb = ((jnp.where(improved, x, s[9]),) if track_best else ())
         rnb = jnp.where(improved, rnorm, rnb)
         sb = jnp.where(improved, 0, sb + 1)
-        return (x, r, z, p, rz_new, rnorm, k + 1, xb, rnb, sb)
+        return (x, r, z, p, rz_new, rnorm, k + 1, rnb, sb) + xb
 
-    (x, r, _, _, _, rnorm, k, xb, rnb, sb) = jax.lax.while_loop(
-        cond, body, state0
-    )
+    out = jax.lax.while_loop(cond, body, state0)
+    x, rnorm, k, rnb, sb = out[0], out[5], out[6], out[7], out[8]
     # if we exited on stall/NaN, return the best iterate seen
     use_best = jnp.logical_or(sb >= stall_iters,
                               jnp.logical_not(jnp.isfinite(rnorm)))
-    x = jnp.where(use_best, xb, x)
+    if track_best:
+        x = jnp.where(use_best, out[9], x)
     rnorm = jnp.where(use_best, rnb, rnorm)
     return CGResult(x, k, rnorm, rnorm <= tol)
 
