@@ -180,3 +180,86 @@ def test_resident_gmg_cg_matches_flat():
     assert int(res_r.iterations) == int(res_flat.iterations)
     xr, xf = np.asarray(res_r.x), np.asarray(res_flat.x)
     assert np.linalg.norm(xr - xf) <= 1e-8 * max(np.linalg.norm(xf), 1.0)
+
+
+def test_resident_cg_bf16s_true_residual_honest():
+    """bf16s-mode solve: x/r stay f32 (quantizing them leaves a ~4e-2
+    true residual) and the RETURNED residual/converged come from the
+    true residual b - A(x) — the kernel's bf16-quantized output floors
+    convergence near ~1e-3, and the result must say so rather than
+    echo the drifted recurrence residual."""
+    from tpufem.fem.dof_handler import DoFHandler
+    from tpufem.fem.mesh import Mesh
+    from tpufem.operators.laplace import LaplaceOperator
+    from tpufem.ops.matrix_free import MatrixFree
+    from tpufem.solvers.resident import resident_jacobi_cg
+    from tpufem.utils.config import FemConfig
+
+    mesh = Mesh.hyper_cube(3, 4)
+    dofs = DoFHandler(mesh, 2)
+    mf = MatrixFree.build(
+        mesh, dofs,
+        FemConfig(3, 2, scatter="separable", use_pallas=True,
+                  dtype="float32", pallas_mode="bf16s"),
+    )
+    assert mf.resident is not None
+    assert str(jnp.dtype(mf.resident.dt)) == "bfloat16"
+    op = LaplaceOperator(mf)
+    diag = op.diagonal()
+    rng = np.random.default_rng(3)
+    mask = np.asarray(mf.interior_mask, np.float64)
+    b = jnp.asarray(mask * rng.standard_normal(dofs.n_dofs), jnp.float32)
+
+    rtol = 1e-5
+    res = resident_jacobi_cg(op, b, diag=diag, rtol=rtol, maxiter=400)
+    x = jnp.asarray(np.asarray(res.x), jnp.float32)
+    assert x.dtype == jnp.float32  # solution returned in compute dtype
+    tr = np.asarray(b) - np.asarray(op.vmult(x))
+    rel = np.linalg.norm(tr) / np.linalg.norm(np.asarray(b))
+    bn = np.linalg.norm(np.asarray(b))
+    # the REPORTED residual is the true residual (recomputed through the
+    # bf16s apply, so it agrees with the f32-apply true residual only to
+    # the operator's own quantization — same order, not the 1e-5 of the
+    # drifted recurrence)
+    rep = float(res.residual) / bn
+    assert rel / 2 < rep < rel * 2, (rep, rel)
+    assert bool(res.converged) == (float(res.residual)
+                                   <= rtol * bn), "converged must be honest"
+    # x/r kept f32: solution is solve-quality at the bf16-operator floor
+    assert rel < 2e-2, rel
+    # loose-tolerance use: the same solve at rtol 3e-2 must converge
+    res2 = resident_jacobi_cg(op, b, diag=diag, rtol=3e-2, maxiter=400)
+    assert bool(res2.converged)
+
+
+def test_flat_cg_p_bf16_storage():
+    """cg_solve(p_dtype=bf16): converges with an honest true residual and
+    ~the same iteration count as full-f32."""
+    from tpufem.fem.dof_handler import DoFHandler
+    from tpufem.fem.mesh import Mesh
+    from tpufem.operators.laplace import LaplaceOperator
+    from tpufem.ops.matrix_free import MatrixFree
+    from tpufem.solvers.cg import cg_solve, make_jacobi
+    from tpufem.utils.config import FemConfig
+
+    mesh = Mesh.hyper_cube(3, 3)
+    dofs = DoFHandler(mesh, 3)
+    mf = MatrixFree.build(mesh, dofs,
+                          FemConfig(3, 3, dtype="float32",
+                                    scatter="separable"))
+    op = LaplaceOperator(mf)
+    diag = op.diagonal()
+    rng = np.random.default_rng(11)
+    mask = np.asarray(mf.interior_mask, np.float64)
+    b = jnp.asarray(mask * rng.standard_normal(dofs.n_dofs), jnp.float32)
+
+    rtol = 1e-5
+    ref = cg_solve(op.vmult, b, M_inv=make_jacobi(diag), rtol=rtol)
+    res = cg_solve(lambda p: op.vmult(p.astype(jnp.float32)), b,
+                   M_inv=make_jacobi(diag), rtol=rtol,
+                   p_dtype=jnp.bfloat16)
+    assert bool(res.converged)
+    assert abs(int(res.iterations) - int(ref.iterations)) <= 10
+    tr = np.asarray(b) - np.asarray(op.vmult(res.x.astype(jnp.float32)))
+    rel = np.linalg.norm(tr) / np.linalg.norm(np.asarray(b))
+    assert rel < 5 * rtol, rel

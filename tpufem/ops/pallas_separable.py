@@ -478,6 +478,11 @@ class ResidentSeparable:
         self.pad = jax.jit(lambda u: jnp.pad(
             u.astype(dt).reshape((npts,) * 3),
             [(p, sz - npts - p), (H, sy - npts - H), (0, X - npts)]))
+        # dtype-PRESERVING pad: the resident CG keeps x/r in the compute
+        # dtype even when the kernel's layout dtype is bf16 (bf16s)
+        self.pad_any = jax.jit(lambda u: jnp.pad(
+            u.reshape((npts,) * 3),
+            [(p, sz - npts - p), (H, sy - npts - H), (0, X - npts)]))
         self.unpad = jax.jit(
             lambda gp: gp[p : p + npts, H : H + npts, :npts].reshape(-1))
         self._call = jax.jit(lambda u: self.unpad(self.raw(self.pad(u))))

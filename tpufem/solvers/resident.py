@@ -31,13 +31,35 @@ def _dot3(a, b):
 # jit cache keyed on the kernel's raw callable (stable per
 # ResidentSeparable instance) — a fresh closure per solve call would
 # RECOMPILE the whole program every time (minutes on the flagship)
-@partial(jax.jit, static_argnames=("raw", "rtol", "maxiter"))
-def _jacobi_solve(raw, m, inv_diag, bp, x0p, rtol, maxiter):
-    def A(gp):
-        return m * raw(m * gp) + (1.0 - m) * gp
+@partial(jax.jit, static_argnames=("raw", "rtol", "maxiter", "sdt"))
+def _jacobi_solve(raw, m, inv_diag, bp, x0p, rtol, maxiter, sdt):
+    # bf16s kernels: the search direction is STORED in the kernel's bf16
+    # layout (p_dtype) so the kernel DMAs half the bytes, but x and r
+    # stay in the compute dtype — quantizing them too leaves the TRUE
+    # residual b - A(x) at ~4e-2 (measured).  The kernel's OUTPUT is
+    # still bf16-quantized (layout dtype), which drifts the recurrence
+    # residual from the true one below ~1e-3 — so for bf16s the returned
+    # residual/converged are recomputed from the TRUE residual with one
+    # extra apply: bf16s solves are loose-tolerance solves that report
+    # honestly.
+    cdt = bp.dtype
+    p_dtype = None if jnp.dtype(sdt) == cdt else jnp.dtype(sdt)
+    ms = m.astype(sdt)
 
-    return cg_solve(A, bp, M_inv=lambda r: inv_diag * r, x0=x0p,
-                    rtol=rtol, maxiter=maxiter, dot=_dot3)
+    def A(gp):
+        gp = gp.astype(sdt)
+        return (m * raw(ms * gp).astype(cdt)
+                + (1.0 - m) * gp.astype(cdt))
+
+    res = cg_solve(A, bp, M_inv=lambda r: inv_diag * r, x0=x0p,
+                   rtol=rtol, maxiter=maxiter, dot=_dot3,
+                   p_dtype=p_dtype)
+    if p_dtype is None:
+        return res
+    rt = bp - A(res.x)
+    rn = jnp.sqrt(_dot3(rt, rt))
+    tol = rtol * jnp.sqrt(_dot3(bp, bp))
+    return CGResult(res.x, res.iterations, rn, rn <= tol)
 
 
 def resident_jacobi_cg(
@@ -61,13 +83,15 @@ def resident_jacobi_cg(
             "operator has no resident kernel (needs 3D separable scheme "
             "with use_pallas=True and a tiling-compatible degree)"
         )
-    m = rk.pad(jnp.asarray(op.mf.interior_mask, rk.dt))
-    bp = rk.pad(jnp.asarray(b, rk.dt))
-    inv_diag = rk.pad(1.0 / jnp.asarray(
-        diag if diag is not None else op.diagonal(), rk.dt))
-    x0p = None if x0 is None else rk.pad(jnp.asarray(x0, rk.dt))
+    cdt = getattr(rk, "compute_dt", rk.dt)
+    m = rk.pad_any(jnp.asarray(op.mf.interior_mask, cdt))
+    bp = rk.pad_any(jnp.asarray(b, cdt))
+    inv_diag = rk.pad_any(1.0 / jnp.asarray(
+        diag if diag is not None else op.diagonal(), cdt))
+    x0p = None if x0 is None else rk.pad_any(jnp.asarray(x0, cdt))
 
-    res = _jacobi_solve(rk.raw, m, inv_diag, bp, x0p, rtol, maxiter)
+    res = _jacobi_solve(rk.raw, m, inv_diag, bp, x0p, rtol, maxiter,
+                        str(jnp.dtype(rk.dt)))
     return CGResult(rk.unpad(res.x), res.iterations, res.residual,
                     res.converged)
 
