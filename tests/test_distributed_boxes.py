@@ -114,3 +114,71 @@ def test_distributed_empty_slabs_are_harmless():
     y_ref = np.asarray(gop.vmult(x))
     y = dop.from_local(np.asarray(dop.vmult(dop.put_vector(np.asarray(x)))))
     assert np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref) < 1e-13
+
+
+# ------------------------------------------------------ 2-axis (z x y)
+@pytest.mark.parametrize("sz,sy,p", [(2, 2, 1), (2, 2, 2), (2, 4, 2)])
+def test_distributed_vmult_parity_2axis(sz, sy, p):
+    """z x y device-mesh sharding of the box tier (3D): corner lines on
+    both cut sets reconcile through the two-phase exchange."""
+    dofs, gop, _ = _ops(3, p, n_shards=1)
+    dop = DistributedBoxLaplace(gop, shards=(sz, sy))
+    x = gop.to_patch(RNG.standard_normal(dofs.n_dofs))
+    y_ref = np.asarray(gop.vmult(x))
+    y = dop.from_local(np.asarray(dop.vmult(dop.put_vector(np.asarray(x)))))
+    r = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
+    assert r < 1e-13, r
+
+
+def test_distributed_vmult_2axis_variable_coefficient():
+    coef = lambda x: 1.0 + 0.5 * np.cos(x[:, 0]) * np.sin(x[:, 1] + x[:, 2])
+    dofs, gop, _ = _ops(3, 2, n_shards=1, coefficient=coef)
+    dop = DistributedBoxLaplace(gop, shards=(2, 2))
+    x = gop.to_patch(RNG.standard_normal(dofs.n_dofs))
+    y_ref = np.asarray(gop.vmult(x))
+    y = dop.from_local(np.asarray(dop.vmult(dop.put_vector(np.asarray(x)))))
+    assert np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref) < 1e-13
+
+
+def test_distributed_cg_2axis_matches_single_device():
+    dofs, gop, _ = _ops(3, 2, n_shards=1)
+    dop = DistributedBoxLaplace(gop, shards=(2, 4))
+    mask = np.asarray(gop.interior_mask, np.float64)
+    b = gop.to_patch(RNG.standard_normal(dofs.n_dofs))
+    b = jnp.asarray(mask * np.asarray(b), jnp.float64)
+    diag = gop.diagonal()
+    ref = gop.cg_solve(b, diag, rtol=1e-10)
+    res = dop.cg_solve(dop.put_vector(np.asarray(b)),
+                       jnp.asarray(dop.diagonal_local()), rtol=1e-10)
+    assert int(res.iterations) == int(ref.iterations)
+    x = dop.from_local(np.asarray(res.x))
+    x_ref = np.asarray(ref.x)
+    assert np.linalg.norm(x - x_ref) / np.linalg.norm(x_ref) < 1e-9
+
+
+def test_distributed_2axis_roundtrip_and_owners():
+    dofs, gop, _ = _ops(3, 2, n_shards=1)
+    dop = DistributedBoxLaplace(gop, shards=(2, 2))
+    u = gop.to_patch(RNG.standard_normal(dofs.n_dofs))
+    back = dop.from_local(dop.to_local(np.asarray(u)))
+    assert np.allclose(back, np.asarray(u), atol=0)
+    w = np.asarray(dop.params["w_owner"], np.float64)
+    ones = dop.to_local(np.asarray(gop.to_patch(np.ones(dofs.n_dofs))))
+    assert int(round(float((w * ones).sum()))) == dofs.n_dofs
+
+
+def test_distributed_2axis_curved_adaptive_vmult():
+    """transform x refinement on a z x y mesh: per-qpoint packed metric
+    sliced along both sharded axes (global-general scheme)."""
+    mesh = adaptive_mesh(3, 2, 1)
+    mesh.transform = lambda x: x + 0.05 * np.sin(
+        np.pi * x[:, [1, 2, 0]])
+    dofs = DoFHandler(mesh, 2)
+    ac = make_hanging_node_constraints(dofs)
+    gop = BoxLaplaceOperator(mesh, dofs, constraints=ac, dtype="float64")
+    assert gop._cell_scheme == "global-general"
+    dop = DistributedBoxLaplace(gop, shards=(2, 2))
+    x = gop.to_patch(RNG.standard_normal(dofs.n_dofs))
+    y_ref = np.asarray(gop.vmult(x))
+    y = dop.from_local(np.asarray(dop.vmult(dop.put_vector(np.asarray(x)))))
+    assert np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref) < 1e-13

@@ -13,8 +13,10 @@ every shard's inner loop index-free.
 
 TPU-native design
 -----------------
-Slab decomposition along the leading lattice axis ("z"), with cut planes
-aligned to the COARSEST cell size present:
+Slab decomposition along the leading lattice axis ("z"), optionally
+crossed with a second decomposition along "y" (3D: a 2-axis z × y device
+mesh, the box-tier analogue of ``Partitioner2D`` — the lane axis x is
+never cut).  Cut planes are aligned to the COARSEST cell size present:
 
 - every box's slab boundary is cell-aligned (sizes are powers of two, so
   s_max-multiples are cell boundaries of every size group);
@@ -107,16 +109,25 @@ def _slab_rows(a_cells: int, r_cells: int, p: int, LZ: int,
 
 
 class DistributedBoxLaplace:
-    """Shard a :class:`BoxLaplaceOperator` over a 1-axis device mesh.
+    """Shard a :class:`BoxLaplaceOperator` over a 1- or 2-axis device mesh.
 
-    Parameters: the (host-built) global operator, the shard count and an
-    optional explicit device list.  ``vmult`` / ``cg_solve`` act on the
-    stacked local patch vector of shape ``(n_shards, NL)`` sharded on
-    axis 0; ``to_local`` / ``from_local`` convert at IO boundaries.
+    Parameters: the (host-built) global operator, the shard count (1-axis
+    z slabs) or ``shards=(sz, sy)`` (3D only: a 2-axis z × y device mesh,
+    the box-tier analogue of ``Partitioner2D``), and an optional explicit
+    device list.  ``vmult`` / ``cg_solve`` act on the stacked local patch
+    vector of shape ``(sz*sy, NL)`` sharded over both mesh axes;
+    ``to_local`` / ``from_local`` convert at IO boundaries.
+
+    Cut planes along each sharded lattice axis reconcile by the raw-
+    partial exchange + gid-group sum of the 1-axis scheme, applied as two
+    sequential phases (z then y).  Corner lines (on BOTH cut sets) are
+    exact because the y phase reads the z-reconciled values and counts
+    each (gid, y-side) once via representative weights — all same-side
+    copies are equal after the z SET.
     """
 
-    def __init__(self, gop: BoxLaplaceOperator, n_shards: int,
-                 axis_name: str = "shard", devices=None):
+    def __init__(self, gop: BoxLaplaceOperator, n_shards: int = None,
+                 axis_name: str = "shard", devices=None, shards=None):
         if gop._cell_scheme not in ("global", "global-general"):
             raise NotImplementedError(
                 "distributed box tier needs the global cell schemes")
@@ -133,68 +144,61 @@ class DistributedBoxLaplace:
         elif int(np.asarray(gop.params["multi_idx"]).shape[0]):
             raise NotImplementedError(
                 "multi copies without dense pair plans")
+        if shards is None:
+            shards = (int(n_shards), 1)
+        sz, sy = int(shards[0]), int(shards[1])
+        if sy > 1 and gop.dim != 3:
+            raise NotImplementedError("2-axis box sharding needs dim=3 "
+                                      "(never cut the lane axis)")
         self.gop = gop
-        self.n_shards = n_shards
+        self.sz, self.sy = sz, sy
+        self.n_shards = sz * sy
         self.axis_name = axis_name
+        self.axis_name_y = axis_name + "_y"
         self._devices = devices
         d, p = gop.dim, gop.p
         self.dim, self.p, self.dt = d, p, gop.dt
         boxes = gop.boxes
         mesh = gop.mesh
+        n_shards = self.n_shards
 
-        # ---- z cuts: coarsest-size-aligned, balanced by active cells ---
-        s_max = max(b.size for b in boxes)
-        ncand = mesh.U // s_max
-        zslot = mesh.origins[:, d - 1] // s_max
-        wt = np.bincount(zslot, minlength=ncand).astype(np.float64)
-        cum = np.cumsum(wt)
-        cuts = [0]
-        for s in range(1, n_shards):
-            k = int(np.searchsorted(cum, cum[-1] * s / n_shards,
-                                    side="left")) + 1
-            # strictly increasing while slots remain: an EMPTY shard
-            # between non-empty ones would break the single-neighbor
-            # plane adjacency (its neighbors share a plane but are two
-            # ppermute hops apart).  Unavoidable empties (n_shards >
-            # slots) land at the END, where their planes are dead.
-            cuts.append(min(max(k, cuts[-1] + 1), ncand))
-        cuts.append(ncand)
-        self.cuts_units = np.asarray(cuts) * s_max  # (n_shards+1,) mesh u.
+        # ---- cuts per sharded lattice axis: coarsest-size-aligned, -----
+        # balanced by active cells.  Lattice axis 0 = xyz axis d-1 (z),
+        # lattice axis 1 = xyz axis d-2 (y, 3D 2-axis only).
+        self.cuts_units = self._make_cuts(0, sz)
+        self.cuts_y = self._make_cuts(1, sy) if sy > 1 else None
 
-        # ---- per-box slab geometry -------------------------------------
-        # lattice axis 0 = xyz axis d-1; box cell j origin = (lo_z + j)*s
-        self._slab = []  # per box: (a (S,), r (S,), NCZ)
-        for b in boxes:
-            z0 = int(b.lo[d - 1])
-            a = np.clip(self.cuts_units[:-1] // b.size - z0, 0, b.nb[0])
-            e = np.clip(self.cuts_units[1:] // b.size - z0, 0, b.nb[0])
-            r = np.maximum(e - a, 0)
-            self._slab.append((a.astype(int), r.astype(int),
-                               max(int(r.max()), 1)))
+        # ---- per-box slab geometry per axis -----------------------------
+        self._slab = self._make_slabs(0, self.cuts_units)
+        self._slab_y = (self._make_slabs(1, self.cuts_y) if sy > 1
+                        else [(np.zeros(1, int),
+                               np.full(1, b.nb[1] if d > 1 else 1, int),
+                               b.nb[1] if d > 1 else 1) for b in boxes])
 
-        # on-cut flags: does box bi's shard-s slab start/end ON the cut
-        # plane (vs. at a box end strictly inside the shard)?  Only
-        # on-cut planes take part in the cross-shard reconciliation.
-        nbox = len(boxes)
-        self._bot_cut = np.zeros((n_shards, nbox), bool)
-        self._top_cut = np.zeros((n_shards, nbox), bool)
-        for bi, b in enumerate(boxes):
-            z0u = int(b.lo[d - 1]) * b.size
-            a, r, _ = self._slab[bi]
-            for s in range(n_shards):
-                if int(r[s]) <= 0:
-                    continue
-                lo_u = z0u + int(a[s]) * b.size
-                hi_u = z0u + int(a[s] + r[s]) * b.size
-                self._bot_cut[s, bi] = lo_u == self.cuts_units[s]
-                self._top_cut[s, bi] = hi_u == self.cuts_units[s + 1]
+        # on-cut flags per axis row/column: does box bi's slab start/end
+        # ON the cut plane (vs. at a box end strictly inside the shard)?
+        # Only on-cut planes take part in the cross-shard reconciliation.
+        self._bot_cut, self._top_cut = self._make_flags(
+            0, self.cuts_units, self._slab, sz)
+        if sy > 1:
+            self._bot_cut_y, self._top_cut_y = self._make_flags(
+                1, self.cuts_y, self._slab_y, sy)
+        else:
+            nbox = len(boxes)
+            self._bot_cut_y = np.zeros((1, nbox), bool)
+            self._top_cut_y = np.zeros((1, nbox), bool)
 
         # local template boxes (shard-uniform shapes)
         lboxes, lnb = [], []
         off = 0
-        for b, (a, r, NCZ) in zip(boxes, self._slab):
+        for bi, b in enumerate(boxes):
+            NCZ = self._slab[bi][2]
             lat = (NCZ * p + 1,) + b.lattice_shape[1:]
             nb = (NCZ,) + b.nb[1:]
+            if sy > 1:
+                NCY = self._slab_y[bi][2]
+                lat = (lat[0], NCY * p + 1) + b.lattice_shape[2:]
+                nb = (nb[0], NCY) + b.nb[2:]
             lboxes.append(Box(
                 size=b.size, lo=b.lo, nb=nb, cells=b.cells[:0],
                 lattice_shape=lat, gid=np.zeros(0), active=np.zeros(0),
@@ -204,16 +208,23 @@ class DistributedBoxLaplace:
         self.NL = off
         self.lboxes = lboxes
 
-        # full-z pair metadata (tangential slices stay global-static)
+        # full-extent pair metadata on the sharded axes (unsharded
+        # tangential slices stay global-static)
         lmeta = []
         for meta in gop._pair_meta:
-            LZc = lboxes[meta["bc"]].lattice_shape[0]
-            LZf = lboxes[meta["bf"]].lattice_shape[0]
+            lc = lboxes[meta["bc"]].lattice_shape
+            lf = lboxes[meta["bf"]].lattice_shape
+            nloc = 2 if sy > 1 else 1
+
+            def _loc(sls, lat):
+                return tuple(slice(0, lat[a]) for a in range(nloc)) \
+                    + tuple(sls[nloc:])
+
             lmeta.append(dict(
                 bc=meta["bc"], bf=meta["bf"],
-                src_sl=(slice(0, LZc),) + tuple(meta["src_sl"][1:]),
-                dst_sl=(slice(0, LZf),) + tuple(meta["dst_sl"][1:]),
-                sub_c=(slice(0, LZc),) + tuple(meta["sub_c"][1:]),
+                src_sl=_loc(meta["src_sl"], lc),
+                dst_sl=_loc(meta["dst_sl"], lf),
+                sub_c=_loc(meta["sub_c"], lc),
                 sub_f=meta["sub_f"],
             ))
         self.tmpl = _LocalBoxApply(
@@ -224,98 +235,301 @@ class DistributedBoxLaplace:
         prs = [self._shard_params(s) for s in range(n_shards)]
         self.params = jax.tree.map(
             lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *prs)
-        # per-shard top-plane z index per box (r*p; 0 on empty slabs)
+        # per-shard top-plane index per box and axis (r*p; 0 when empty)
         tops = np.stack([
-            np.array([int(r[s]) * p for (_, r, _) in self._slab])
+            np.array([int(r[s // sy]) * p for (_, r, _) in self._slab])
             for s in range(n_shards)]).astype(np.int32)
         self.params["plane_top"] = jnp.asarray(tops)
+        if sy > 1:
+            topy = np.stack([
+                np.array([int(r[s % sy]) * p
+                          for (_, r, _) in self._slab_y])
+                for s in range(n_shards)]).astype(np.int32)
+            self.params["plane_top_y"] = jnp.asarray(topy)
 
         # ---- cut-plane reconciliation groups ---------------------------
         # Raw plane partials are exchanged per box; each physical node on
         # a cut plane then gets the SUM over ALL its (box, shard-side)
         # copies — grouped by global DoF id (the same id is computed on
         # both sides from the global box lattice, so no second exchange
-        # is needed: both shards reconstruct identical totals).
-        tanL = [int(np.prod(lb.lattice_shape[1:])) for lb in lboxes]
-        T = sum(tanL)
+        # is needed: both shards reconstruct identical totals).  With a
+        # second sharded axis the y phase runs on the z-reconciled values:
+        # corner slots (on a z cut too) contribute through ONE
+        # representative per (gid, y-side) — all same-side copies are
+        # equal after the z SET — while their set weights cover every
+        # copy; non-corner slots sum raw partials as in the z phase.
         dtc = np.dtype(str(np.dtype(self.dt)))
+        self._build_cut_groups(0)
+        if sy > 1:
+            self._build_cut_groups(1)
+        self._vmult_sm = None
+        self._solvers: dict = {}
 
-        def plane_gids(bi: int, c_units: int):
-            b = boxes[bi]
-            z0u = int(b.lo[d - 1]) * b.size
-            j, rem = divmod(c_units - z0u, b.size)
-            if rem or j < 0 or j > b.nb[0]:
+    # ------------------------------------------------------------------
+    # sharded-axis helpers (lattice axis 0 = z = xyz d-1; axis 1 = y)
+    def _axis_xyz(self, ax: int) -> int:
+        return self.dim - 1 - ax
+
+    def _axis_row(self, s: int, ax: int) -> int:
+        return s // self.sy if ax == 0 else s % self.sy
+
+    def _nbr(self, s: int, ax: int, step: int):
+        """Shard index of the axis-ax neighbor, or None at the edge."""
+        iz, iy = divmod(s, self.sy)
+        if ax == 0:
+            iz += step
+            if not (0 <= iz < self.sz):
                 return None
-            return b.gid.reshape(b.lattice_shape[0], -1)[j * p]
+        else:
+            iy += step
+            if not (0 <= iy < self.sy):
+                return None
+        return iz * self.sy + iy
 
+    def _make_cuts(self, ax: int, ns: int) -> np.ndarray:
+        mesh, boxes = self.gop.mesh, self.gop.boxes
+        s_max = max(b.size for b in boxes)
+        ncand = mesh.U // s_max
+        slot = mesh.origins[:, self._axis_xyz(ax)] // s_max
+        wt = np.bincount(slot, minlength=ncand).astype(np.float64)
+        cum = np.cumsum(wt)
+        cuts = [0]
+        for s in range(1, ns):
+            k = int(np.searchsorted(cum, cum[-1] * s / ns,
+                                    side="left")) + 1
+            # strictly increasing while slots remain: an EMPTY shard row
+            # between non-empty ones would break the single-neighbor
+            # plane adjacency.  Unavoidable empties (ns > slots) land at
+            # the END, where their planes are dead.
+            cuts.append(min(max(k, cuts[-1] + 1), ncand))
+        cuts.append(ncand)
+        return np.asarray(cuts) * s_max
+
+    def _make_slabs(self, ax: int, cuts: np.ndarray):
+        out = []
+        for b in self.gop.boxes:
+            z0 = int(b.lo[self._axis_xyz(ax)])
+            a = np.clip(cuts[:-1] // b.size - z0, 0, b.nb[ax])
+            e = np.clip(cuts[1:] // b.size - z0, 0, b.nb[ax])
+            r = np.maximum(e - a, 0)
+            out.append((a.astype(int), r.astype(int),
+                        max(int(r.max()), 1)))
+        return out
+
+    def _make_flags(self, ax: int, cuts, slabs, ns: int):
+        nbox = len(self.gop.boxes)
+        bot = np.zeros((ns, nbox), bool)
+        top = np.zeros((ns, nbox), bool)
+        for bi, b in enumerate(self.gop.boxes):
+            z0u = int(b.lo[self._axis_xyz(ax)]) * b.size
+            a, r, _ = slabs[bi]
+            for i in range(ns):
+                if int(r[i]) <= 0:
+                    continue
+                bot[i, bi] = z0u + int(a[i]) * b.size == cuts[i]
+                top[i, bi] = (z0u + int(a[i] + r[i]) * b.size
+                              == cuts[i + 1])
+        return bot, top
+
+    def _face_gids(self, bi: int, ax: int, c_units: int, s: int):
+        """Localized gid face of box bi on the axis-ax plane at c_units
+        (None when the box has no lattice plane there).  The OTHER
+        sharded axis is restricted to shard s's slab (invalid rows -1);
+        unsharded axes stay global."""
+        b, lb, p = self.gop.boxes[bi], self.lboxes[bi], self.p
+        z0u = int(b.lo[self._axis_xyz(ax)]) * b.size
+        j, rem = divmod(c_units - z0u, b.size)
+        if rem or j < 0 or j > b.nb[ax]:
+            return None
+        gid = b.gid.reshape(b.lattice_shape)
+        face = np.take(gid, j * p, axis=ax)  # global face, axis removed
+        oax = 1 - ax  # the other sharded lattice axis
+        if self.sy <= 1 and oax == 1:
+            return face.reshape(-1)
+        if oax == 0:
+            slab, row = self._slab, self._axis_row(s, 0)
+        else:
+            slab, row = self._slab_y, self._axis_row(s, 1)
+        a, r, _ = slab[bi]
+        # face axis 0 is the other sharded axis for both ax=0 (face =
+        # (y, x...)) and ax=1 (face = (z, x...))
+        Lloc = lb.lattice_shape[oax]
+        ok, gz = _slab_rows(int(a[row]), int(r[row]), p, Lloc,
+                            0, face.shape[0])
+        out = np.full((Lloc,) + face.shape[1:], -1, np.int64)
+        out[ok] = face[gz[ok]]
+        return out.reshape(-1)
+
+    def _face_idx(self, bi: int, ax: int, row: int) -> np.ndarray:
+        """Flat local patch indices of box bi's axis-ax plane at local
+        row index ``row``."""
+        lb = self.lboxes[bi]
+        grid = np.arange(int(np.prod(lb.lattice_shape)),
+                         dtype=np.int64).reshape(lb.lattice_shape)
+        return (lb.offset + np.take(grid, row, axis=ax)).reshape(-1)
+
+    def _corner_mask(self, bi: int, ax: int, s: int) -> np.ndarray:
+        """For axis-ax faces: which slots lie on a cut of the OTHER
+        sharded axis (corner lines — already axis-oax reconciled)."""
+        lb = self.lboxes[bi]
+        oax = 1 - ax
+        face_shape = tuple(n for a, n in enumerate(lb.lattice_shape)
+                           if a != ax)
+        m = np.zeros(face_shape, bool)
+        if self.sy <= 1:
+            return m.reshape(-1)
+        if oax == 0:
+            slab, flags_b, flags_t, row = (self._slab, self._bot_cut,
+                                           self._top_cut,
+                                           self._axis_row(s, 0))
+        else:
+            slab, flags_b, flags_t, row = (self._slab_y, self._bot_cut_y,
+                                           self._top_cut_y,
+                                           self._axis_row(s, 1))
+        _, r, _ = slab[bi]
+        if flags_b[row, bi]:
+            m[0] = True
+        if flags_t[row, bi]:
+            m[int(r[row]) * self.p] = True
+        return m.reshape(-1)
+
+    def _build_cut_groups(self, ax: int):
+        """Per-shard gid groups + weights + scatter indices for the
+        axis-ax cut planes, stored in params as cut_{seg,wm,wr,ws,idx}
+        (ax=0) / cut_{...}_y (ax=1).  wm = my summation weight, wr =
+        received summation weight, ws = my SET weight (differs from wm
+        only on corner slots, which sum through one representative but
+        set every copy)."""
+        p, sy = self.p, self.sy
+        n_shards = self.n_shards
+        lboxes, boxes = self.lboxes, self.gop.boxes
+        dtc = np.dtype(str(np.dtype(self.dt)))
+        cuts = self.cuts_units if ax == 0 else self.cuts_y
+        slabs = self._slab if ax == 0 else self._slab_y
+        bot, top = ((self._bot_cut, self._top_cut) if ax == 0
+                    else (self._bot_cut_y, self._top_cut_y))
+        faceL = [int(np.prod(lb.lattice_shape) // lb.lattice_shape[ax])
+                 for lb in lboxes]
+        T = sum(faceL)
         segs = np.zeros((n_shards, 2 * T), np.int32)
         wm = np.zeros((n_shards, 2 * T))
         wr = np.zeros((n_shards, 2 * T))
+        ws = np.zeros((n_shards, 2 * T))
         idxs = np.zeros((n_shards, 2 * T), np.int64)
         nseg = 1
         for s in range(n_shards):
+            row = self._axis_row(s, ax)
             half_off = 0  # disjoint id blocks for the two cuts
-            for half, c in ((0, int(self.cuts_units[s + 1])),
-                            (1, int(self.cuts_units[s]))):
+            for half, c in ((0, int(cuts[row + 1])),
+                            (1, int(cuts[row]))):
                 base = half * T
                 gvec = np.full(T, -1, np.int64)
+                corner = np.zeros(T, bool)
                 off = 0
-                for bi, b in enumerate(boxes):
-                    g = plane_gids(bi, c)
+                for bi in range(len(boxes)):
+                    g = self._face_gids(bi, ax, c, s)
                     if g is not None:
-                        gvec[off:off + tanL[bi]] = g
-                    off += tanL[bi]
+                        gvec[off:off + faceL[bi]] = g
+                        corner[off:off + faceL[bi]] = self._corner_mask(
+                            bi, ax, s)
+                    off += faceL[bi]
                 ok = gvec >= 0
                 if ok.any():
                     uniq, inv = np.unique(gvec[ok], return_inverse=True)
                     segs[s, base:base + T][ok] = inv + half_off
                     half_off += len(uniq)
                     nseg = max(nseg, half_off)
+                nbr = self._nbr(s, ax, +1 if half == 0 else -1)
+                nrow = None if nbr is None else self._axis_row(nbr, ax)
+                valid_m = np.zeros(T, bool)
+                valid_r = np.zeros(T, bool)
                 off = 0
                 for bi, lb in enumerate(lboxes):
-                    _, r, _ = self._slab[bi]
-                    sl = slice(base + off, base + off + tanL[bi])
-                    okb = ok[off:off + tanL[bi]]
-                    mine = (self._top_cut if half == 0
-                            else self._bot_cut)[s, bi]
-                    if half == 0:
-                        recv = (s + 1 < n_shards
-                                and self._bot_cut[s + 1, bi])
-                        row = int(r[s]) * p
-                    else:
-                        recv = s > 0 and self._top_cut[s - 1, bi]
-                        row = 0
-                    wm[s, sl] = okb * float(mine)
-                    wr[s, sl] = okb * float(recv)
+                    _, r, _ = slabs[bi]
+                    sl = slice(off, off + faceL[bi])
+                    okb = ok[off:off + faceL[bi]]
+                    mine = (top if half == 0 else bot)[row, bi]
+                    recv = (nrow is not None
+                            and (bot if half == 0 else top)[nrow, bi])
+                    lrow = int(r[row]) * p if half == 0 else 0
+                    valid_m[sl] = okb & bool(mine)
+                    valid_r[sl] = okb & bool(recv)
                     if mine:
-                        idxs[s, sl] = (lb.offset + row * tanL[bi]
-                                       + np.arange(tanL[bi]))
-                    off += tanL[bi]
-        self._nseg = nseg
-        self.params["cut_seg"] = jnp.asarray(segs)
-        self.params["cut_wm"] = jnp.asarray(wm.astype(dtc))
-        self.params["cut_wr"] = jnp.asarray(wr.astype(dtc))
-        self.params["cut_idx"] = jnp.asarray(idxs.astype(np.int32))
-        self._vmult_sm = None
-        self._solvers: dict = {}
+                        idxs[s, base + off:base + off + faceL[bi]] = \
+                            self._face_idx(bi, ax, lrow)
+                    off += faceL[bi]
+                # summation weights: in the SECOND (y) phase, corner
+                # slots are already z-reconciled (all same-side copies
+                # equal) and count once per (gid, side); the z phase sums
+                # raw values everywhere
+                wsum_m = valid_m.astype(np.float64)
+                wsum_r = valid_r.astype(np.float64)
+                if ax == 1:
+                    for vec, wv in ((valid_m, wsum_m), (valid_r, wsum_r)):
+                        seen: set = set()
+                        cidx = np.nonzero(corner & vec)[0]
+                        for k in cidx:
+                            g = int(gvec[k])
+                            if g in seen:
+                                wv[k] = 0.0
+                            else:
+                                seen.add(g)
+                wm[s, base:base + T] = wsum_m
+                wr[s, base:base + T] = wsum_r
+                ws[s, base:base + T] = valid_m.astype(np.float64)
+        suff = "" if ax == 0 else "_y"
+        setattr(self, "_nseg" + suff, nseg)
+        self.params["cut_seg" + suff] = jnp.asarray(segs)
+        self.params["cut_wm" + suff] = jnp.asarray(wm.astype(dtc))
+        self.params["cut_wr" + suff] = jnp.asarray(wr.astype(dtc))
+        self.params["cut_ws" + suff] = jnp.asarray(ws.astype(dtc))
+        self.params["cut_idx" + suff] = jnp.asarray(idxs.astype(np.int32))
 
     # ------------------------------------------------------------------
-    def _slice_z(self, arr, bi: int, s: int, per: int, pad_to: int,
-                 fill=0.0):
-        """Slice box bi's shard-s slab from a global per-box array whose
-        leading dim runs ``per`` entries per z cell (+1 node row when
-        per == p-ish handled by caller via pad_to)."""
-        a, r, _ = self._slab[bi]
-        lo, n = int(a[s]) * per, int(r[s]) * per
-        out_shape = (pad_to,) + arr.shape[1:]
+    def _slice_ax(self, arr, bi: int, s: int, ax: int, axis_pos: int,
+                  per: int, pad_to: int, fill=0.0):
+        """Slice box bi's shard-s axis-ax slab from a global per-box
+        array along array axis ``axis_pos`` (``per`` entries per cell)."""
+        slab = self._slab if ax == 0 else self._slab_y
+        row = self._axis_row(s, ax)
+        a, r, _ = slab[bi]
+        lo, n = int(a[row]) * per, int(r[row]) * per
+        out_shape = (arr.shape[:axis_pos] + (pad_to,)
+                     + arr.shape[axis_pos + 1:])
         out = np.full(out_shape, fill, dtype=arr.dtype)
         if n > 0:
-            out[:n] = arr[lo : lo + n]
+            so = [slice(None)] * arr.ndim
+            si_ = [slice(None)] * arr.ndim
+            so[axis_pos] = slice(0, n)
+            si_[axis_pos] = slice(lo, lo + n)
+            out[tuple(so)] = arr[tuple(si_)]
+        return out
+
+    def _loc_nodes(self, arr, bi: int, s: int):
+        """Localize a full-lattice per-box node array to shard s's slab
+        (both sharded axes), zero-filling dead rows.  arr's leading dims
+        are the box's global lattice."""
+        b, lb, p = self.gop.boxes[bi], self.lboxes[bi], self.p
+        az, rz, _ = self._slab[bi]
+        iz = self._axis_row(s, 0)
+        okz, gz = _slab_rows(int(az[iz]), int(rz[iz]), p,
+                             lb.lattice_shape[0], 0, b.lattice_shape[0])
+        out = arr[gz] * okz.reshape((-1,) + (1,) * (arr.ndim - 1))
+        if self.sy > 1:
+            ay, ry, _ = self._slab_y[bi]
+            iy = self._axis_row(s, 1)
+            oky, gy = _slab_rows(int(ay[iy]), int(ry[iy]), p,
+                                 lb.lattice_shape[1], 0,
+                                 b.lattice_shape[1])
+            out = out[:, gy] * oky.reshape((1, -1) + (1,)
+                                           * (arr.ndim - 2))
         return out
 
     def _shard_params(self, s: int):
         gop, d, p = self.gop, self.dim, self.p
         q1 = p + 1
+        sy = self.sy
+        iz, iy = self._axis_row(s, 0), self._axis_row(s, 1)
         pr: dict = {}
         # box args + interior mask + owner weights + E/G operators
         box_args, box_EG = [], []
@@ -329,41 +543,50 @@ class DistributedBoxLaplace:
         si = ShapeInfo(p, Quadrature.gauss(q1))
         dtc = np.dtype(str(np.dtype(self.dt)))
         for bi, (b, lb) in enumerate(zip(gop.boxes, self.lboxes)):
-            a, r, NCZ = self._slab[bi]
-            a_s, r_s = int(a[s]), int(r[s])
-            LZ = lb.lattice_shape[0]
-            tan = int(np.prod(b.lattice_shape[1:]))
+            NCZ = self._slab[bi][2]
             # interior mask + owner weights: slab node planes
             seg_im = im_g[b.offset : b.offset + b.n_nodes].reshape(
                 b.lattice_shape)
             seg_w = w_g[b.offset : b.offset + b.n_nodes].reshape(
                 b.lattice_shape)
-            ok, gz = _slab_rows(a_s, r_s, p, LZ, 0, b.lattice_shape[0])
-            im_l = np.where(ok[:, None], seg_im.reshape(
-                b.lattice_shape[0], tan)[gz], 0.0)
-            w_l = np.where(ok[:, None], seg_w.reshape(
-                b.lattice_shape[0], tan)[gz], 0.0)
-            if a_s > 0:  # shared bottom plane owned by the lower shard
+            im_l = self._loc_nodes(seg_im, bi, s)
+            w_l = self._loc_nodes(seg_w, bi, s)
+            # shared planes owned by the lower shard along each axis
+            if int(self._slab[bi][0][iz]) > 0:
                 w_l[0] = 0.0
+            if sy > 1 and int(self._slab_y[bi][0][iy]) > 0:
+                w_l[:, 0] = 0.0
             im_parts.append(im_l.reshape(-1))
             w_parts.append(w_l.reshape(-1))
             # cell-loop operands
             arg1, arg2 = gop.params["box_args"][bi]
             if gop._cell_scheme == "global-general":
-                g = np.asarray(arg1)  # (nqz, ..., ncomp)
-                box_args.append((self._slice_z(g, bi, s, q1, NCZ * q1),
-                                 np.zeros(1, dtc)))
+                g = np.asarray(arg1)  # (nqz[, nqy], ..., ncomp)
+                g = self._slice_ax(g, bi, s, 0, 0, q1, NCZ * q1)
+                if sy > 1:
+                    NCY = self._slab_y[bi][2]
+                    g = self._slice_ax(g, bi, s, 1, 1, q1, NCY * q1)
+                box_args.append((g, np.zeros(1, dtc)))
             else:
                 wb = np.asarray(arg2)  # (nz, q1, ny, q1[, nx, q1]) bcast
-                box_args.append((np.asarray(arg1),
-                                 self._slice_z(wb, bi, s, 1, NCZ)))
+                wb = self._slice_ax(wb, bi, s, 0, 0, 1, NCZ)
+                if sy > 1:
+                    NCY = self._slab_y[bi][2]
+                    wb = self._slice_ax(wb, bi, s, 1, 2, 1, NCY)
+                box_args.append((np.asarray(arg1), wb))
             E_t, G_t = gop._box_EG[bi]
             Ez, Gz = global_interp_matrices(p, NCZ, si.S, si.D_col)
+            E_loc = (np.asarray(Ez, dtc),)
+            G_loc = (np.asarray(Gz, dtc),)
+            if sy > 1:
+                NCY = self._slab_y[bi][2]
+                Ey, Gy = global_interp_matrices(p, NCY, si.S, si.D_col)
+                E_loc += (np.asarray(Ey, dtc),)
+                G_loc += (np.asarray(Gy, dtc),)
+            k = len(E_loc)
             box_EG.append(
-                ((np.asarray(Ez, dtc),)
-                 + tuple(np.asarray(E, dtc) for E in E_t[1:]),
-                 (np.asarray(Gz, dtc),)
-                 + tuple(np.asarray(G, dtc) for G in G_t[1:])))
+                (E_loc + tuple(np.asarray(E, dtc) for E in E_t[k:]),
+                 G_loc + tuple(np.asarray(G, dtc) for G in G_t[k:])))
         pr["box_args"] = tuple(box_args)
         pr["box_EG"] = tuple(box_EG)
         pr["interior_mask"] = np.concatenate(im_parts).astype(dtc)
@@ -373,62 +596,94 @@ class DistributedBoxLaplace:
         pr["multi_idx"] = np.zeros((0, 1), np.int32)
         pr["multi_w"] = np.zeros((0, 1), dtc)
 
-        # pair transfers: z factors/masks localized per shard
+        # pair transfers: sharded-axis factors/masks localized per shard
         if gop._pair_meta:
             pair_P, pair_h, pair_alive = [], [], []
             pair_msh, pair_E, pair_S = [], [], []
+            nax = 2 if sy > 1 else 1  # localized tensor axes
             for i, meta in enumerate(gop._pair_meta):
                 bc, bf = meta["bc"], meta["bf"]
-                ac, rc, _ = self._slab[bc]
-                af, rf, _ = self._slab[bf]
-                LZc = self.lboxes[bc].lattice_shape[0]
-                LZf = self.lboxes[bf].lattice_shape[0]
-                d0 = meta["dst_sl"][0].start
-                nf = meta["dst_sl"][0].stop - d0
-                s0 = meta["src_sl"][0].start
-                nc = meta["src_sl"][0].stop - s0
-                j0 = meta["sub_c"][0].start
-                nsub = meta["sub_c"][0].stop - j0
-                okf, gf = _slab_rows(int(af[s]), int(rf[s]), p, LZf, d0, nf)
-                okc, gc = _slab_rows(int(ac[s]), int(rc[s]), p, LZc, s0, nc)
-                oks, gsub = _slab_rows(int(ac[s]), int(rc[s]), p, LZc,
-                                       j0, nsub)
-                Pg = np.asarray(gop.params["pair_P"][i][0], np.float64)
-                Sg = np.asarray(gop.params["pair_S"][i][0], np.float64)
+                Pt = gop.params["pair_P"][i]
+                St = gop.params["pair_S"][i]
                 hg = np.asarray(gop.params["pair_h"][i], np.float64)
                 Eg = np.asarray(gop.params["pair_E"][i], np.float64)
                 ag = np.asarray(gop.params["pair_alive"][i], np.float64)
                 mg = np.asarray(gop.params["pair_msh"][i], np.float64)
-                mk = (okf[:, None] & okc[None, :]).astype(np.float64)
-                P_z = Pg[np.ix_(gf, gc)] * mk
-                # S rows live on the coarse sub grid, cols on the fine dst
-                mk = (oks[:, None] & okf[None, :]).astype(np.float64)
-                S_z = Sg[np.ix_(gsub, gf)] * mk
-                h_l = np.where(okf.reshape((-1,) + (1,) * (d - 1)),
-                               hg[gf], 0.0)
-                E_l = np.where(okf.reshape((-1,) + (1,) * (d - 1)),
-                               Eg[gf], 0.0)
-                a_l = np.where(okc.reshape((-1,) + (1,) * (d - 1)),
-                               ag[gc], 0.0)
-                m_l = np.where(oks.reshape((-1,) + (1,) * (d - 1)),
-                               mg[gsub], 0.0)
+                P_loc, S_loc = [], []
+                okf_ax, okc_ax, oks_ax = [], [], []
+                gf_ax, gc_ax, gsub_ax = [], [], []
+                for ax in range(nax):
+                    slab = self._slab if ax == 0 else self._slab_y
+                    row = self._axis_row(s, ax)
+                    ac, rc, _ = slab[bc]
+                    af, rf, _ = slab[bf]
+                    Lc = self.lboxes[bc].lattice_shape[ax]
+                    Lf = self.lboxes[bf].lattice_shape[ax]
+                    d0 = meta["dst_sl"][ax].start
+                    nf = meta["dst_sl"][ax].stop - d0
+                    s0 = meta["src_sl"][ax].start
+                    nc = meta["src_sl"][ax].stop - s0
+                    j0 = meta["sub_c"][ax].start
+                    nsub = meta["sub_c"][ax].stop - j0
+                    okf, gf = _slab_rows(int(af[row]), int(rf[row]), p,
+                                         Lf, d0, nf)
+                    okc, gc = _slab_rows(int(ac[row]), int(rc[row]), p,
+                                         Lc, s0, nc)
+                    oks, gsub = _slab_rows(int(ac[row]), int(rc[row]), p,
+                                           Lc, j0, nsub)
+                    Pg = np.asarray(Pt[ax], np.float64)
+                    Sg = np.asarray(St[ax], np.float64)
+                    mk = (okf[:, None] & okc[None, :]).astype(np.float64)
+                    P_loc.append(Pg[np.ix_(gf, gc)] * mk)
+                    # S rows live on the coarse sub grid, cols on the
+                    # fine dst
+                    mk = (oks[:, None] & okf[None, :]).astype(np.float64)
+                    S_loc.append(Sg[np.ix_(gsub, gf)] * mk)
+                    okf_ax.append(okf)
+                    okc_ax.append(okc)
+                    oks_ax.append(oks)
+                    gf_ax.append(gf)
+                    gc_ax.append(gc)
+                    gsub_ax.append(gsub)
+
+                def _loc_mask(arr, oks_, gs_):
+                    out = arr[gs_[0]] * oks_[0].reshape(
+                        (-1,) + (1,) * (arr.ndim - 1))
+                    for ax in range(1, len(gs_)):
+                        sh = [1] * arr.ndim
+                        sh[ax] = -1
+                        out = np.take(out, gs_[ax], axis=ax) \
+                            * oks_[ax].reshape(sh)
+                    return out
+
+                h_l = _loc_mask(hg, okf_ax, gf_ax)
+                E_l = _loc_mask(Eg, okf_ax, gf_ax)
+                a_l = _loc_mask(ag, okc_ax, gc_ax)
+                m_l = _loc_mask(mg, oks_ax, gsub_ax)
                 # cut-plane rows are excluded from the local sweeps: they
                 # are reconciled exactly by the cross-shard plane groups
                 # (raw-partial sums over every box/shard copy)
-                if self._bot_cut[s, bf]:
+                if self._bot_cut[iz, bf]:
                     E_l[0] = 0.0
-                if self._top_cut[s, bf]:
-                    E_l[int(rf[s]) * p] = 0.0
-                if self._bot_cut[s, bc]:
+                if self._top_cut[iz, bf]:
+                    E_l[int(self._slab[bf][1][iz]) * p] = 0.0
+                if self._bot_cut[iz, bc]:
                     m_l[0] = 0.0
-                if self._top_cut[s, bc]:
-                    m_l[int(rc[s]) * p] = 0.0
-                Pt = gop.params["pair_P"][i]
-                St = gop.params["pair_S"][i]
-                pair_P.append((P_z.astype(dtc),)
-                              + tuple(np.asarray(M) for M in Pt[1:]))
-                pair_S.append((S_z.astype(dtc),)
-                              + tuple(np.asarray(M) for M in St[1:]))
+                if self._top_cut[iz, bc]:
+                    m_l[int(self._slab[bc][1][iz]) * p] = 0.0
+                if sy > 1:
+                    if self._bot_cut_y[iy, bf]:
+                        E_l[:, 0] = 0.0
+                    if self._top_cut_y[iy, bf]:
+                        E_l[:, int(self._slab_y[bf][1][iy]) * p] = 0.0
+                    if self._bot_cut_y[iy, bc]:
+                        m_l[:, 0] = 0.0
+                    if self._top_cut_y[iy, bc]:
+                        m_l[:, int(self._slab_y[bc][1][iy]) * p] = 0.0
+                pair_P.append(tuple(M.astype(dtc) for M in P_loc)
+                              + tuple(np.asarray(M) for M in Pt[nax:]))
+                pair_S.append(tuple(M.astype(dtc) for M in S_loc)
+                              + tuple(np.asarray(M) for M in St[nax:]))
                 pair_h.append(h_l.astype(dtc))
                 pair_E.append(E_l.astype(dtc))
                 pair_alive.append(a_l.astype(dtc))
@@ -449,90 +704,125 @@ class DistributedBoxLaplace:
         if len(devices) < self.n_shards:
             raise ValueError(
                 f"need {self.n_shards} devices, have {len(devices)}")
-        return DeviceMesh(np.array(devices), (self.axis_name,))
+        return DeviceMesh(
+            np.array(devices[: self.n_shards]).reshape(self.sz, self.sy),
+            (self.axis_name, self.axis_name_y))
 
     def sharding(self, mesh: DeviceMesh) -> NamedSharding:
-        return NamedSharding(mesh, P(self.axis_name))
+        return NamedSharding(mesh, P((self.axis_name, self.axis_name_y)))
 
     # ---- IO boundaries (host) ----------------------------------------
+    def _loc_window(self, bi: int, s: int):
+        """(z window, y window, valid) node-row windows of box bi's
+        shard-s slab in the GLOBAL box lattice + local plane counts."""
+        p = self.p
+        az, rz, _ = self._slab[bi]
+        iz, iy = self._axis_row(s, 0), self._axis_row(s, 1)
+        if int(rz[iz]) == 0:
+            return None
+        npz = int(rz[iz]) * p + 1
+        loz = int(az[iz]) * p
+        if self.sy > 1:
+            ay, ry, _ = self._slab_y[bi]
+            if int(ry[iy]) == 0:
+                return None
+            npy = int(ry[iy]) * p + 1
+            loy = int(ay[iy]) * p
+        else:
+            b = self.gop.boxes[bi]
+            npy = b.lattice_shape[1] if self.dim > 1 else 1
+            loy = 0
+        return loz, npz, loy, npy
+
     def to_local(self, u_patch) -> np.ndarray:
         """Global patch vector -> (n_shards, NL) stacked local slabs."""
         u = np.asarray(u_patch)
         out = np.zeros((self.n_shards, self.NL), dtype=u.dtype)
         for s in range(self.n_shards):
-            for bi, (b, lb) in enumerate(zip(self.gop.boxes, self.lboxes)):
-                a, r, _ = self._slab[bi]
-                if int(r[s]) == 0:
+            for bi, (b, lb) in enumerate(zip(self.gop.boxes,
+                                             self.lboxes)):
+                win = self._loc_window(bi, s)
+                if win is None:
                     continue
-                n_pl = int(r[s]) * self.p + 1
-                tan = int(np.prod(b.lattice_shape[1:]))
+                loz, npz, loy, npy = win
                 seg = u[b.offset : b.offset + b.n_nodes].reshape(
-                    b.lattice_shape[0], tan)
-                lo = int(a[s]) * self.p
-                out[s, lb.offset : lb.offset + n_pl * tan] = (
-                    seg[lo : lo + n_pl].reshape(-1))
+                    b.lattice_shape)
+                dst = out[s, lb.offset : lb.offset
+                          + int(np.prod(lb.lattice_shape))].reshape(
+                              lb.lattice_shape)
+                dst[:npz, :npy] = seg[loz : loz + npz, loy : loy + npy]
         return out
 
     def from_local(self, u_local) -> np.ndarray:
-        """Owned planes of the stacked local vector -> global patch."""
+        """Owned planes of the stacked local vector -> global patch
+        (shared cut planes belong to the lower shard along each axis)."""
         u = np.asarray(u_local)
         out = np.zeros(self.gop.n_patch, dtype=u.dtype)
         for s in range(self.n_shards):
-            for bi, (b, lb) in enumerate(zip(self.gop.boxes, self.lboxes)):
-                a, r, _ = self._slab[bi]
-                if int(r[s]) == 0:
+            iz, iy = self._axis_row(s, 0), self._axis_row(s, 1)
+            for bi, (b, lb) in enumerate(zip(self.gop.boxes,
+                                             self.lboxes)):
+                win = self._loc_window(bi, s)
+                if win is None:
                     continue
-                tan = int(np.prod(b.lattice_shape[1:]))
-                first = 0 if int(a[s]) == 0 else 1  # shared plane: lower
-                n_pl = int(r[s]) * self.p + 1
+                loz, npz, loy, npy = win
+                fz = 0 if int(self._slab[bi][0][iz]) == 0 else 1
+                fy = 0
+                if self.sy > 1 and int(self._slab_y[bi][0][iy]) > 0:
+                    fy = 1
                 seg = u[s, lb.offset : lb.offset
                         + int(np.prod(lb.lattice_shape))].reshape(
-                            lb.lattice_shape[0], tan)
-                lo = (int(a[s]) + 0) * self.p
-                out[b.offset + (lo + first) * tan :
-                    b.offset + (lo + n_pl) * tan] = (
-                        seg[first:n_pl].reshape(-1))
+                            lb.lattice_shape)
+                dst = out[b.offset : b.offset + b.n_nodes].reshape(
+                    b.lattice_shape)
+                dst[loz + fz : loz + npz, loy + fy : loy + npy] = (
+                    seg[fz:npz, fy:npy])
         return out
 
     # ---- collectives ---------------------------------------------------
-    def _plane_reconcile(self, pr, y):
-        """Cross-shard compress of the cut planes: exchange RAW per-box
-        plane partials (two single-neighbor ppermutes), sum each physical
-        node's partials over ALL its (box, shard-side) copies via one
+    def _reconcile_axis(self, pr, y, ax: int):
+        """Cross-shard compress of the axis-ax cut planes: exchange RAW
+        per-box plane faces (two single-neighbor ppermutes), sum each
+        physical node over its (box, shard-side) copies via one
         segment-sum on the precomputed gid groups, and SET every local
         copy to the total.  Both shards of a cut reconstruct identical
         totals from symmetric information, so one round-trip suffices —
         the compress(add) + update_ghost_values pair of SURVEY.md §3.6
         fused into a single exchange."""
-        ax, ns = self.axis_name, self.n_shards
+        ns = self.sz if ax == 0 else self.sy
+        aname = self.axis_name if ax == 0 else self.axis_name_y
+        suff = "" if ax == 0 else "_y"
+        nseg = self._nseg if ax == 0 else self._nseg_y
+        tkey = "plane_top" if ax == 0 else "plane_top_y"
         tops, bots = [], []
         for bi, lb in enumerate(self.lboxes):
             n = int(np.prod(lb.lattice_shape))
-            tan = int(np.prod(lb.lattice_shape[1:]))
             seg = jax.lax.dynamic_slice_in_dim(y, lb.offset, n).reshape(
-                lb.lattice_shape[0], tan)
+                lb.lattice_shape)
             tops.append(jax.lax.dynamic_slice_in_dim(
-                seg, pr["plane_top"][bi], 1, 0).reshape(-1))
-            bots.append(seg[0])
+                seg, pr[tkey][bi], 1, ax).reshape(-1))
+            bots.append(jax.lax.slice_in_dim(seg, 0, 1, axis=ax
+                                             ).reshape(-1))
         top = jnp.concatenate(tops)
         bot = jnp.concatenate(bots)
         mybuf = jnp.concatenate([top, bot])  # halves: [top | bottom]
         if ns > 1:
-            # from shard s+1: their bottom partials (pair with my top cut)
+            # from row+1: their bottom faces (pair with my top cut)
             from_next = jax.lax.ppermute(
-                bot, ax, [(k, k - 1) for k in range(1, ns)])
-            # from shard s-1: their top partials (pair with my bottom cut)
+                bot, aname, [(k, k - 1) for k in range(1, ns)])
+            # from row-1: their top faces (pair with my bottom cut)
             from_prev = jax.lax.ppermute(
-                top, ax, [(k, k + 1) for k in range(ns - 1)])
+                top, aname, [(k, k + 1) for k in range(ns - 1)])
             rcbuf = jnp.concatenate([from_next, from_prev])
         else:
             rcbuf = jnp.zeros_like(mybuf)
-        seg2 = jnp.concatenate([pr["cut_seg"], pr["cut_seg"]])
-        vals = jnp.concatenate(
-            [mybuf * pr["cut_wm"], rcbuf * pr["cut_wr"]])
-        tot = jax.ops.segment_sum(vals, seg2, num_segments=self._nseg)
-        slot = tot[pr["cut_seg"]]
-        return y.at[pr["cut_idx"]].add(pr["cut_wm"] * (slot - mybuf))
+        seg2 = jnp.concatenate([pr["cut_seg" + suff]] * 2)
+        vals = jnp.concatenate([mybuf * pr["cut_wm" + suff],
+                                rcbuf * pr["cut_wr" + suff]])
+        tot = jax.ops.segment_sum(vals, seg2, num_segments=nseg)
+        slot = tot[pr["cut_seg" + suff]]
+        return y.at[pr["cut_idx" + suff]].add(
+            pr["cut_ws" + suff] * (slot - mybuf))
 
     def _local_vmult(self, pr, x):
         t = self.tmpl
@@ -542,12 +832,16 @@ class DistributedBoxLaplace:
         if t._pair_meta:
             y = t._pair_delta_t_inline(pr, y)
             y = t.compress_p(pr, y)
-        y = self._plane_reconcile(pr, y)
+        y = self._reconcile_axis(pr, y, 0)
+        if self.sy > 1:
+            # the y phase reads the z-reconciled values (corner lines
+            # count once per side via the representative weights)
+            y = self._reconcile_axis(pr, y, 1)
         return m * y + (1.0 - m) * x
 
     # ---- public sharded API --------------------------------------------
     def _build_vmult(self):
-        spec = P(self.axis_name)
+        spec = P((self.axis_name, self.axis_name_y))
         mesh = self.device_mesh()
 
         def body(x, pr):
@@ -585,9 +879,9 @@ class DistributedBoxLaplace:
 
         key = (float(rtol), int(maxiter))
         if key not in self._solvers:
-            spec = P(self.axis_name)
+            spec = P((self.axis_name, self.axis_name_y))
             mesh = self.device_mesh()
-            ax = self.axis_name
+            ax = (self.axis_name, self.axis_name_y)
 
             def body(pr, diag, b, x0_):
                 prl = jax.tree.map(lambda a: a[0], pr)
