@@ -34,3 +34,14 @@ def test_poisson_cli_bad_scatter_rejected():
     r = run(["tpufem.apps.poisson", "--cpu", "--scatter", "bogus"])
     assert r.returncode != 0
     assert "invalid choice" in r.stderr
+
+
+def test_poisson_cli_distributed_shards():
+    """--shards 2x2: distributed box-tier solve over a device mesh (the
+    multi-GPU poisson analogue, SURVEY.md §3.6); correct L2 error."""
+    r = run(["tpufem.apps.poisson", "--cpu", "--dim", "3", "--degree",
+             "2", "--refine", "2", "--adaptive-steps", "1",
+             "--shards", "2x2", "--json"])
+    assert r.returncode == 0, r.stderr[-500:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["l2_error"] < 5e-3

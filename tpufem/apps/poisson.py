@@ -92,8 +92,14 @@ def solve_poisson(
     rhs=None,
     use_pallas: bool = False,
     warm: bool = False,
+    shards=None,
 ) -> PoissonResult:
     _ensure_dtype(dtype)
+    if shards is not None and scatter not in ("auto", "boxes"):
+        raise ValueError("--shards runs the distributed box tier; use "
+                         "scatter auto/boxes")
+    if shards is not None:
+        scatter = "boxes"
     if rtol is None:
         # f32 CG cannot reach f64-grade residuals; pick a reachable default
         rtol = 1e-10 if dtype == "float64" else 1e-6
@@ -114,7 +120,7 @@ def solve_poisson(
     if scatter == "boxes":
         return _solve_poisson_boxes(
             mesh, dofs, constraints, coefficient, dtype, rtol,
-            exact, rhs, warm, t0,
+            exact, rhs, warm, t0, shards,
         )
     mf = MatrixFree.build(mesh, dofs, cfg, coefficient=coefficient,
                           constraints=constraints)
@@ -177,10 +183,13 @@ def solve_poisson(
 
 
 def _solve_poisson_boxes(mesh, dofs, constraints, coefficient, dtype,
-                         rtol, exact, rhs, warm, t0):
+                         rtol, exact, rhs, warm, t0, shards=None):
     """Poisson solve on the box-structured adaptive tier: the whole CG
     runs on the patchwork vector (tpufem.ops.boxes) — the fast TPU path
-    for adaptive meshes (BASELINE config 4)."""
+    for adaptive meshes (BASELINE config 4).  With ``shards`` (sz or
+    (sz, sy)) the solve runs distributed over a device mesh
+    (tpufem.parallel.boxes), the multi-GPU poisson analogue
+    (SURVEY.md §3.6)."""
     import jax
 
     from tpufem.ops.boxes import BoxLaplaceOperator
@@ -209,12 +218,32 @@ def _solve_poisson_boxes(mesh, dofs, constraints, coefficient, dtype,
     # op.cg_solve threads every device array through the jit boundary as
     # an argument (closure-captured index constants are pathologically
     # slow on this platform — see ops/boxes.py)
-    if warm:
-        jax.block_until_ready(op.cg_solve(b_con, diag, x0=x0, rtol=rtol).x)
-    t1 = time.perf_counter()
-    res = op.cg_solve(b_con, diag, x0=x0, rtol=rtol)
-    jax.block_until_ready(res.x)
-    solve_time = time.perf_counter() - t1
+    if shards is not None:
+        from tpufem.parallel.boxes import DistributedBoxLaplace
+
+        if np.isscalar(shards):
+            shards = (int(shards), 1)
+        dop = DistributedBoxLaplace(op, shards=tuple(shards))
+        bl = dop.put_vector(np.asarray(b_con))
+        x0l = dop.put_vector(np.asarray(x0))
+        dl = jnp.asarray(dop.diagonal_local())
+        if warm:
+            jax.block_until_ready(
+                dop.cg_solve(bl, dl, x0=x0l, rtol=rtol).x)
+        t1 = time.perf_counter()
+        res = dop.cg_solve(bl, dl, x0=x0l, rtol=rtol)
+        jax.block_until_ready(res.x)
+        solve_time = time.perf_counter() - t1
+        res = res._replace(x=jnp.asarray(
+            dop.from_local(np.asarray(res.x)), op.dt))
+    else:
+        if warm:
+            jax.block_until_ready(
+                op.cg_solve(b_con, diag, x0=x0, rtol=rtol).x)
+        t1 = time.perf_counter()
+        res = op.cg_solve(b_con, diag, x0=x0, rtol=rtol)
+        jax.block_until_ready(res.x)
+        solve_time = time.perf_counter() - t1
     if not bool(res.converged):
         import sys
 
@@ -248,6 +277,11 @@ def main(argv=None):
                              "dense", "separable", "boxes"])
     ap.add_argument("--dtype", default="float64")
     ap.add_argument("--adaptive-steps", type=int, default=0)
+    ap.add_argument("--shards", default=None,
+                    help="distributed solve over a device mesh: "
+                         "'4' (z slabs) or '2x4' (z x y, 3D) — the "
+                         "multi-GPU poisson analogue; needs that many "
+                         "JAX devices")
     ap.add_argument("--pallas", action="store_true")
     ap.add_argument("--json", action="store_true",
                     help="emit a JSON metrics line (SURVEY.md §5 metrics)")
@@ -264,11 +298,15 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    shards = None
+    if args.shards:
+        parts = [int(x) for x in str(args.shards).lower().split("x")]
+        shards = (parts[0], 1) if len(parts) == 1 else tuple(parts[:2])
     r = solve_poisson(
         dim=args.dim, degree=args.degree, refine=args.refine,
         scatter=args.scatter, dtype=args.dtype,
         adaptive_steps=args.adaptive_steps, use_pallas=args.pallas,
-        warm=args.warm,
+        warm=args.warm, shards=shards,
     )
     if args.vtu:
         from tpufem.utils.output import write_vtu
