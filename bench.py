@@ -524,7 +524,13 @@ def main():
 
     # ---- headline line LAST (driver parses the last line) --------------
     if not tiers:
-        raise RuntimeError(f"all apply tiers failed: {tier_errors}")
+        emit({"metric": "3d_q4_laplace_matrix_free_apply", "value": 0.0,
+              "unit": "GDoF/s", "vs_baseline": 0.0,
+              "error": ("no apply tier completed (budget/skips)"
+                        if not tier_errors else
+                        f"all apply tiers failed: {tier_errors}"[:300]),
+              "elapsed_s": round(time.perf_counter() - T0, 1)})
+        sys.exit(0 if not tier_errors else 1)
     best_tier = max(tiers, key=tiers.get)
     apply_line("3d_q4_laplace_matrix_free_apply", tiers[best_tier],
                best_tier, n_dofs,
