@@ -182,3 +182,28 @@ def test_distributed_2axis_curved_adaptive_vmult():
     y_ref = np.asarray(gop.vmult(x))
     y = dop.from_local(np.asarray(dop.vmult(dop.put_vector(np.asarray(x)))))
     assert np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref) < 1e-13
+
+
+def test_box_chebyshev_cg_single_and_distributed():
+    """Chebyshev-preconditioned CG on the box tier (the reference's
+    PreconditionChebyshev as a CG preconditioner): fewer iterations than
+    Jacobi, same solution; distributed matches single-device counts."""
+    dofs, gop, _ = _ops(3, 2, n_shards=1)
+    mask = np.asarray(gop.interior_mask, np.float64)
+    b = gop.to_patch(RNG.standard_normal(dofs.n_dofs))
+    b = jnp.asarray(mask * np.asarray(b), jnp.float64)
+    diag = gop.diagonal()
+    jac = gop.cg_solve(b, diag, rtol=1e-10)
+    che = gop.cg_solve(b, diag, rtol=1e-10, precond="chebyshev")
+    assert bool(che.converged)
+    assert int(che.iterations) < int(jac.iterations)
+    xj, xc = np.asarray(jac.x), np.asarray(che.x)
+    assert np.linalg.norm(xc - xj) / np.linalg.norm(xj) < 1e-8
+
+    dop = DistributedBoxLaplace(gop, shards=(2, 2))
+    res = dop.cg_solve(dop.put_vector(np.asarray(b)),
+                       jnp.asarray(dop.diagonal_local()), rtol=1e-10,
+                       precond="chebyshev")
+    assert int(res.iterations) == int(che.iterations)
+    x = dop.from_local(np.asarray(res.x))
+    assert np.linalg.norm(x - xc) / np.linalg.norm(xc) < 1e-9

@@ -93,6 +93,7 @@ def solve_poisson(
     use_pallas: bool = False,
     warm: bool = False,
     shards=None,
+    precond: str = "jacobi",
 ) -> PoissonResult:
     _ensure_dtype(dtype)
     if shards is not None and scatter not in ("auto", "boxes"):
@@ -120,7 +121,7 @@ def solve_poisson(
     if scatter == "boxes":
         return _solve_poisson_boxes(
             mesh, dofs, constraints, coefficient, dtype, rtol,
-            exact, rhs, warm, t0, shards,
+            exact, rhs, warm, t0, shards, precond,
         )
     mf = MatrixFree.build(mesh, dofs, cfg, coefficient=coefficient,
                           constraints=constraints)
@@ -183,7 +184,8 @@ def solve_poisson(
 
 
 def _solve_poisson_boxes(mesh, dofs, constraints, coefficient, dtype,
-                         rtol, exact, rhs, warm, t0, shards=None):
+                         rtol, exact, rhs, warm, t0, shards=None,
+                         precond="jacobi"):
     """Poisson solve on the box-structured adaptive tier: the whole CG
     runs on the patchwork vector (tpufem.ops.boxes) — the fast TPU path
     for adaptive meshes (BASELINE config 4).  With ``shards`` (sz or
@@ -228,20 +230,20 @@ def _solve_poisson_boxes(mesh, dofs, constraints, coefficient, dtype,
         x0l = dop.put_vector(np.asarray(x0))
         dl = jnp.asarray(dop.diagonal_local())
         if warm:
-            jax.block_until_ready(
-                dop.cg_solve(bl, dl, x0=x0l, rtol=rtol).x)
+            jax.block_until_ready(dop.cg_solve(
+                bl, dl, x0=x0l, rtol=rtol, precond=precond).x)
         t1 = time.perf_counter()
-        res = dop.cg_solve(bl, dl, x0=x0l, rtol=rtol)
+        res = dop.cg_solve(bl, dl, x0=x0l, rtol=rtol, precond=precond)
         jax.block_until_ready(res.x)
         solve_time = time.perf_counter() - t1
         res = res._replace(x=jnp.asarray(
             dop.from_local(np.asarray(res.x)), op.dt))
     else:
         if warm:
-            jax.block_until_ready(
-                op.cg_solve(b_con, diag, x0=x0, rtol=rtol).x)
+            jax.block_until_ready(op.cg_solve(
+                b_con, diag, x0=x0, rtol=rtol, precond=precond).x)
         t1 = time.perf_counter()
-        res = op.cg_solve(b_con, diag, x0=x0, rtol=rtol)
+        res = op.cg_solve(b_con, diag, x0=x0, rtol=rtol, precond=precond)
         jax.block_until_ready(res.x)
         solve_time = time.perf_counter() - t1
     if not bool(res.converged):
@@ -282,6 +284,11 @@ def main(argv=None):
                          "'4' (z slabs) or '2x4' (z x y, 3D) — the "
                          "multi-GPU poisson analogue; needs that many "
                          "JAX devices")
+    ap.add_argument("--precond", default="jacobi",
+                    choices=["jacobi", "chebyshev"],
+                    help="CG preconditioner for the box tier "
+                         "(chebyshev = deal.II PreconditionChebyshev "
+                         "analogue; fewer iterations / psums)")
     ap.add_argument("--pallas", action="store_true")
     ap.add_argument("--json", action="store_true",
                     help="emit a JSON metrics line (SURVEY.md §5 metrics)")
@@ -306,7 +313,7 @@ def main(argv=None):
         dim=args.dim, degree=args.degree, refine=args.refine,
         scatter=args.scatter, dtype=args.dtype,
         adaptive_steps=args.adaptive_steps, use_pallas=args.pallas,
-        warm=args.warm, shards=shards,
+        warm=args.warm, shards=shards, precond=args.precond,
     )
     if args.vtu:
         from tpufem.utils.output import write_vtu

@@ -943,27 +943,64 @@ class BoxLaplaceOperator:
         return jnp.dot(self.w_owner * a, b,
                        precision=jax.lax.Precision.HIGHEST)
 
-    def cg_solve(self, b_patch, diag_patch, x0=None, rtol=1e-10,
-                 maxiter=10000):
-        """Whole Jacobi-CG in patch space as ONE jitted computation with
-        every device array passed as an argument (never closure-captured —
-        see the params note above)."""
-        from tpufem.solvers.cg import cg_solve as _cg
+    def cheb_params(self, diag_patch, degree: int = 4,
+                    smoothing_range: float = 20.0):
+        """Chebyshev preconditioner parameters for the patch operator
+        (theta, delta as device scalars, degree static) — the reference's
+        ``PreconditionChebyshev`` over the box tier."""
+        from tpufem.solvers.chebyshev import make_chebyshev_params
 
-        if not hasattr(self, "_solver"):
-            def solver(pr, w_own, diag, b, x0_, rtol_, maxiter_):
+        return make_chebyshev_params(
+            lambda pr, v: self._vmult_p(pr, v), diag_patch, self.n_patch,
+            degree=degree, smoothing_range=smoothing_range,
+            dp=self.params)
+
+    def cg_solve(self, b_patch, diag_patch, x0=None, rtol=1e-10,
+                 maxiter=10000, precond: str = "jacobi",
+                 cheb_degree: int = 4):
+        """Whole preconditioned CG in patch space as ONE jitted
+        computation with every device array passed as an argument (never
+        closure-captured — see the params note above).  precond:
+        "jacobi" (diagonal) or "chebyshev" (degree-``cheb_degree``
+        Chebyshev over the Jacobi-preconditioned operator — fewer
+        iterations, no extra dot products per smoother step)."""
+        from tpufem.solvers.cg import cg_solve as _cg
+        from tpufem.solvers.chebyshev import (
+            ChebyshevParams,
+            chebyshev_smooth,
+        )
+
+        if not hasattr(self, "_solvers_cg"):
+            self._solvers_cg = {}
+        key = (precond, cheb_degree if precond == "chebyshev" else 0)
+        if key not in self._solvers_cg:
+            def solver(pr, w_own, diag, b, x0_, th, dl, rtol_, maxiter_):
                 dot = lambda a, c: jnp.dot(
                     w_own * a, c, precision=jax.lax.Precision.HIGHEST)
-                return _cg(
-                    lambda v: self._vmult_p(pr, v), b,
-                    M_inv=lambda r: r / diag, x0=x0_,
-                    rtol=rtol_, maxiter=maxiter_, dot=dot,
-                )
-            self._solver = jax.jit(solver, static_argnums=(5, 6))
+                A = lambda v: self._vmult_p(pr, v)
+                if precond == "chebyshev":
+                    cp = ChebyshevParams(th, dl, cheb_degree)
+                    M_inv = lambda r: chebyshev_smooth(
+                        A, 1.0 / diag, cp, r)
+                else:
+                    M_inv = lambda r: r / diag
+                return _cg(A, b, M_inv=M_inv, x0=x0_,
+                           rtol=rtol_, maxiter=maxiter_, dot=dot)
+            self._solvers_cg[key] = jax.jit(solver,
+                                            static_argnums=(7, 8))
         if x0 is None:
             x0 = jnp.zeros_like(b_patch)
-        return self._solver(self.params, self.w_owner, diag_patch,
-                            b_patch, x0, rtol, maxiter)
+        th = dl = jnp.zeros((), self.dt)
+        if precond == "chebyshev":
+            if not hasattr(self, "_cheb_cache"):
+                self._cheb_cache = {}
+            if cheb_degree not in self._cheb_cache:
+                cp = self.cheb_params(diag_patch, degree=cheb_degree)
+                self._cheb_cache[cheb_degree] = (cp.theta, cp.delta)
+            th, dl = self._cheb_cache[cheb_degree]
+        return self._solvers_cg[key](self.params, self.w_owner,
+                                     diag_patch, b_patch, x0, th, dl,
+                                     rtol, maxiter)
 
     def diagonal(self) -> jnp.ndarray:
         """Patch-space diagonal of the constrained operator (constrained

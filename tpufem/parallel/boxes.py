@@ -872,18 +872,28 @@ class DistributedBoxLaplace:
         return out
 
     def cg_solve(self, b_local, diag_local, x0=None, rtol=1e-10,
-                 maxiter=10000):
-        """Distributed Jacobi-CG on the stacked patch vector: ONE jitted
-        shard_map program, psum dots with owner weights."""
+                 maxiter=10000, precond: str = "jacobi",
+                 cheb_degree: int = 4):
+        """Distributed preconditioned CG on the stacked patch vector: ONE
+        jitted shard_map program, psum dots with owner weights.  precond
+        "chebyshev" smooths with degree-``cheb_degree`` Chebyshev
+        (theta/delta estimated once on the global operator, replicated);
+        its inner applies carry the plane exchanges but no dot products —
+        fewer cross-shard psums per digit of convergence."""
         from tpufem.solvers.cg import CGResult, cg_solve as _cg
+        from tpufem.solvers.chebyshev import (
+            ChebyshevParams,
+            chebyshev_smooth,
+        )
 
-        key = (float(rtol), int(maxiter))
+        key = (float(rtol), int(maxiter), precond,
+               cheb_degree if precond == "chebyshev" else 0)
         if key not in self._solvers:
             spec = P((self.axis_name, self.axis_name_y))
             mesh = self.device_mesh()
             ax = (self.axis_name, self.axis_name_y)
 
-            def body(pr, diag, b, x0_):
+            def body(pr, diag, b, x0_, th, dl):
                 prl = jax.tree.map(lambda a: a[0], pr)
                 w = prl["w_owner"]
 
@@ -892,15 +902,33 @@ class DistributedBoxLaplace:
                         jnp.dot(w * u, v,
                                 precision=jax.lax.Precision.HIGHEST), ax)
 
-                res = _cg(lambda v: self._local_vmult(prl, v), b[0],
-                          M_inv=lambda r: r / diag[0], x0=x0_[0],
+                A = lambda v: self._local_vmult(prl, v)
+                if precond == "chebyshev":
+                    cp = ChebyshevParams(th, dl, cheb_degree)
+                    M_inv = lambda r: chebyshev_smooth(
+                        A, 1.0 / diag[0], cp, r)
+                else:
+                    M_inv = lambda r: r / diag[0]
+                res = _cg(A, b[0], M_inv=M_inv, x0=x0_[0],
                           rtol=key[0], maxiter=key[1], dot=dot)
                 return CGResult(res.x[None], res.iterations,
                                 res.residual, res.converged)
 
             self._solvers[key] = jax.jit(jax.shard_map(
-                body, mesh=mesh, in_specs=(spec,) * 4,
+                body, mesh=mesh, in_specs=(spec,) * 4 + (P(), P()),
                 out_specs=CGResult(spec, P(), P(), P())))
         if x0 is None:
             x0 = jnp.zeros_like(b_local)
-        return self._solvers[key](self.params, diag_local, b_local, x0)
+        th = dl = jnp.zeros((), self.dt)
+        if precond == "chebyshev":
+            # same estimate as the single-device path: identical
+            # theta/delta give identical iteration counts
+            if not hasattr(self.gop, "_cheb_cache"):
+                self.gop._cheb_cache = {}
+            if cheb_degree not in self.gop._cheb_cache:
+                cp = self.gop.cheb_params(self.gop.diagonal(),
+                                          degree=cheb_degree)
+                self.gop._cheb_cache[cheb_degree] = (cp.theta, cp.delta)
+            th, dl = self.gop._cheb_cache[cheb_degree]
+        return self._solvers[key](self.params, diag_local, b_local, x0,
+                                  th, dl)
