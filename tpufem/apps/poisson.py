@@ -223,6 +223,10 @@ def _solve_poisson_boxes(mesh, dofs, constraints, coefficient, dtype,
     if shards is not None:
         from tpufem.parallel.boxes import DistributedBoxLaplace
 
+        if precond == "gmg":
+            raise ValueError(
+                "--precond gmg is single-device on the box tier; "
+                "use jacobi/chebyshev with --shards")
         if np.isscalar(shards):
             shards = (int(shards), 1)
         dop = DistributedBoxLaplace(op, shards=tuple(shards))
@@ -238,6 +242,23 @@ def _solve_poisson_boxes(mesh, dofs, constraints, coefficient, dtype,
         solve_time = time.perf_counter() - t1
         res = res._replace(x=jnp.asarray(
             dop.from_local(np.asarray(res.x)), op.dt))
+    elif precond == "gmg":
+        # adaptive GMG: global-coarsening V-cycle over forest levels
+        # (solvers/box_multigrid.py) — the poisson_mg analogue for
+        # adaptively refined meshes
+        from tpufem.solvers.box_multigrid import BoxMultigrid
+
+        mg = BoxMultigrid(mesh, dofs, constraints=constraints,
+                          coefficient=coefficient, dtype=dtype,
+                          fine_op=op, fine_diag=diag)
+        setup_time = time.perf_counter() - t0
+        if warm:
+            jax.block_until_ready(
+                mg.cg_solve(b_con, x0=x0, rtol=rtol).x)
+        t1 = time.perf_counter()
+        res = mg.cg_solve(b_con, x0=x0, rtol=rtol)
+        jax.block_until_ready(res.x)
+        solve_time = time.perf_counter() - t1
     else:
         if warm:
             jax.block_until_ready(op.cg_solve(
@@ -285,10 +306,11 @@ def main(argv=None):
                          "multi-GPU poisson analogue; needs that many "
                          "JAX devices")
     ap.add_argument("--precond", default="jacobi",
-                    choices=["jacobi", "chebyshev"],
+                    choices=["jacobi", "chebyshev", "gmg"],
                     help="CG preconditioner for the box tier "
                          "(chebyshev = deal.II PreconditionChebyshev "
-                         "analogue; fewer iterations / psums)")
+                         "analogue; gmg = adaptive global-coarsening "
+                         "multigrid V-cycle, single-device)")
     ap.add_argument("--pallas", action="store_true")
     ap.add_argument("--json", action="store_true",
                     help="emit a JSON metrics line (SURVEY.md §5 metrics)")
