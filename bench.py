@@ -507,6 +507,30 @@ def main():
     else:
         skip("3d_adaptive_hanging_nodes_apply", "budget")
 
+    # ---- 6b. adaptive whole solves: Jacobi-CG vs adaptive GMG-CG -------
+    # (the poisson_mg analogue for adaptive meshes; gated on a generous
+    # budget remainder — the V-cycle program over every forest level is
+    # the largest compile in this file)
+    if left() > 200:
+        try:
+            rec = bmop.bench_adaptive_solve(
+                3, 4 if on_tpu else 2, 4 if on_tpu else 2, 2, dtype)
+            emit({"metric": "3d_adaptive_gmg_cg_solve",
+                  "value": round(rec["gmg_s"], 4), "unit": "s",
+                  "vs_baseline": round(rec["gmg_s"], 4),
+                  "iterations": rec["gmg_iterations"],
+                  "converged": rec["gmg_converged"],
+                  "jacobi_s": round(rec["jacobi_s"], 4),
+                  "jacobi_iterations": rec["jacobi_iterations"],
+                  "n_dofs": rec["n_dofs"],
+                  "n_hanging": rec["n_hanging"],
+                  "levels": rec["levels"], "rtol": rec["rtol"],
+                  "elapsed_s": round(time.perf_counter() - T0, 1)})
+        except Exception as e:
+            err_line("3d_adaptive_gmg_cg_solve", e, unit="s")
+    else:
+        skip("3d_adaptive_gmg_cg_solve", "budget")
+
     # ---- 7. curved-geometry apply (3D shell) ---------------------------
     if left() > 150:
         try:

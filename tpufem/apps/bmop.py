@@ -101,6 +101,49 @@ def bench_adaptive(dim, p, refine, steps, dtype, reps, compare=False):
     return rec
 
 
+def bench_adaptive_solve(dim, p, refine, steps, dtype, rtol=1e-5):
+    """Adaptive whole-solve benchmark: Jacobi-CG vs global-coarsening
+    GMG-CG on the box tier (the ``poisson_mg`` analogue for adaptively
+    refined meshes, tpufem.solvers.box_multigrid).  Both solves run as
+    ONE jitted computation each; timings are warm (compile + one warm
+    solve first, scalar D2H sync ends each timing)."""
+    import time
+
+    from tpufem.fem.constraints import make_hanging_node_constraints
+    from tpufem.ops.boxes import BoxLaplaceOperator
+    from tpufem.solvers.box_multigrid import BoxMultigrid
+
+    mesh = adaptive_mesh(dim, refine, steps)
+    dofs = DoFHandler(mesh, p)
+    ac = make_hanging_node_constraints(dofs)
+    op = BoxLaplaceOperator(mesh, dofs, constraints=ac, dtype=dtype)
+    diag = op.diagonal()
+    mg = BoxMultigrid(mesh, dofs, constraints=ac, dtype=dtype,
+                      fine_op=op, fine_diag=diag)
+    rng = np.random.default_rng(7)
+    mask = np.asarray(op.interior_mask, np.float64) * mg.fine.nh_mask
+    b = jnp.asarray(mask * np.asarray(op.to_patch(
+        rng.standard_normal(dofs.n_dofs))), op.dt)
+    out = {
+        "bench": "bmop-adaptive-solve", "dim": dim, "degree": p,
+        "refine": refine, "adaptive_steps": steps, "dtype": dtype,
+        "n_dofs": dofs.n_dofs, "n_hanging": len(ac.lines),
+        "rtol": rtol, "levels": len(mg.levels),
+    }
+    for name, run in (
+        ("jacobi", lambda: op.cg_solve(b, diag, rtol=rtol)),
+        ("gmg", lambda: mg.cg_solve(b, rtol=rtol)),
+    ):
+        int(run().iterations)  # compile + warm (iteration fetch = sync)
+        t0 = time.perf_counter()
+        res = run()
+        it = int(res.iterations)
+        out[f"{name}_s"] = time.perf_counter() - t0
+        out[f"{name}_iterations"] = it
+        out[f"{name}_converged"] = bool(res.converged)
+    return out
+
+
 def bench_curved(dim, p, refine, dtype, reps):
     """Curved-geometry apply benchmark: the blocked general-metric
     structured tier on a shell wedge (BASELINE shell geometry).
