@@ -223,21 +223,33 @@ def _solve_poisson_boxes(mesh, dofs, constraints, coefficient, dtype,
     if shards is not None:
         from tpufem.parallel.boxes import DistributedBoxLaplace
 
-        if precond == "gmg":
-            raise ValueError(
-                "--precond gmg is single-device on the box tier; "
-                "use jacobi/chebyshev with --shards")
         if np.isscalar(shards):
             shards = (int(shards), 1)
         dop = DistributedBoxLaplace(op, shards=tuple(shards))
         bl = dop.put_vector(np.asarray(b_con))
         x0l = dop.put_vector(np.asarray(x0))
-        dl = jnp.asarray(dop.diagonal_local())
+        if precond == "gmg":
+            # distributed adaptive GMG: fine level sharded, coarser
+            # levels replicated (parallel/box_multigrid.py)
+            from tpufem.parallel.box_multigrid import (
+                DistributedBoxMultigrid,
+            )
+            from tpufem.solvers.box_multigrid import BoxMultigrid
+
+            mg = BoxMultigrid(mesh, dofs, constraints=constraints,
+                              coefficient=coefficient, dtype=dtype,
+                              fine_op=op, fine_diag=diag)
+            dmg = DistributedBoxMultigrid(dop, mg)
+            setup_time = time.perf_counter() - t0
+            run = lambda: dmg.cg_solve(bl, x0=x0l, rtol=rtol)
+        else:
+            dl = jnp.asarray(dop.diagonal_local())
+            run = lambda: dop.cg_solve(bl, dl, x0=x0l, rtol=rtol,
+                                       precond=precond)
         if warm:
-            jax.block_until_ready(dop.cg_solve(
-                bl, dl, x0=x0l, rtol=rtol, precond=precond).x)
+            jax.block_until_ready(run().x)
         t1 = time.perf_counter()
-        res = dop.cg_solve(bl, dl, x0=x0l, rtol=rtol, precond=precond)
+        res = run()
         jax.block_until_ready(res.x)
         solve_time = time.perf_counter() - t1
         res = res._replace(x=jnp.asarray(
@@ -310,7 +322,7 @@ def main(argv=None):
                     help="CG preconditioner for the box tier "
                          "(chebyshev = deal.II PreconditionChebyshev "
                          "analogue; gmg = adaptive global-coarsening "
-                         "multigrid V-cycle, single-device)")
+                         "multigrid V-cycle, also with --shards)")
     ap.add_argument("--pallas", action="store_true")
     ap.add_argument("--json", action="store_true",
                     help="emit a JSON metrics line (SURVEY.md §5 metrics)")

@@ -286,6 +286,37 @@ class DistributedBoxLaplace:
                 return None
         return iz * self.sy + iy
 
+    def _cut_ok(self, ax: int, c: int) -> bool:
+        """A cut at unit coord ``c`` is valid unless it strands a 2:1
+        fill: if some pair's COARSE box has no cells on one side of c
+        while the pair's hanging (dst) rows extend to that side, the
+        shard on that side can neither C-fill those rows (the identity
+        source plane of the coarse box does not exist in its slab) nor
+        land their Cᵀ delta — observed as a ~3e-2 vmult parity break on
+        the shell-wedge mesh, where the balanced cut coincided with the
+        full 2:1 interface plane."""
+        gop = self.gop
+        p = gop.p
+        a = self._axis_xyz(ax)
+        for meta in gop._pair_meta:
+            bfb = gop.boxes[meta["bf"]]
+            bcb = gop.boxes[meta["bc"]]
+            f0 = int(bfb.lo[a]) * bfb.size
+            f1 = f0 + int(bfb.nb[ax]) * bfb.size
+            b0 = int(bcb.lo[a]) * bcb.size
+            b1 = b0 + int(bcb.nb[ax]) * bcb.size
+            sl = meta["dst_sl"][ax]
+            lat = bfb.lattice_shape[ax]
+            r0 = 0 if sl.start is None else int(sl.start)
+            r1 = lat if sl.stop is None else int(sl.stop)
+            h0 = f0 + r0 * bfb.size / p
+            h1 = f0 + (r1 - 1) * bfb.size / p
+            if b0 >= c and h0 <= c and f0 < c:
+                return False  # lower shard: fine cells, no coarse plane
+            if b1 <= c and h1 >= c and f1 > c:
+                return False  # upper shard, symmetric
+        return True
+
     def _make_cuts(self, ax: int, ns: int) -> np.ndarray:
         mesh, boxes = self.gop.mesh, self.gop.boxes
         s_max = max(b.size for b in boxes)
@@ -301,7 +332,23 @@ class DistributedBoxLaplace:
             # between non-empty ones would break the single-neighbor
             # plane adjacency.  Unavoidable empties (ns > slots) land at
             # the END, where their planes are dead.
-            cuts.append(min(max(k, cuts[-1] + 1), ncand))
+            k = min(max(k, cuts[-1] + 1), ncand)
+            if cuts[-1] >= ncand:
+                cuts.append(ncand)
+                continue
+            if not self._cut_ok(ax, k * s_max):
+                # nudge to the nearest valid coarse-aligned plane (the
+                # domain end is always valid: its planes are dead)
+                allowed = [j for j in range(cuts[-1] + 1, ncand + 1)
+                           if j == ncand
+                           or self._cut_ok(ax, j * s_max)]
+                if not allowed:
+                    raise NotImplementedError(
+                        "no valid cut plane on this axis: every "
+                        "coarse-aligned plane strands a 2:1 interface "
+                        "fill — reduce shards or use GeneralPartitioner")
+                k = min(allowed, key=lambda j: abs(j - k))
+            cuts.append(k)
         cuts.append(ncand)
         return np.asarray(cuts) * s_max
 
