@@ -14,11 +14,13 @@ def run(args, timeout=240):
 
 def test_poisson_cli_json():
     r = run(["tpufem.apps.poisson", "--cpu", "--dim", "2", "--degree", "2",
-             "--refine", "3", "--json"])
+             "--refine", "3", "--json", "--h1"])
     assert r.returncode == 0, r.stderr[-500:]
     rec = json.loads(r.stdout.strip().splitlines()[-1])
     assert rec["n_dofs"] == 289
     assert rec["l2_error"] < 5e-4
+    # H1 seminorm error: one order below L2 (O(h^p)); sane magnitude
+    assert 1e-4 < rec["h1_error"] < 5e-2
 
 
 def test_bmspmv_cli():

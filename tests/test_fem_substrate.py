@@ -148,3 +148,37 @@ def test_poisson_convergence_oracle(dim, p):
         errs.append(integrate_difference(dofs, u, u_exact))
     rate = np.log2(errs[-2] / errs[-1])
     assert rate > p + 0.5, (errs, rate)
+
+
+def grad_exact(x):
+    g = np.empty_like(x)
+    for a in range(x.shape[1]):
+        cols = [np.sin(np.pi * x[:, b]) for b in range(x.shape[1])]
+        cols[a] = np.cos(np.pi * x[:, a])
+        g[:, a] = np.pi * np.prod(cols, axis=0)
+    return g
+
+
+@pytest.mark.parametrize("dim,p", [(2, 1), (2, 2), (3, 2)])
+def test_h1_norm_convergence(dim, p):
+    """H1 seminorm of the nodal interpolant converges at O(h^p) (one
+    order below L2); 'h1' combines both — the deal.II H1_seminorm /
+    H1_norm options of VectorTools::integrate_difference."""
+    semis, l2s = [], []
+    refs = (2, 3, 4) if dim == 2 else (2, 3)
+    for r in refs:
+        mesh = Mesh.hyper_cube(dim, r)
+        dofs = DoFHandler(mesh, p)
+        u = u_exact(dofs.dof_coords)
+        semis.append(integrate_difference(
+            dofs, u, u_exact, norm="h1_semi", grad_exact=grad_exact))
+        l2s.append(integrate_difference(dofs, u, u_exact))
+        h1 = integrate_difference(
+            dofs, u, u_exact, norm="h1", grad_exact=grad_exact)
+        assert np.isclose(h1, np.hypot(semis[-1], l2s[-1]), rtol=1e-12)
+    rate = np.log2(semis[-2] / semis[-1])
+    assert p - 0.3 < rate < p + 0.7, (semis, rate)
+    with pytest.raises(ValueError):
+        integrate_difference(dofs, u, u_exact, norm="h1")
+    with pytest.raises(ValueError):
+        integrate_difference(dofs, u, u_exact, norm="max")

@@ -45,6 +45,20 @@ def default_solution(dim: int):
     return u, f
 
 
+def default_gradient(dim: int):
+    """grad of the default manufactured solution, for H1 error output."""
+
+    def g(x):
+        out = np.empty_like(x)
+        for a in range(dim):
+            cols = [np.sin(np.pi * x[:, b]) for b in range(dim)]
+            cols[a] = np.cos(np.pi * x[:, a])
+            out[:, a] = np.pi * np.prod(cols, axis=0)
+        return out
+
+    return g
+
+
 def dirichlet_setup(op: LaplaceOperator, b: np.ndarray,
                     boundary_values: np.ndarray):
     """Turn an unconstrained RHS into the constrained system's RHS + x0.
@@ -77,6 +91,7 @@ class PoissonResult:
     solve_time: float
     solution: np.ndarray
     dofs: object = None  # DoFHandler (for output writers)
+    h1_error: float | None = None  # H1 seminorm, with --h1
 
 
 def solve_poisson(
@@ -324,6 +339,9 @@ def main(argv=None):
                          "analogue; gmg = adaptive global-coarsening "
                          "multigrid V-cycle, also with --shards)")
     ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--h1", action="store_true",
+                    help="also report the H1 seminorm error "
+                         "(VectorTools H1_seminorm analogue)")
     ap.add_argument("--json", action="store_true",
                     help="emit a JSON metrics line (SURVEY.md §5 metrics)")
     ap.add_argument("--vtu", metavar="PATH",
@@ -353,18 +371,28 @@ def main(argv=None):
         from tpufem.utils.output import write_vtu
 
         write_vtu(args.vtu, r.dofs, {"u": r.solution})
+    if args.h1:
+        r.h1_error = integrate_difference(
+            r.dofs, np.asarray(r.solution, np.float64),
+            default_solution(args.dim)[0], norm="h1_semi",
+            grad_exact=default_gradient(args.dim))
     if args.json:
-        print(json.dumps({
+        line = {
             "n_dofs": r.n_dofs, "n_cells": r.n_cells,
             "iterations": r.iterations, "l2_error": r.l2_error,
             "setup_time": r.setup_time, "solve_time": r.solve_time,
-        }))
+        }
+        if r.h1_error is not None:
+            line["h1_error"] = r.h1_error
+        print(json.dumps(line))
     else:
         print(f"cells:      {r.n_cells}")
         print(f"dofs:       {r.n_dofs}")
         print(f"setup:      {r.setup_time:.3f} s")
         print(f"solve:      {r.solve_time:.3f} s   ({r.iterations} CG iters)")
         print(f"L2 error:   {r.l2_error:.6e}")
+        if r.h1_error is not None:
+            print(f"H1 error:   {r.h1_error:.6e}")
     return None  # console-script exit code
 
 

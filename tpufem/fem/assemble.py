@@ -154,18 +154,43 @@ def assemble_rhs(
 
 
 def integrate_difference(
-    dofs: DoFHandler, u_h: np.ndarray, u_exact, quad: Quadrature | None = None
+    dofs: DoFHandler,
+    u_h: np.ndarray,
+    u_exact,
+    quad: Quadrature | None = None,
+    norm: str = "l2",
+    grad_exact=None,
 ) -> float:
-    """L2 norm of (u_h - u_exact) by quadrature — VectorTools::
-    integrate_difference analogue (SURVEY.md §3.1 last line)."""
+    """Quadrature norm of (u_h - u_exact) — VectorTools::
+    integrate_difference analogue (SURVEY.md §3.1 last line).
+
+    ``norm``: "l2" (default), "h1_semi" (gradient error only) or "h1"
+    (sqrt(L2^2 + semi^2)) — the deal.II L2_norm / H1_seminorm / H1_norm
+    trio.  The H1 variants need ``grad_exact(pts) -> (npts, dim)``.
+    """
+    if norm not in ("l2", "h1_semi", "h1"):
+        raise ValueError(f"norm must be 'l2', 'h1_semi' or 'h1', got "
+                         f"{norm!r}")
     mesh, p = dofs.mesh, dofs.degree
     d = mesh.dim
     if quad is None:
         quad = Quadrature.gauss(p + 2)
     metric = compute_metric(mesh, quad, need_points=True).to_general()
-    V = cell_basis_values(p, d, quad)
     u_loc = u_h[dofs.cell_dofs]  # (nc, nn)
-    uh_q = u_loc @ V.T  # (nc, nq)
-    ue_q = u_exact(metric.quad_points.reshape(-1, d)).reshape(uh_q.shape)
-    err2 = np.sum((uh_q - ue_q) ** 2 * metric.jxw)
+    pts = metric.quad_points.reshape(-1, d)
+    err2 = 0.0
+    if norm in ("l2", "h1"):
+        V = cell_basis_values(p, d, quad)
+        uh_q = u_loc @ V.T  # (nc, nq)
+        ue_q = u_exact(pts).reshape(uh_q.shape)
+        err2 += np.sum((uh_q - ue_q) ** 2 * metric.jxw)
+    if norm in ("h1_semi", "h1"):
+        if grad_exact is None:
+            raise ValueError(
+                "norm='h1_semi'/'h1' needs grad_exact(pts) -> (npts, dim)")
+        G = cell_basis_gradients(p, d, quad)  # (nq, nn, d)
+        # physical gradient of u_h (same convention as assemble_laplace)
+        gh = np.einsum("cqba,qjb,cj->cqa", metric.inv_jac, G, u_loc)
+        ge = grad_exact(pts).reshape(gh.shape)
+        err2 += np.sum(np.sum((gh - ge) ** 2, axis=-1) * metric.jxw)
     return float(np.sqrt(err2))

@@ -562,14 +562,70 @@ class GeneralDistributedOperator:
         return jax.device_put(jnp.asarray(loc), self.sharding)
 
     # ------------------------------------------------------------------
+    def cheb_params(self, diag_global, degree: int = 4,
+                    smoothing_range: float = 20.0):
+        """Chebyshev theta/delta of D^-1 A by a DISTRIBUTED power
+        iteration — one jitted shard_map program, owner-weighted psum
+        dots (deal.II PreconditionChebyshev's eigenvalue estimate; same
+        convention as ``solvers.chebyshev.make_chebyshev_params``).
+        Returns replicated DEVICE scalars (theta, delta)."""
+        from tpufem.solvers.chebyshev import ChebyshevParams
+
+        p = self.part
+        spec = P(p.axis_name)
+        rng = np.random.default_rng(0)
+        v0 = self.put_vector(rng.standard_normal(p.n_dofs))
+        d_l = self.put_vector(np.asarray(diag_global))
+
+        def body(v, diag, cell_dofs, inc, interior, owned, ghost_src,
+                 con, met, coef):
+            ex = (tuple(a[0] for a in ghost_src)
+                  if isinstance(ghost_src, tuple) else ghost_src[0])
+            arrays = (
+                cell_dofs[0], inc[0], interior[0], ex,
+                None if con is None else tuple(a[0] for a in con),
+                tuple(a[0] for a in met),
+                None if coef is None else coef[0],
+            )
+            A = lambda u: self._local_vmult(u, arrays)
+            inv_diag = jnp.where(diag[0] != 0, 1.0 / diag[0], 0.0)
+            dot = self._ddot(owned[0])
+
+            def it(_, u):
+                w = inv_diag * A(u)
+                return w / jnp.sqrt(dot(w, w))
+
+            u = jax.lax.fori_loop(0, 25, it, v[0])
+            w = inv_diag * A(u)
+            return 1.05 * dot(u, w) / dot(u, u)
+
+        sm = jax.jit(jax.shard_map(
+            body, mesh=self.mesh, in_specs=(spec,) * 10, out_specs=P()))
+        lam = sm(v0, d_l, self._cell_dofs, self._inc, self._interior,
+                 self._owned, self._ghost_src, self._con, self._met,
+                 self._coef)
+        upper, lower = 1.2 * lam, lam / smoothing_range
+        return ChebyshevParams(theta=0.5 * (upper + lower),
+                               delta=0.5 * (upper - lower), degree=degree)
+
     def cg_solve(self, b_global, diag_global, x0_global=None,
-                 rtol: float = 1e-10, maxiter: int = 10000):
-        """Distributed Jacobi-CG: one jitted shard_map'd while_loop.
+                 rtol: float = 1e-10, maxiter: int = 10000,
+                 precond: str = "jacobi", cheb_degree: int = 4,
+                 cheb_params=None):
+        """Distributed preconditioned CG: one jitted shard_map'd
+        while_loop.
 
         diag_global: diagonal of the constrained operator (use the
         single-device ``LaplaceOperator.diagonal()`` or any oracle).
-        Returns (x_global, iterations, residual).
+        precond "chebyshev" smooths with degree-``cheb_degree``
+        Chebyshev (theta/delta from ``cheb_params`` if given, else a
+        distributed power-iteration estimate); its inner applies
+        exchange ghosts but do no dots — fewer cross-shard psums per
+        digit of convergence.  Returns (x_global, iterations, residual).
         """
+        if precond not in ("jacobi", "chebyshev"):
+            raise ValueError(f"precond must be 'jacobi' or 'chebyshev', "
+                             f"got {precond!r}")
         p = self.part
         spec = P(p.axis_name)
         b_l = self.put_vector(b_global)
@@ -579,9 +635,13 @@ class GeneralDistributedOperator:
         )
 
         from tpufem.solvers.cg import CGResult
+        from tpufem.solvers.chebyshev import (
+            ChebyshevParams,
+            chebyshev_smooth,
+        )
 
-        def body(b, diag, x0, cell_dofs, inc, interior, owned, ghost_src,
-                 con, met, coef):
+        def body(b, diag, x0, th, dl, cell_dofs, inc, interior, owned,
+                 ghost_src, con, met, coef):
             ex = (tuple(a[0] for a in ghost_src)
                   if isinstance(ghost_src, tuple) else ghost_src[0])
             arrays = (
@@ -593,9 +653,14 @@ class GeneralDistributedOperator:
             owned0 = owned[0]
             A = lambda v: self._local_vmult(v, arrays)
             inv_diag = jnp.where(diag[0] != 0, 1.0 / diag[0], 0.0)
+            if precond == "chebyshev":
+                cp = ChebyshevParams(th, dl, cheb_degree)
+                M_inv = lambda r: chebyshev_smooth(A, inv_diag, cp, r)
+            else:
+                M_inv = lambda r: inv_diag * r
             res = cg_solve(
                 A, b[0],
-                M_inv=lambda r: inv_diag * r,
+                M_inv=M_inv,
                 x0=x0[0], rtol=rtol, maxiter=maxiter,
                 dot=self._ddot(owned0),
             )
@@ -605,10 +670,16 @@ class GeneralDistributedOperator:
         sm = jax.jit(jax.shard_map(
             body,
             mesh=self.mesh,
-            in_specs=(spec,) * 11,
+            in_specs=(spec,) * 3 + (P(), P()) + (spec,) * 8,
             out_specs=CGResult(spec, P(), P(), P()),
         ))
-        res = sm(b_l, d_l, x0_l, self._cell_dofs, self._inc,
+        th = dl = jnp.zeros((), self._interior.dtype)
+        if precond == "chebyshev":
+            if cheb_params is None:
+                cheb_params = self.cheb_params(diag_global,
+                                               degree=cheb_degree)
+            th, dl = cheb_params.theta, cheb_params.delta
+        res = sm(b_l, d_l, x0_l, th, dl, self._cell_dofs, self._inc,
                  self._interior, self._owned, self._ghost_src, self._con,
                  self._met, self._coef)
         x_global = p.to_global(np.asarray(res.x))
