@@ -32,6 +32,27 @@ def test_bmspmv_cli():
     assert rec["csr_cross_check_rel_err"] < 1e-12  # assembled oracle
 
 
+def test_poisson_cli_chebyshev_nonbox():
+    """--precond chebyshev on the uniform (non-box) tier: same L2 error,
+    no more iterations than Jacobi.  (The manufactured RHS is near an
+    eigenvector, so BOTH converge in a handful of iterations — the
+    iteration-reduction assertion with a random RHS lives in
+    test_general_partitioner.py.)"""
+    args = ["tpufem.apps.poisson", "--cpu", "--dim", "2", "--degree",
+            "3", "--refine", "4", "--scatter", "separable", "--json"]
+    rj = run(args)
+    rc = run(args + ["--precond", "chebyshev"])
+    assert rj.returncode == 0 and rc.returncode == 0, rc.stderr[-500:]
+    j = json.loads(rj.stdout.strip().splitlines()[-1])
+    c = json.loads(rc.stdout.strip().splitlines()[-1])
+    assert c["iterations"] <= j["iterations"]
+    assert abs(c["l2_error"] - j["l2_error"]) < 1e-9
+    # gmg on the non-box tier is a clear error, not a silent jacobi
+    rg = run(["tpufem.apps.poisson", "--cpu", "--scatter", "separable",
+              "--precond", "gmg"])
+    assert rg.returncode != 0 and "poisson_mg" in rg.stderr
+
+
 def test_poisson_cli_bad_scatter_rejected():
     r = run(["tpufem.apps.poisson", "--cpu", "--scatter", "bogus"])
     assert r.returncode != 0

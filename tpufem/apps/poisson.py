@@ -163,9 +163,35 @@ def solve_poisson(
     # program as ARGUMENTS — closure-captured device constants D2H-hang
     # at lowering on this platform (see MatrixFree.device_args).
     inv_diag = 1.0 / diag
-    solve = jax.jit(lambda dp_, inv_d_, b_, x0_: cg_solve(
-        lambda v: op.vmult_with(dp_, v), b_,
-        M_inv=lambda r: inv_d_ * r, x0=x0_, rtol=rtol))
+    if precond == "gmg":
+        raise ValueError(
+            "--precond gmg pairs with the box tier (--scatter boxes / "
+            "adaptive meshes) or the poisson_mg app for uniform meshes")
+    if precond == "chebyshev":
+        from functools import partial
+
+        from tpufem.solvers.chebyshev import (
+            ChebyshevParams,
+            chebyshev_smooth,
+            make_chebyshev_params,
+        )
+
+        cp = make_chebyshev_params(
+            op.vmult_with, diag, dofs.n_dofs, dp=op.device_args)
+
+        def _mk_minv(dp_, inv_d_, th_, dl_):
+            cpl = ChebyshevParams(th_, dl_, cp.degree)
+            return lambda r: chebyshev_smooth(
+                lambda v: op.vmult_with(dp_, v), inv_d_, cpl, r)
+
+        solve = jax.jit(lambda dp_, inv_d_, b_, x0_, th_, dl_: cg_solve(
+            lambda v: op.vmult_with(dp_, v), b_,
+            M_inv=_mk_minv(dp_, inv_d_, th_, dl_), x0=x0_, rtol=rtol))
+        solve = partial(solve, th_=cp.theta, dl_=cp.delta)
+    else:
+        solve = jax.jit(lambda dp_, inv_d_, b_, x0_: cg_solve(
+            lambda v: op.vmult_with(dp_, v), b_,
+            M_inv=lambda r: inv_d_ * r, x0=x0_, rtol=rtol))
     if warm:
         # compile + run once so solve_time reports the steady state
         jax.block_until_ready(solve(op.device_args, inv_diag, b_con, x0).x)
