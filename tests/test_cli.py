@@ -59,6 +59,25 @@ def test_poisson_cli_bad_scatter_rejected():
     assert "invalid choice" in r.stderr
 
 
+def test_bmop_cli_distributed_shards():
+    """bmop --shards: distributed box-tier apply benchmark over a
+    device mesh (the reference's multi-GPU benchmark runs)."""
+    import os
+
+    env = dict(os.environ,
+               XLA_FLAGS=os.environ.get("XLA_FLAGS", "")
+               + " --xla_force_host_platform_device_count=8")
+    r = subprocess.run(
+        [sys.executable, "-m", "tpufem.apps.bmop", "--cpu", "--dim", "3",
+         "--degrees", "2", "--refine", "2", "--adaptive", "1",
+         "--shards", "2x4", "--reps", "3"],
+        capture_output=True, text=True, timeout=420, env=env)
+    assert r.returncode == 0, r.stderr[-500:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["bench"] == "bmop-distributed" and rec["n_devices"] == 8
+    assert rec["gdofs_per_s"] > 0
+
+
 def test_poisson_cli_distributed_shards():
     """--shards 2x2: distributed box-tier solve over a device mesh (the
     multi-GPU poisson analogue, SURVEY.md §3.6); correct L2 error."""

@@ -30,12 +30,13 @@ def adaptive_mesh(dim, base, steps, center=0.31):
     return mesh
 
 
-def _setup(mesh, p):
+def _setup(mesh, p, coefficient=None):
     dofs = DoFHandler(mesh, p)
     ac = make_hanging_node_constraints(dofs)
     gop = BoxLaplaceOperator(mesh, dofs, constraints=ac,
-                             dtype="float64")
-    mg = BoxMultigrid(mesh, dofs, constraints=ac, dtype="float64",
+                             coefficient=coefficient, dtype="float64")
+    mg = BoxMultigrid(mesh, dofs, constraints=ac,
+                      coefficient=coefficient, dtype="float64",
                       fine_op=gop)
     rng = np.random.default_rng(0)
     mask = np.asarray(gop.interior_mask, np.float64) * mg.fine.nh_mask
@@ -82,6 +83,13 @@ def test_distributed_box_gmg_curved_adaptive():
     mesh = mesh.refine(flags)
     gop, mg, b = _setup(mesh, 2)
     _check(gop, mg, b, (2, 1), iter_tol=1)
+
+
+def test_distributed_box_gmg_variable_coefficient():
+    coef = lambda x: 1.0 + 10.0 * np.exp(-np.sum((x - 0.4) ** 2, -1))
+    mesh = adaptive_mesh(3, 1, 2)
+    gop, mg, b = _setup(mesh, 2, coefficient=coef)
+    _check(gop, mg, b, (2, 2))
 
 
 def test_distributed_box_gmg_vcycle_matches_single():

@@ -101,6 +101,61 @@ def bench_adaptive(dim, p, refine, steps, dtype, reps, compare=False):
     return rec
 
 
+def bench_distributed(dim, p, refine, steps, dtype, reps, shards):
+    """Distributed box-tier apply benchmark: the in-jit chained-rate
+    protocol inside ONE shard_map program over a device mesh (the
+    multi-GPU bmop run of the reference, SURVEY.md §3.6).  Reports the
+    aggregate GDoF/s across all shards."""
+    import time
+
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from tpufem.fem.constraints import make_hanging_node_constraints
+    from tpufem.ops.boxes import BoxLaplaceOperator
+    from tpufem.parallel.boxes import DistributedBoxLaplace
+
+    mesh = adaptive_mesh(dim, refine, steps)
+    dofs = DoFHandler(mesh, p)
+    ac = make_hanging_node_constraints(dofs)
+    gop = BoxLaplaceOperator(mesh, dofs, constraints=ac, dtype=dtype)
+    dop = DistributedBoxLaplace(gop, shards=shards)
+    x = dop.put_vector(np.asarray(gop.to_patch(np.ones(dofs.n_dofs))))
+    n_chain = max(reps, 2)
+    spec = P((dop.axis_name, dop.axis_name_y))
+    dmesh = dop.device_mesh()
+
+    def body(pr, x):
+        prl = jax.tree.map(lambda a: a[0], pr)
+
+        def step(i, v):
+            return dop._local_vmult(prl, v) * 1e-7  # spectral radius >> 1
+
+        return jax.lax.fori_loop(0, n_chain, step, x[0])[None]
+
+    chain = jax.jit(jax.shard_map(
+        body, mesh=dmesh, in_specs=(spec, spec), out_specs=spec))
+    y = chain(dop.params, x)
+    s = float(jnp.sum(jnp.abs(y)))  # scalar D2H sync (see bench_adaptive)
+    t0 = time.perf_counter()
+    y = chain(dop.params, x)
+    s = float(jnp.sum(jnp.abs(y)))
+    dt = (time.perf_counter() - t0) / n_chain
+    if not np.isfinite(s):
+        raise FloatingPointError(
+            "distributed apply produced non-finite output")
+    return {
+        "bench": "bmop-distributed",
+        "dim": dim, "degree": p, "refine": refine, "adaptive_steps": steps,
+        "n_dofs": dofs.n_dofs, "n_cells": mesh.n_cells,
+        "n_hanging": len(ac.lines),
+        "shards": f"{dop.sz}x{dop.sy}", "n_devices": dop.n_shards,
+        "scheme": "boxes-distributed", "dtype": dtype,
+        "s_per_apply": dt,
+        "gdofs_per_s": dofs.n_dofs / dt / 1e9,
+    }
+
+
 def bench_adaptive_solve(dim, p, refine, steps, dtype, rtol=1e-5):
     """Adaptive whole-solve benchmark: Jacobi-CG vs global-coarsening
     GMG-CG on the box tier (the ``poisson_mg`` analogue for adaptively
@@ -286,6 +341,10 @@ def main(argv=None):
     ap.add_argument("--resident", choices=["f32", "bf16"], default=None,
                     help="benchmark the solver-resident fused kernel "
                          "(halo'd layout in/out, 3D only) in this mode")
+    ap.add_argument("--shards", default=None,
+                    help="with --adaptive: distributed box-tier apply "
+                         "over a device mesh, '4' (z slabs) or '2x4' "
+                         "(z x y); needs that many JAX devices")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (some TPU plugins ignore "
                          "JAX_PLATFORMS; this flag always works)")
@@ -301,6 +360,13 @@ def main(argv=None):
         elif args.curved:
             rec = bench_curved(args.dim, p, args.refine, args.dtype,
                                args.reps)
+        elif args.adaptive and args.shards:
+            parts = [int(x) for x in str(args.shards).lower().split("x")]
+            shards = (parts[0], 1) if len(parts) == 1 else tuple(parts[:2])
+            rec = bench_distributed(
+                args.dim, p, args.refine, args.adaptive, args.dtype,
+                args.reps, shards,
+            )
         elif args.adaptive:
             rec = bench_adaptive(
                 args.dim, p, args.refine, args.adaptive, args.dtype,
