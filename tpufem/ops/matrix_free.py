@@ -273,8 +273,10 @@ class MatrixFree:
                     ),)
                     if d == 3:
                         try:
-                            kwargs_res = dict(mode=config.pallas_mode,
-                                              interpret=interp)
+                            kwargs_res = dict(
+                                mode=config.pallas_mode,
+                                interpret=interp,
+                                dirichlet=config.pallas_dirichlet)
                             resident = ResidentSeparable(
                                 uniform_n * p + 1, p, Ks_np, Ms_np,
                                 dtype, **kwargs_res)

@@ -184,7 +184,8 @@ def _kernel(u_hbm, xkm, *args, b, L, X, p, dim, corr, nt, n_grid):
 
 
 def _kernel_resident(u_hbm, xkm, wm_y, wk_y, wm_z, wk_z, out, scratch, sem,
-                     osc, osem, *, b, L, LY, X, p, H, npts, corr, nt, mode):
+                     osc, osem, *, b, L, LY, X, p, H, npts, corr, nt, mode,
+                     dirichlet=False):
     """Solver-resident fused apply (kernel-lab winner "v17", 3D).
 
     Input AND output live in the same halo'd layout (sz, sy, X) with data
@@ -209,6 +210,16 @@ def _kernel_resident(u_hbm, xkm, wm_y, wk_y, wm_z, wk_z, out, scratch, sem,
     after an in-VMEM upcast, x matmul on native bf16 MXU with f32
     accumulation; ~4e-3 rel (input quantization) — preconditioner /
     smoother class, not CG-solve class.
+
+    ``dirichlet=True`` fuses the hyper_cube Dirichlet constraint algebra
+    y = m·A(m·x) + (1-m)·x into the kernel (the reference's constraint
+    save/zero/restore around cell_loop, SURVEY.md §3.4).  On the uniform
+    grid the interior mask is SEPARABLE — m(i,j,k) = mz(i)·my(j)·mx(k)
+    with zeros exactly on the global boundary planes — so both mask
+    applications are iota-compare products on VMEM-resident tiles
+    (in-register VPU, no extra inputs), replacing two full HBM
+    elementwise passes per apply in the resident CG loop (the
+    round-2 verdict's unimplemented Jacobi-CG lever).
     """
     t = pl.program_id(0)
     n_grid = nt * nt
@@ -273,6 +284,22 @@ def _kernel_resident(u_hbm, xkm, wm_y, wk_y, wm_z, wk_z, out, scratch, sem,
     iz, iy = t // nt, t % nt
     nb = 2 * p + 1
     dy = H - p  # y-axis data offset inside the aligned read window
+
+    if dirichlet:
+        # separable interior mask on the loaded tile (global padded
+        # coords: data at z in [p, p+npts), y in [H, H+npts), x lanes
+        # [0, npts)); halo/pad entries are zero already, so only the two
+        # boundary planes per axis need zeroing
+        lz = jax.lax.broadcasted_iota(jnp.int32, (L, 1, 1), 0) + iz * b
+        lyj = jax.lax.broadcasted_iota(jnp.int32, (1, LY, 1), 1) + iy * b
+        lx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, X), 2)
+        m_in = (
+            jnp.logical_and(lz != p, lz != p + npts - 1)
+            & jnp.logical_and(lyj != H, lyj != H + npts - 1)
+            & jnp.logical_and(lx != 0, lx != npts - 1)
+        ).astype(u.dtype)
+        u_full = u
+        u = u * m_in
 
     def sel_phase(tab, idx):
         """Pick the band table for this tile's start class.  Tables are
@@ -358,7 +385,22 @@ def _kernel_resident(u_hbm, xkm, wm_y, wk_y, wm_z, wk_z, out, scratch, sem,
                    (ii <= i_last).astype(u.dtype), 1.0).reshape(b, 1, 1)
     my = jnp.where(iy == nt - 1,
                    (ii <= i_last).astype(u.dtype), 1.0).reshape(1, b, 1)
-    res = (res * mz * my).astype(osc.dtype)
+    res = res * mz * my
+
+    if dirichlet:
+        # output combine y = m·res + (1-m)·u on the center block (global
+        # interior coords of center row r: z = iz*b + r, y = iy*b + r)
+        rz = jax.lax.broadcasted_iota(jnp.int32, (b, 1, 1), 0) + iz * b
+        ry = jax.lax.broadcasted_iota(jnp.int32, (1, b, 1), 1) + iy * b
+        rx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, X), 2)
+        mc = (
+            jnp.logical_and(rz != 0, rz != npts - 1)
+            & jnp.logical_and(ry != 0, ry != npts - 1)
+            & jnp.logical_and(rx != 0, rx != npts - 1)
+        ).astype(u.dtype)
+        uc = u_full[p : p + b, H : H + b, :]
+        res = mc * res + (1.0 - mc) * (uc * mz * my)
+    res = res.astype(osc.dtype)
 
     # single-buffered out scratch: the previous tile's out copy had this
     # tile's whole compute time to drain; wait just before overwriting
@@ -388,7 +430,7 @@ class ResidentSeparable:
     """
 
     def __init__(self, npts, p, Ks_np, Ms_np, dtype, tile=None, mode="f32",
-                 interpret=False):
+                 interpret=False, dirichlet=False):
         # storage dtype: bf16s keeps the HBM-resident vectors in bf16
         # (halving the DMA floor); compute stays in `dtype` (f32)
         cdt = jnp.dtype(dtype)
@@ -459,9 +501,10 @@ class ResidentSeparable:
                 np.asarray(wk[1][:, :, :, None], cdt),
                 np.asarray(wm[2][:, :, :, None, None], cdt),
                 np.asarray(wk[2][:, :, :, None, None], cdt)]
+        self.dirichlet = bool(dirichlet)
         kern = functools.partial(
             _kernel_resident, b=b, L=L, LY=LY, X=X, p=p, H=H, npts=npts,
-            corr=corr, nt=nt, mode=mode)
+            corr=corr, nt=nt, mode=mode, dirichlet=self.dirichlet)
         full = pl.BlockSpec(memory_space=pltpu.VMEM)
         pc = pl.pallas_call(
             kern, grid=(nt * nt,),

@@ -31,8 +31,10 @@ def _dot3(a, b):
 # jit cache keyed on the kernel's raw callable (stable per
 # ResidentSeparable instance) — a fresh closure per solve call would
 # RECOMPILE the whole program every time (minutes on the flagship)
-@partial(jax.jit, static_argnames=("raw", "rtol", "maxiter", "sdt"))
-def _jacobi_solve(raw, m, inv_diag, bp, x0p, rtol, maxiter, sdt):
+@partial(jax.jit, static_argnames=("raw", "rtol", "maxiter", "sdt",
+                                   "fused_mask"))
+def _jacobi_solve(raw, m, inv_diag, bp, x0p, rtol, maxiter, sdt,
+                  fused_mask=False):
     # bf16s kernels: the search direction is STORED in the kernel's bf16
     # layout (p_dtype) so the kernel DMAs half the bytes, but x and r
     # stay in the compute dtype — quantizing them too leaves the TRUE
@@ -46,10 +48,16 @@ def _jacobi_solve(raw, m, inv_diag, bp, x0p, rtol, maxiter, sdt):
     p_dtype = None if jnp.dtype(sdt) == cdt else jnp.dtype(sdt)
     ms = m.astype(sdt)
 
-    def A(gp):
-        gp = gp.astype(sdt)
-        return (m * raw(ms * gp).astype(cdt)
-                + (1.0 - m) * gp.astype(cdt))
+    if fused_mask:
+        # dirichlet=True kernels apply y = m·A(m·x) + (1-m)·x in VMEM
+        # (separable iota masks) — no HBM mask passes out here
+        def A(gp):
+            return raw(gp.astype(sdt)).astype(cdt)
+    else:
+        def A(gp):
+            gp = gp.astype(sdt)
+            return (m * raw(ms * gp).astype(cdt)
+                    + (1.0 - m) * gp.astype(cdt))
 
     res = cg_solve(A, bp, M_inv=lambda r: inv_diag * r, x0=x0p,
                    rtol=rtol, maxiter=maxiter, dot=_dot3,
@@ -91,7 +99,8 @@ def resident_jacobi_cg(
     x0p = None if x0 is None else rk.pad_any(jnp.asarray(x0, cdt))
 
     res = _jacobi_solve(rk.raw, m, inv_diag, bp, x0p, rtol, maxiter,
-                        str(jnp.dtype(rk.dt)))
+                        str(jnp.dtype(rk.dt)),
+                        fused_mask=getattr(rk, "dirichlet", False))
     return CGResult(rk.unpad(res.x), res.iterations, res.residual,
                     res.converged)
 

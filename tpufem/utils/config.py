@@ -33,6 +33,10 @@ class FemConfig:
     # x-matmul precision of the resident Pallas kernel: "f32" (HIGHEST,
     # ~1e-7 rel) or "bf16" (bf16x3, ~3e-6 rel, ~25% faster apply)
     pallas_mode: str = "f32"
+    # fuse the hyper_cube Dirichlet mask algebra y = m·A(m·x) + (1-m)·x
+    # into the resident kernel (separable iota masks, saves 2 HBM
+    # elementwise passes per apply in the resident CG loop)
+    pallas_dirichlet: bool = False
 
     def __post_init__(self):
         if self.dim not in (2, 3):
