@@ -253,6 +253,32 @@ def test_resident_gmg_cg_matches_flat():
     assert np.linalg.norm(xr - xf) <= 1e-8 * max(np.linalg.norm(xf), 1.0)
 
 
+def test_resident_gmg_cg_fused_dirichlet_matches_flat():
+    """Fine-level-resident V-cycle CG with the fused-mask kernel: same
+    iterations/solution as the flat-algebra path."""
+    from tpufem.fem.dof_handler import DoFHandler
+    from tpufem.fem.mesh import Mesh
+    from tpufem.solvers.cg import cg_solve
+    from tpufem.solvers.multigrid import GeometricMultigrid
+    from tpufem.solvers.resident import resident_gmg_cg
+
+    mg = GeometricMultigrid(3, 2, 4, coarsest_refine=2, use_pallas=True,
+                            pallas_dirichlet=True)
+    assert mg.fine.mf.resident.dirichlet
+    assert mg.resident_context() is not None
+    dofs = DoFHandler(Mesh.hyper_cube(3, 4), 2)
+    rng = np.random.default_rng(5)
+    mask = np.asarray(mg.fine.mask)
+    b = jnp.asarray(mask * rng.standard_normal(dofs.n_dofs))
+
+    res_flat = cg_solve(mg.fine.op.vmult, b, M_inv=mg.preconditioner(),
+                        rtol=1e-8, maxiter=100)
+    res_r = resident_gmg_cg(mg, b, rtol=1e-8, maxiter=100)
+    assert int(res_r.iterations) == int(res_flat.iterations)
+    xr, xf = np.asarray(res_r.x), np.asarray(res_flat.x)
+    assert np.linalg.norm(xr - xf) <= 1e-8 * max(np.linalg.norm(xf), 1.0)
+
+
 def test_resident_cg_bf16s_true_residual_honest():
     """bf16s-mode solve: x/r stay f32 (quantizing them leaves a ~4e-2
     true residual) and the RETURNED residual/converged come from the

@@ -102,6 +102,8 @@ class GeometricMultigrid:
         n_cycles: int = 1,
         nbase: int = 1,
         use_pallas: bool = False,
+        pallas_mode: str = "f32",
+        pallas_dirichlet: bool = False,
     ):
         if coarsest_refine > finest_refine:
             raise ValueError("coarsest_refine must be <= finest_refine")
@@ -118,7 +120,9 @@ class GeometricMultigrid:
             dofs = DoFHandler(mesh, degree)
             cfg = FemConfig(dim=dim, degree=degree, dtype=dtype,
                             scatter="separable" if pallas_ok else scatter,
-                            use_pallas=pallas_ok)
+                            use_pallas=pallas_ok,
+                            pallas_mode=pallas_mode,
+                            pallas_dirichlet=pallas_dirichlet)
             mf = MatrixFree.build(mesh, dofs, cfg, coefficient=coefficient)
             op = LaplaceOperator(mf)
             diag = op.diagonal()
@@ -279,9 +283,14 @@ class GeometricMultigrid:
         }
         cheb_deg = fine.cheb.degree
 
-        def A(rdp_, gp):
-            m = rdp_["m"]
-            return m * rk.raw(m * gp) + (1.0 - m) * gp
+        if getattr(rk, "dirichlet", False):
+            # mask algebra fused in-kernel (separable iota masks)
+            def A(rdp_, gp):
+                return rk.raw(gp)
+        else:
+            def A(rdp_, gp):
+                m = rdp_["m"]
+                return m * rk.raw(m * gp) + (1.0 - m) * gp
 
         def m_inv(rdp_, b_res):
             m = rdp_["m"]
