@@ -87,3 +87,17 @@ def test_poisson_cli_distributed_shards():
     assert r.returncode == 0, r.stderr[-500:]
     rec = json.loads(r.stdout.strip().splitlines()[-1])
     assert rec["l2_error"] < 5e-3
+
+
+def test_poisson_cli_distributed_gmg_shards():
+    """--precond gmg composed with --shards (the app branch wiring
+    BoxMultigrid + DistributedBoxMultigrid) plus --h1 on the box tier."""
+    r = run(["tpufem.apps.poisson", "--cpu", "--dim", "3", "--degree",
+             "2", "--refine", "2", "--adaptive-steps", "1",
+             "--shards", "2x2", "--precond", "gmg", "--h1", "--json"],
+            timeout=420)
+    assert r.returncode == 0, r.stderr[-500:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["l2_error"] < 5e-3
+    assert rec["iterations"] <= 12  # GMG-CG, not O(100) Jacobi
+    assert 0 < rec["h1_error"] < 0.5

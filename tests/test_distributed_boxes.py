@@ -207,3 +207,18 @@ def test_box_chebyshev_cg_single_and_distributed():
     assert int(res.iterations) == int(che.iterations)
     x = dop.from_local(np.asarray(res.x))
     assert np.linalg.norm(x - xc) / np.linalg.norm(xc) < 1e-9
+
+
+def test_make_cuts_raises_when_no_valid_interior_plane(monkeypatch):
+    """When every interior coarse-aligned plane would strand a 2:1
+    interface fill, construction must raise loudly instead of silently
+    snapping the cut to the domain end (which would leave the requested
+    extra shards EMPTY)."""
+    mesh = adaptive_mesh(3, 2, 1)
+    dofs = DoFHandler(mesh, 2)
+    ac = make_hanging_node_constraints(dofs)
+    gop = BoxLaplaceOperator(mesh, dofs, constraints=ac, dtype="float64")
+    monkeypatch.setattr(DistributedBoxLaplace, "_cut_ok",
+                        lambda self, ax, c: False)
+    with pytest.raises(NotImplementedError, match="cut plane"):
+        DistributedBoxLaplace(gop, shards=(2, 1))

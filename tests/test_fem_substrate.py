@@ -151,12 +151,10 @@ def test_poisson_convergence_oracle(dim, p):
 
 
 def grad_exact(x):
-    g = np.empty_like(x)
-    for a in range(x.shape[1]):
-        cols = [np.sin(np.pi * x[:, b]) for b in range(x.shape[1])]
-        cols[a] = np.cos(np.pi * x[:, a])
-        g[:, a] = np.pi * np.prod(cols, axis=0)
-    return g
+    # the app's manufactured-solution gradient — ONE definition
+    from tpufem.apps.poisson import default_gradient
+
+    return default_gradient(x.shape[1])(x)
 
 
 @pytest.mark.parametrize("dim,p", [(2, 1), (2, 2), (3, 2)])

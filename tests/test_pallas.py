@@ -253,6 +253,27 @@ def test_resident_gmg_cg_matches_flat():
     assert np.linalg.norm(xr - xf) <= 1e-8 * max(np.linalg.norm(xf), 1.0)
 
 
+def test_fused_dirichlet_rejects_nonstandard_masks():
+    """pallas_dirichlet bakes the FULL-boundary mask into the kernel;
+    any other constraint set must be rejected at build time, not
+    silently mis-masked (review finding)."""
+    from tpufem.fem.dof_handler import DoFHandler
+    from tpufem.fem.mesh import Mesh
+    from tpufem.ops.matrix_free import MatrixFree
+    from tpufem.utils.config import FemConfig
+
+    mesh = Mesh.hyper_cube(3, 4)
+    dofs = DoFHandler(mesh, 2)
+    bad = dofs.boundary_mask.copy()
+    bad[np.flatnonzero(~bad)[0]] = True  # one extra constrained DoF
+    with pytest.raises(ValueError, match="pallas_dirichlet"):
+        MatrixFree.build(
+            mesh, dofs,
+            FemConfig(3, 2, scatter="separable", use_pallas=True,
+                      pallas_dirichlet=True),
+            constrained_mask=bad)
+
+
 def test_resident_gmg_cg_fused_dirichlet_matches_flat():
     """Fine-level-resident V-cycle CG with the fused-mask kernel: same
     iterations/solution as the flat-algebra path."""

@@ -349,6 +349,11 @@ def main(argv=None):
                     help="force the CPU backend (some TPU plugins ignore "
                          "JAX_PLATFORMS; this flag always works)")
     args = ap.parse_args(argv)
+    if args.shards and (not args.adaptive or args.resident or args.curved
+                        or args.spmv):
+        ap.error("--shards runs the distributed adaptive box tier: it "
+                 "requires --adaptive and excludes "
+                 "--resident/--curved/--spmv")
     if args.cpu:
         import jax
 

@@ -19,7 +19,11 @@ from typing import Callable, Optional
 import jax.numpy as jnp
 import numpy as np
 
-from tpufem.fem.assemble import assemble_rhs, integrate_difference
+from tpufem.fem.assemble import (
+    assemble_rhs,
+    integrate_difference,
+    integrate_errors,
+)
 from tpufem.fem.dof_handler import DoFHandler
 from tpufem.fem.mesh import Mesh
 from tpufem.operators.laplace import LaplaceOperator
@@ -109,6 +113,7 @@ def solve_poisson(
     warm: bool = False,
     shards=None,
     precond: str = "jacobi",
+    h1: bool = False,
 ) -> PoissonResult:
     _ensure_dtype(dtype)
     if shards is not None and scatter not in ("auto", "boxes"):
@@ -136,7 +141,7 @@ def solve_poisson(
     if scatter == "boxes":
         return _solve_poisson_boxes(
             mesh, dofs, constraints, coefficient, dtype, rtol,
-            exact, rhs, warm, t0, shards, precond,
+            exact, rhs, warm, t0, shards, precond, h1=h1,
         )
     mf = MatrixFree.build(mesh, dofs, cfg, coefficient=coefficient,
                           constraints=constraints)
@@ -210,7 +215,17 @@ def solve_poisson(
             file=sys.stderr,
         )
 
-    err = integrate_difference(dofs, x.astype(np.float64), u_exact)
+    h1_err = None
+    if h1:
+        if exact is not None:
+            raise ValueError("--h1 supports the default manufactured "
+                             "solution only (no gradient for a custom "
+                             "exact)")
+        err, h1_err = integrate_errors(
+            dofs, x.astype(np.float64), u_exact,
+            default_gradient(mesh.dim))
+    else:
+        err = integrate_difference(dofs, x.astype(np.float64), u_exact)
     return PoissonResult(
         n_dofs=dofs.n_dofs,
         n_cells=mesh.n_cells,
@@ -221,12 +236,13 @@ def solve_poisson(
         solve_time=solve_time,
         solution=x,
         dofs=dofs,
+        h1_error=h1_err,
     )
 
 
 def _solve_poisson_boxes(mesh, dofs, constraints, coefficient, dtype,
                          rtol, exact, rhs, warm, t0, shards=None,
-                         precond="jacobi"):
+                         precond="jacobi", h1=False):
     """Poisson solve on the box-structured adaptive tier: the whole CG
     runs on the patchwork vector (tpufem.ops.boxes) — the fast TPU path
     for adaptive meshes (BASELINE config 4).  With ``shards`` (sz or
@@ -329,7 +345,17 @@ def _solve_poisson_boxes(mesh, dofs, constraints, coefficient, dtype,
             file=sys.stderr,
         )
     x = op.from_patch(op.distribute(res.x, homogeneous=False))
-    err = integrate_difference(dofs, x.astype(np.float64), u_exact)
+    h1_err = None
+    if h1:
+        if exact is not None:
+            raise ValueError("--h1 supports the default manufactured "
+                             "solution only (no gradient for a custom "
+                             "exact)")
+        err, h1_err = integrate_errors(
+            dofs, x.astype(np.float64), u_exact,
+            default_gradient(mesh.dim))
+    else:
+        err = integrate_difference(dofs, x.astype(np.float64), u_exact)
     return PoissonResult(
         n_dofs=dofs.n_dofs,
         n_cells=mesh.n_cells,
@@ -340,6 +366,7 @@ def _solve_poisson_boxes(mesh, dofs, constraints, coefficient, dtype,
         solve_time=solve_time,
         solution=x,
         dofs=dofs,
+        h1_error=h1_err,
     )
 
 
@@ -392,16 +419,12 @@ def main(argv=None):
         scatter=args.scatter, dtype=args.dtype,
         adaptive_steps=args.adaptive_steps, use_pallas=args.pallas,
         warm=args.warm, shards=shards, precond=args.precond,
+        h1=args.h1,
     )
     if args.vtu:
         from tpufem.utils.output import write_vtu
 
         write_vtu(args.vtu, r.dofs, {"u": r.solution})
-    if args.h1:
-        r.h1_error = integrate_difference(
-            r.dofs, np.asarray(r.solution, np.float64),
-            default_solution(args.dim)[0], norm="h1_semi",
-            grad_exact=default_gradient(args.dim))
     if args.json:
         line = {
             "n_dofs": r.n_dofs, "n_cells": r.n_cells,

@@ -153,6 +153,33 @@ def assemble_rhs(
     return b
 
 
+def _error_parts(dofs, u_h, u_exact, grad_exact, quad, want_l2, want_h1):
+    """(L2², H1-seminorm²) by quadrature in ONE metric sweep."""
+    mesh, p = dofs.mesh, dofs.degree
+    d = mesh.dim
+    if quad is None:
+        quad = Quadrature.gauss(p + 2)
+    metric = compute_metric(mesh, quad, need_points=True).to_general()
+    u_loc = u_h[dofs.cell_dofs]  # (nc, nn)
+    pts = metric.quad_points.reshape(-1, d)
+    l2_sq = semi_sq = 0.0
+    if want_l2:
+        V = cell_basis_values(p, d, quad)
+        uh_q = u_loc @ V.T  # (nc, nq)
+        ue_q = u_exact(pts).reshape(uh_q.shape)
+        l2_sq = np.sum((uh_q - ue_q) ** 2 * metric.jxw)
+    if want_h1:
+        if grad_exact is None:
+            raise ValueError(
+                "H1 norms need grad_exact(pts) -> (npts, dim)")
+        G = cell_basis_gradients(p, d, quad)  # (nq, nn, d)
+        # physical gradient of u_h (same convention as assemble_laplace)
+        gh = np.einsum("cqba,qjb,cj->cqa", metric.inv_jac, G, u_loc)
+        ge = grad_exact(pts).reshape(gh.shape)
+        semi_sq = np.sum(np.sum((gh - ge) ** 2, axis=-1) * metric.jxw)
+    return float(l2_sq), float(semi_sq)
+
+
 def integrate_difference(
     dofs: DoFHandler,
     u_h: np.ndarray,
@@ -167,30 +194,26 @@ def integrate_difference(
     ``norm``: "l2" (default), "h1_semi" (gradient error only) or "h1"
     (sqrt(L2^2 + semi^2)) — the deal.II L2_norm / H1_seminorm / H1_norm
     trio.  The H1 variants need ``grad_exact(pts) -> (npts, dim)``.
+    For both L2 and H1 at once use :func:`integrate_errors` (one metric
+    sweep instead of two).
     """
     if norm not in ("l2", "h1_semi", "h1"):
         raise ValueError(f"norm must be 'l2', 'h1_semi' or 'h1', got "
                          f"{norm!r}")
-    mesh, p = dofs.mesh, dofs.degree
-    d = mesh.dim
-    if quad is None:
-        quad = Quadrature.gauss(p + 2)
-    metric = compute_metric(mesh, quad, need_points=True).to_general()
-    u_loc = u_h[dofs.cell_dofs]  # (nc, nn)
-    pts = metric.quad_points.reshape(-1, d)
-    err2 = 0.0
-    if norm in ("l2", "h1"):
-        V = cell_basis_values(p, d, quad)
-        uh_q = u_loc @ V.T  # (nc, nq)
-        ue_q = u_exact(pts).reshape(uh_q.shape)
-        err2 += np.sum((uh_q - ue_q) ** 2 * metric.jxw)
-    if norm in ("h1_semi", "h1"):
-        if grad_exact is None:
-            raise ValueError(
-                "norm='h1_semi'/'h1' needs grad_exact(pts) -> (npts, dim)")
-        G = cell_basis_gradients(p, d, quad)  # (nq, nn, d)
-        # physical gradient of u_h (same convention as assemble_laplace)
-        gh = np.einsum("cqba,qjb,cj->cqa", metric.inv_jac, G, u_loc)
-        ge = grad_exact(pts).reshape(gh.shape)
-        err2 += np.sum(np.sum((gh - ge) ** 2, axis=-1) * metric.jxw)
-    return float(np.sqrt(err2))
+    l2_sq, semi_sq = _error_parts(
+        dofs, u_h, u_exact, grad_exact, quad,
+        want_l2=norm in ("l2", "h1"), want_h1=norm in ("h1_semi", "h1"))
+    return float(np.sqrt(l2_sq + semi_sq))
+
+
+def integrate_errors(
+    dofs: DoFHandler,
+    u_h: np.ndarray,
+    u_exact,
+    grad_exact,
+    quad: Quadrature | None = None,
+) -> tuple[float, float]:
+    """(L2 error, H1-seminorm error) in ONE metric/quadrature sweep."""
+    l2_sq, semi_sq = _error_parts(dofs, u_h, u_exact, grad_exact, quad,
+                                  want_l2=True, want_h1=True)
+    return float(np.sqrt(l2_sq)), float(np.sqrt(semi_sq))

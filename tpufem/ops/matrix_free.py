@@ -272,6 +272,15 @@ class MatrixFree:
                         interpret=interp,
                     ),)
                     if d == 3:
+                        if config.pallas_dirichlet and not np.array_equal(
+                                constrained_mask, dofs.boundary_mask):
+                            # the fused kernel bakes the FULL-boundary
+                            # separable mask in; any other constraint set
+                            # would be silently mis-masked
+                            raise ValueError(
+                                "pallas_dirichlet=True requires the plain "
+                                "full-boundary Dirichlet mask (no extra "
+                                "constraints / custom constrained_mask)")
                         try:
                             kwargs_res = dict(
                                 mode=config.pallas_mode,

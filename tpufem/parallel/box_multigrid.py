@@ -143,12 +143,15 @@ class DistributedBoxMultigrid:
             bc = lc.boxes[r["bc"]]
             U = zc[bc.offset : bc.offset + bc.n_nodes].reshape(
                 bc.lattice_shape)[r["sl"]]
-            if r["kind"] == "embed":
-                for t in range(self._nsh, self.dop.dim):
-                    U = _axis_mm(rep["tP"][ri][t], U, t)
+            # ascending axis order 0,1,2 — the SAME association as the
+            # single-device _pair_apply, so per-shard prolongation values
+            # are bitwise those of the single-device path
             U = _axis_mm(mpl["M0"][ri], U, 0)
             if self._nsh > 1:
                 U = _axis_mm(mpl["M1"][ri], U, 1)
+            if r["kind"] == "embed":
+                for t in range(self._nsh, self.dop.dim):
+                    U = _axis_mm(rep["tP"][ri][t], U, t)
             lb = self.dop.lboxes[r["bf"]]
             out = jax.lax.dynamic_update_slice(
                 out, U.reshape(-1), (lb.offset,))

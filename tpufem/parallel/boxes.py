@@ -337,16 +337,18 @@ class DistributedBoxLaplace:
                 cuts.append(ncand)
                 continue
             if not self._cut_ok(ax, k * s_max):
-                # nudge to the nearest valid coarse-aligned plane (the
-                # domain end is always valid: its planes are dead)
-                allowed = [j for j in range(cuts[-1] + 1, ncand + 1)
-                           if j == ncand
-                           or self._cut_ok(ax, j * s_max)]
+                # nudge to the nearest valid INTERIOR coarse-aligned
+                # plane; snapping to the domain end would silently leave
+                # the remaining shards empty (the user asked for ns-way
+                # parallelism), so that case raises instead
+                allowed = [j for j in range(cuts[-1] + 1, ncand)
+                           if self._cut_ok(ax, j * s_max)]
                 if not allowed:
                     raise NotImplementedError(
                         "no valid cut plane on this axis: every "
-                        "coarse-aligned plane strands a 2:1 interface "
-                        "fill — reduce shards or use GeneralPartitioner")
+                        "interior coarse-aligned plane strands a 2:1 "
+                        "interface fill — reduce shards or use "
+                        "GeneralPartitioner")
                 k = min(allowed, key=lambda j: abs(j - k))
             cuts.append(k)
         cuts.append(ncand)
