@@ -53,6 +53,21 @@ def test_poisson_cli_chebyshev_nonbox():
     assert rg.returncode != 0 and "poisson_mg" in rg.stderr
 
 
+def test_poisson_cli_shell_mesh():
+    """--mesh shell: the GridGenerator::hyper_shell analogue through the
+    app — curved metric path, inhomogeneous Dirichlet from the
+    manufactured trace, O(h^(p+1)) error magnitude."""
+    errs = []
+    for r in ("3", "4"):
+        out = run(["tpufem.apps.poisson", "--cpu", "--mesh", "shell",
+                   "--dim", "2", "--degree", "2", "--refine", r,
+                   "--json"])
+        assert out.returncode == 0, out.stderr[-500:]
+        errs.append(json.loads(out.stdout.strip().splitlines()[-1])
+                    ["l2_error"])
+    assert errs[1] < errs[0] / 5  # ~8x for O(h^3)
+
+
 def test_poisson_cli_bad_scatter_rejected():
     r = run(["tpufem.apps.poisson", "--cpu", "--scatter", "bogus"])
     assert r.returncode != 0

@@ -114,6 +114,7 @@ def solve_poisson(
     shards=None,
     precond: str = "jacobi",
     h1: bool = False,
+    mesh_kind: str = "cube",
 ) -> PoissonResult:
     _ensure_dtype(dtype)
     if shards is not None and scatter not in ("auto", "boxes"):
@@ -125,7 +126,18 @@ def solve_poisson(
         # f32 CG cannot reach f64-grade residuals; pick a reachable default
         rtol = 1e-10 if dtype == "float64" else 1e-6
     t0 = time.perf_counter()
-    mesh = Mesh.hyper_cube(dim, refine)
+    if mesh_kind == "shell":
+        # GridGenerator::hyper_shell analogue (SURVEY.md §3.1) — the
+        # curved/general-metric path; the default manufactured solution
+        # is valid on any domain (physical coords, inhomogeneous
+        # Dirichlet from its trace)
+        mesh = (Mesh.hyper_shell_2d(refine) if dim == 2
+                else Mesh.hyper_shell_3d(refine))
+    elif mesh_kind == "cube":
+        mesh = Mesh.hyper_cube(dim, refine)
+    else:
+        raise ValueError(f"mesh_kind must be 'cube' or 'shell', got "
+                         f"{mesh_kind!r}")
     for _ in range(adaptive_steps):
         centers = (mesh.origins + mesh.sizes[:, None] * 0.5) / mesh.U
         flags = np.linalg.norm(centers - 0.5, axis=1) < 0.3
@@ -375,6 +387,10 @@ def main(argv=None):
     ap.add_argument("--dim", type=int, default=2)
     ap.add_argument("--degree", type=int, default=1)
     ap.add_argument("--refine", type=int, default=3)
+    ap.add_argument("--mesh", default="cube", choices=["cube", "shell"],
+                    help="domain: unit hyper_cube, or a curved "
+                         "annulus/spherical-shell wedge (the "
+                         "GridGenerator::hyper_shell analogue)")
     ap.add_argument("--scatter", default="auto",
                     choices=["auto", "incidence", "colored", "structured",
                              "dense", "separable", "boxes"])
@@ -419,7 +435,7 @@ def main(argv=None):
         scatter=args.scatter, dtype=args.dtype,
         adaptive_steps=args.adaptive_steps, use_pallas=args.pallas,
         warm=args.warm, shards=shards, precond=args.precond,
-        h1=args.h1,
+        h1=args.h1, mesh_kind=args.mesh,
     )
     if args.vtu:
         from tpufem.utils.output import write_vtu
