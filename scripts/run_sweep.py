@@ -79,7 +79,7 @@ def main():
             rec = cells[(refine, p)]
             v = rec.get("gdofs_per_s")
             row.append(f"| {v:.3f} " if v is not None
-                       else f"| ERR ")
+                       else "| ERR ")
         print("".join(row) + "|")
     print(f"\nraw records: {args.out}")
 

@@ -117,6 +117,11 @@ def solve_poisson(
     mesh_kind: str = "cube",
 ) -> PoissonResult:
     _ensure_dtype(dtype)
+    if h1 and exact is not None:
+        # validate BEFORE the solve: the error block would only raise
+        # after minutes of solving on a large mesh
+        raise ValueError("--h1 supports the default manufactured "
+                         "solution only (no gradient for a custom exact)")
     if shards is not None and scatter not in ("auto", "boxes"):
         raise ValueError("--shards runs the distributed box tier; use "
                          "scatter auto/boxes")
@@ -228,11 +233,7 @@ def solve_poisson(
         )
 
     h1_err = None
-    if h1:
-        if exact is not None:
-            raise ValueError("--h1 supports the default manufactured "
-                             "solution only (no gradient for a custom "
-                             "exact)")
+    if h1:  # custom-exact combination rejected up-front in solve_poisson
         err, h1_err = integrate_errors(
             dofs, x.astype(np.float64), u_exact,
             default_gradient(mesh.dim))
@@ -358,11 +359,7 @@ def _solve_poisson_boxes(mesh, dofs, constraints, coefficient, dtype,
         )
     x = op.from_patch(op.distribute(res.x, homogeneous=False))
     h1_err = None
-    if h1:
-        if exact is not None:
-            raise ValueError("--h1 supports the default manufactured "
-                             "solution only (no gradient for a custom "
-                             "exact)")
+    if h1:  # custom-exact combination rejected up-front in solve_poisson
         err, h1_err = integrate_errors(
             dofs, x.astype(np.float64), u_exact,
             default_gradient(mesh.dim))

@@ -291,11 +291,11 @@ def _kernel_resident(u_hbm, xkm, wm_y, wk_y, wm_z, wk_z, out, scratch, sem,
         # [0, npts)); halo/pad entries are zero already, so only the two
         # boundary planes per axis need zeroing
         lz = jax.lax.broadcasted_iota(jnp.int32, (L, 1, 1), 0) + iz * b
-        lyj = jax.lax.broadcasted_iota(jnp.int32, (1, LY, 1), 1) + iy * b
+        ly = jax.lax.broadcasted_iota(jnp.int32, (1, LY, 1), 1) + iy * b
         lx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, X), 2)
         m_in = (
             jnp.logical_and(lz != p, lz != p + npts - 1)
-            & jnp.logical_and(lyj != H, lyj != H + npts - 1)
+            & jnp.logical_and(ly != H, ly != H + npts - 1)
             & jnp.logical_and(lx != 0, lx != npts - 1)
         ).astype(u.dtype)
         u_full = u

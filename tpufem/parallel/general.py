@@ -517,19 +517,27 @@ class GeneralDistributedOperator:
             self._coef,
         )
 
+    @staticmethod
+    def _unpack_shard(cell_dofs, inc, interior, ghost_src, con, met, coef):
+        """Strip the leading per-shard dim off the stacked operator
+        arrays inside a shard_map body -> the ``arrays`` tuple
+        ``_local_vmult`` consumes."""
+        ex = (tuple(a[0] for a in ghost_src)
+              if isinstance(ghost_src, tuple) else ghost_src[0])
+        return (
+            cell_dofs[0], inc[0], interior[0], ex,
+            None if con is None else tuple(a[0] for a in con),
+            tuple(a[0] for a in met),
+            None if coef is None else coef[0],
+        )
+
     def _build_vmult(self):
         p = self.part
         spec = P(p.axis_name)
 
         def body(x, cell_dofs, inc, interior, ghost_src, con, met, coef):
-            ex = (tuple(a[0] for a in ghost_src)
-                  if isinstance(ghost_src, tuple) else ghost_src[0])
-            arrays = (
-                cell_dofs[0], inc[0], interior[0], ex,
-                None if con is None else tuple(a[0] for a in con),
-                tuple(a[0] for a in met),
-                None if coef is None else coef[0],
-            )
+            arrays = self._unpack_shard(cell_dofs, inc, interior,
+                                        ghost_src, con, met, coef)
             return self._local_vmult(x[0], arrays)[None]
 
         sm = jax.shard_map(
@@ -579,14 +587,8 @@ class GeneralDistributedOperator:
 
         def body(v, diag, cell_dofs, inc, interior, owned, ghost_src,
                  con, met, coef):
-            ex = (tuple(a[0] for a in ghost_src)
-                  if isinstance(ghost_src, tuple) else ghost_src[0])
-            arrays = (
-                cell_dofs[0], inc[0], interior[0], ex,
-                None if con is None else tuple(a[0] for a in con),
-                tuple(a[0] for a in met),
-                None if coef is None else coef[0],
-            )
+            arrays = self._unpack_shard(cell_dofs, inc, interior,
+                                        ghost_src, con, met, coef)
             A = lambda u: self._local_vmult(u, arrays)
             inv_diag = jnp.where(diag[0] != 0, 1.0 / diag[0], 0.0)
             dot = self._ddot(owned[0])
@@ -642,14 +644,8 @@ class GeneralDistributedOperator:
 
         def body(b, diag, x0, th, dl, cell_dofs, inc, interior, owned,
                  ghost_src, con, met, coef):
-            ex = (tuple(a[0] for a in ghost_src)
-                  if isinstance(ghost_src, tuple) else ghost_src[0])
-            arrays = (
-                cell_dofs[0], inc[0], interior[0], ex,
-                None if con is None else tuple(a[0] for a in con),
-                tuple(a[0] for a in met),
-                None if coef is None else coef[0],
-            )
+            arrays = self._unpack_shard(cell_dofs, inc, interior,
+                                        ghost_src, con, met, coef)
             owned0 = owned[0]
             A = lambda v: self._local_vmult(v, arrays)
             inv_diag = jnp.where(diag[0] != 0, 1.0 / diag[0], 0.0)
