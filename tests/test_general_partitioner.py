@@ -155,6 +155,33 @@ def test_distributed_adaptive_chebyshev_cg():
     assert iters_d < iters_j
 
 
+def test_distributed_generic_functor_operators():
+    """The distributed FEEvaluation contract: a quad-point functor runs
+    the per-shard cell loop, matching the single-device GenericOperator
+    (mass and Helmholtz) on an adaptive mesh with hanging nodes."""
+    from tpufem.operators.generic import helmholtz_operator, mass_operator
+
+    _, dofs, mf = adaptive_setup(2, 2, 2, 1)
+    part = GeneralPartitioner.build(mf, 8)
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(dofs.n_dofs)
+
+    cases = [
+        (mass_operator(mf),
+         lambda vals, grads, ctx: (vals, None),
+         dict(needs_gradients=False)),
+        (helmholtz_operator(mf, alpha=1.0, beta=0.7),
+         lambda vals, grads, ctx: (vals, 0.7 * grads),
+         {}),
+    ]
+    for ref_op, qop, kw in cases:
+        y_ref = np.asarray(ref_op.vmult(jnp.asarray(x)))
+        dop = GeneralDistributedOperator(part, quad_op=qop, **kw)
+        y = part.to_global(np.asarray(dop.vmult(dop.put_vector(x))))
+        assert (np.linalg.norm(y - y_ref)
+                <= 1e-11 * np.linalg.norm(y_ref)), kw
+
+
 def test_uniform_mesh_also_works():
     """The general partitioner subsumes the slab case (any mesh)."""
     mesh = Mesh.hyper_cube(2, 3)

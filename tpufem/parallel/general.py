@@ -354,15 +354,27 @@ class GeneralDistributedOperator:
     """
 
     def __init__(self, part: GeneralPartitioner, device_mesh=None,
-                 exchange: str = "gather"):
+                 exchange: str = "gather", quad_op=None,
+                 needs_values: bool = True, needs_gradients: bool = True):
         """exchange: "gather" (all_gather of owned blocks — simple, used
         on the CPU test rig) or "a2a" (pairwise all_to_all of the padded
         per-pair lists — O(ghost) traffic riding ICI, the scalable path;
         the reference's per-neighbor cudaMemcpyPeerAsync, SURVEY.md §3.6).
+
+        quad_op: optional quadrature-point functor with the
+        ``operators.generic`` contract — (values, grads, ctx) ->
+        (submit_values, submit_grads) in physical space — making this
+        the DISTRIBUTED form of the FEEvaluation API (mass, Helmholtz,
+        any custom weak form); None keeps the built-in Laplace cell
+        kernel.  needs_values/needs_gradients prune the unused basis
+        transforms, as in ``make_cell_operator``.
         """
         if exchange not in ("gather", "a2a"):
             raise ValueError(f"unknown exchange scheme {exchange!r}")
         self.exchange = exchange
+        self.quad_op = quad_op
+        self._needs_v = needs_values and quad_op is not None
+        self._needs_g = needs_gradients or quad_op is None
         self.part = part
         self.mesh = (
             device_mesh if device_mesh is not None else part.device_mesh()
@@ -457,29 +469,81 @@ class GeneralDistributedOperator:
         return dot
 
     def _cell_apply(self, u_loc, met, coef):
-        """Per-shard sum-factorized cell kernel (SURVEY.md §3.4)."""
+        """Per-shard sum-factorized cell kernel (SURVEY.md §3.4).
+
+        quad_op=None: the fused Laplace form (coefficient folded into
+        the quadrature weights).  Otherwise the generic FEEvaluation
+        pipeline: eval -> physical -> functor -> weighted -> integrate.
+        """
         d = self.part.dim
         S, D, D_col, w_q = self._S, self._D, self._D_col, self._w_q
+        if self.quad_op is None:
+            if D_col is not None:
+                _, g = tops.eval_gradients_collocation(u_loc, S, D_col, d)
+            else:
+                g = tops.eval_gradients_basis(u_loc, S, D, d)
+            if self.part.metric_kind == "cartesian":
+                inv_h, det = met
+                scale = inv_h**2 * det[:, None]
+                t = g * scale[:, :, None] * w_q[None, None, :]
+                if coef is not None:
+                    t = t * coef[:, None, :]
+            else:
+                inv_jac, jxw = met
+                hp = jax.lax.Precision.HIGHEST
+                gp = jnp.einsum("cqba,cbq->caq", inv_jac, g, precision=hp)
+                w = jxw if coef is None else jxw * coef
+                t = jnp.einsum("cqba,caq->cbq", inv_jac,
+                               gp * w[:, None, :], precision=hp)
+            if D_col is not None:
+                return tops.integrate_collocation(None, t, S, D_col, d)
+            return tops.integrate_gradients_basis(t, S, D, d)
+
+        # generic quad-point functor (distributed FEEvaluation contract)
+        from tpufem.operators.generic import QuadContext
+
+        ctx = QuadContext(config=None, metric_kind=self.part.metric_kind,
+                          coef_q=coef)
+        vals = g_ref = None
         if D_col is not None:
-            _, g = tops.eval_gradients_collocation(u_loc, S, D_col, d)
+            if self._needs_g:
+                v, g_ref = tops.eval_gradients_collocation(u_loc, S,
+                                                           D_col, d)
+                vals = v if self._needs_v else None
+            else:
+                vals = tops.eval_values(u_loc, S, d)
         else:
-            g = tops.eval_gradients_basis(u_loc, S, D, d)
+            if self._needs_v:
+                vals = tops.eval_values(u_loc, S, d)
+            if self._needs_g:
+                g_ref = tops.eval_gradients_basis(u_loc, S, D, d)
+        hp = jax.lax.Precision.HIGHEST
         if self.part.metric_kind == "cartesian":
             inv_h, det = met
-            scale = inv_h**2 * det[:, None]
-            t = g * scale[:, :, None] * w_q[None, None, :]
-            if coef is not None:
-                t = t * coef[:, None, :]
+            jxw = det[:, None] * w_q[None, :]
+            grads = None if g_ref is None else g_ref * inv_h[:, :, None]
         else:
             inv_jac, jxw = met
-            hp = jax.lax.Precision.HIGHEST
-            gp = jnp.einsum("cqba,cbq->caq", inv_jac, g, precision=hp)
-            w = jxw if coef is None else jxw * coef
-            t = jnp.einsum("cqba,caq->cbq", inv_jac, gp * w[:, None, :],
-                           precision=hp)
+            grads = None if g_ref is None else jnp.einsum(
+                "cqba,cbq->caq", inv_jac, g_ref, precision=hp)
+        sv, sg = self.quad_op(vals, grads, ctx)
+        v_int = None if sv is None else sv * jxw
+        if sg is None:
+            g_int = None
+        elif self.part.metric_kind == "cartesian":
+            g_int = sg * inv_h[:, :, None] * jxw[:, None, :]
+        else:
+            g_int = jnp.einsum("cqba,caq->cbq", inv_jac,
+                               sg * jxw[:, None, :], precision=hp)
         if D_col is not None:
-            return tops.integrate_collocation(None, t, S, D_col, d)
-        return tops.integrate_gradients_basis(t, S, D, d)
+            return tops.integrate_collocation(v_int, g_int, S, D_col, d)
+        out = None
+        if v_int is not None:
+            out = tops.integrate_values(v_int, S, d)
+        if g_int is not None:
+            gi = tops.integrate_gradients_basis(g_int, S, D, d)
+            out = gi if out is None else out + gi
+        return out
 
     def _local_vmult(self, x, arrays):
         """Constrained apply on consistent local data -> consistent y."""
