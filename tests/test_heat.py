@@ -27,3 +27,23 @@ def test_heat_checkpoint_resume_exact(tmp_path):
     assert np.array_equal(resumed["u"], full["u"]), (
         "resume must be bitwise identical to the uninterrupted run"
     )
+
+
+def test_heat_distributed_matches_single(tmp_path):
+    """--shards: every step's mass apply + Helmholtz CG distributed over
+    8 devices — final state matches single-device to rounding, and a
+    distributed checkpoint resumes a distributed run exactly."""
+    single = run_heat(dim=2, degree=2, refine=3, dt=1e-3, steps=6)
+    dist = run_heat(dim=2, degree=2, refine=3, dt=1e-3, steps=6,
+                    shards=8)
+    rel = (np.linalg.norm(dist["u"] - single["u"])
+           / np.linalg.norm(single["u"]))
+    assert rel < 1e-10, rel
+    ck = str(tmp_path / "ck_dist.npz")
+    run_heat(dim=2, degree=2, refine=3, dt=1e-3, steps=3, shards=8,
+             checkpoint=ck, checkpoint_every=3)
+    resumed = run_heat(dim=2, degree=2, refine=3, dt=1e-3, steps=6,
+                       shards=8, resume=ck)
+    assert np.array_equal(resumed["u"], dist["u"]), (
+        "distributed resume must be bitwise identical"
+    )

@@ -33,7 +33,12 @@ from tpufem.utils.output import load_checkpoint, save_checkpoint
 def run_heat(
     dim=2, degree=2, refine=4, dt=1e-3, steps=20, dtype="float64",
     checkpoint=None, checkpoint_every=0, resume=None, rtol=None,
+    shards=None,
 ):
+    """shards: run every step's mass apply and Helmholtz solve
+    DISTRIBUTED over that many devices (GeneralDistributedOperator with
+    the mass/Helmholtz quad-point functors); state stays sharded across
+    steps, checkpoints are written/read in global numbering."""
     from tpufem.apps.poisson import _ensure_dtype
 
     _ensure_dtype(dtype)
@@ -73,26 +78,63 @@ def run_heat(
         # nodal interpolation of u0
         u = jnp.asarray(mask * u0_fn(dofs.dof_coords), jnp.dtype(dtype))
 
-    # device arrays as jit ARGUMENTS (platform rule: see
-    # MatrixFree.device_args)
-    solve = jax.jit(lambda dpa_, rhs, x0: cg_solve(
-        lambda v: A.vmult_with(dpa_, v), rhs, x0=x0, rtol=rtol))
+    if shards:
+        from tpufem.parallel.general import (
+            GeneralDistributedOperator,
+            GeneralPartitioner,
+        )
 
-    for n in range(start, steps):
-        rhs = mask * M.vmult_raw(u)
-        res = solve(A.device_args, rhs, u)
-        if not bool(res.converged):
-            import sys
+        part = GeneralPartitioner.build(mf, int(shards))
+        A_d = GeneralDistributedOperator(
+            part, quad_op=lambda vals, grads, ctx: (vals, dt * grads))
+        M_d = GeneralDistributedOperator(
+            part, quad_op=lambda vals, grads, ctx: (vals, None),
+            needs_gradients=False)
+        d_l = A_d.put_vector(np.ones(dofs.n_dofs))  # unpreconditioned
+        u_l = A_d.put_vector(np.asarray(u))
+        for n in range(start, steps):
+            # u is masked, so the constrained apply's identity part is 0
+            # and this equals mask * M.vmult_raw(u)
+            rhs_l = M_d.vmult(u_l)
+            res = A_d.cg_solve_local(rhs_l, d_l, x0_local=u_l, rtol=rtol)
+            if not bool(res.converged):
+                import sys
 
-            print(
-                f"WARNING: step {n}: CG did not converge "
-                f"(residual {float(res.residual):.3e})",
-                file=sys.stderr,
-            )
-        u = mask * res.x
-        if checkpoint and checkpoint_every and (n + 1) % checkpoint_every == 0:
-            save_checkpoint(checkpoint, u=np.asarray(u),
-                            step=np.int64(n + 1), **meta)
+                print(
+                    f"WARNING: step {n}: distributed CG did not converge "
+                    f"(residual {float(res.residual):.3e})",
+                    file=sys.stderr,
+                )
+            u_l = res.x
+            if (checkpoint and checkpoint_every
+                    and (n + 1) % checkpoint_every == 0):
+                save_checkpoint(
+                    checkpoint, u=part.to_global(np.asarray(u_l)),
+                    step=np.int64(n + 1), **meta)
+        u = jnp.asarray(part.to_global(np.asarray(u_l)),
+                        jnp.dtype(dtype))
+    else:
+        # device arrays as jit ARGUMENTS (platform rule: see
+        # MatrixFree.device_args)
+        solve = jax.jit(lambda dpa_, rhs, x0: cg_solve(
+            lambda v: A.vmult_with(dpa_, v), rhs, x0=x0, rtol=rtol))
+
+        for n in range(start, steps):
+            rhs = mask * M.vmult_raw(u)
+            res = solve(A.device_args, rhs, u)
+            if not bool(res.converged):
+                import sys
+
+                print(
+                    f"WARNING: step {n}: CG did not converge "
+                    f"(residual {float(res.residual):.3e})",
+                    file=sys.stderr,
+                )
+            u = mask * res.x
+            if (checkpoint and checkpoint_every
+                    and (n + 1) % checkpoint_every == 0):
+                save_checkpoint(checkpoint, u=np.asarray(u),
+                                step=np.int64(n + 1), **meta)
     t_end = steps * dt
     exact = lambda x: np.exp(-lam * t_end) * u0_fn(x)
     err = integrate_difference(dofs, np.asarray(u, np.float64), exact)
@@ -113,6 +155,9 @@ def main(argv=None):
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--checkpoint-every", type=int, default=0)
     ap.add_argument("--resume", default=None)
+    ap.add_argument("--shards", type=int, default=None,
+                    help="distribute every step (mass apply + Helmholtz "
+                         "CG) over this many devices")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
     if args.cpu:
@@ -121,6 +166,7 @@ def main(argv=None):
         dim=args.dim, degree=args.degree, refine=args.refine, dt=args.dt,
         steps=args.steps, dtype=args.dtype, checkpoint=args.checkpoint,
         checkpoint_every=args.checkpoint_every, resume=args.resume,
+        shards=args.shards,
     )
     print(f"dofs: {r['n_dofs']}  steps: {r['steps']}  t_end: {r['t_end']}")
     print(f"L2 error vs analytic decay: {r['l2_error']:.6e}")

@@ -420,6 +420,7 @@ class GeneralDistributedOperator:
         )
         self._w_q = None if p.w_q is None else jnp.asarray(p.w_q.astype(dt))
         self._vmult = None  # built lazily (jit cache)
+        self._solvers: dict = {}  # jitted CG programs per (rtol, ...)
 
     # -- shard-local building blocks (called inside shard_map) ---------
     def _update_ghosts(self, x, ex):
@@ -689,16 +690,33 @@ class GeneralDistributedOperator:
         exchange ghosts but do no dots — fewer cross-shard psums per
         digit of convergence.  Returns (x_global, iterations, residual).
         """
+        p = self.part
+        b_l = self.put_vector(b_global)
+        d_l = self.put_vector(np.asarray(diag_global))
+        x0_l = (None if x0_global is None
+                else self.put_vector(x0_global))
+        res = self.cg_solve_local(b_l, d_l, x0_local=x0_l, rtol=rtol,
+                                  maxiter=maxiter, precond=precond,
+                                  cheb_degree=cheb_degree,
+                                  cheb_params=cheb_params,
+                                  diag_global=diag_global)
+        x_global = p.to_global(np.asarray(res.x))
+        return x_global, int(res.iterations), float(res.residual)
+
+    def cg_solve_local(self, b_local, diag_local, x0_local=None,
+                       rtol: float = 1e-10, maxiter: int = 10000,
+                       precond: str = "jacobi", cheb_degree: int = 4,
+                       cheb_params=None, diag_global=None):
+        """``cg_solve`` on stacked LOCAL vectors, returning a CGResult
+        with the local solution — for callers that keep state sharded
+        across many solves (e.g. time stepping).  The jitted program is
+        CACHED per (rtol, maxiter, precond, degree): repeated calls do
+        not retrace."""
         if precond not in ("jacobi", "chebyshev"):
             raise ValueError(f"precond must be 'jacobi' or 'chebyshev', "
                              f"got {precond!r}")
         p = self.part
         spec = P(p.axis_name)
-        b_l = self.put_vector(b_global)
-        d_l = self.put_vector(np.asarray(diag_global))
-        x0_l = self.put_vector(
-            np.zeros(p.n_dofs) if x0_global is None else x0_global
-        )
 
         from tpufem.solvers.cg import CGResult
         from tpufem.solvers.chebyshev import (
@@ -706,41 +724,47 @@ class GeneralDistributedOperator:
             chebyshev_smooth,
         )
 
-        def body(b, diag, x0, th, dl, cell_dofs, inc, interior, owned,
-                 ghost_src, con, met, coef):
-            arrays = self._unpack_shard(cell_dofs, inc, interior,
-                                        ghost_src, con, met, coef)
-            owned0 = owned[0]
-            A = lambda v: self._local_vmult(v, arrays)
-            inv_diag = jnp.where(diag[0] != 0, 1.0 / diag[0], 0.0)
-            if precond == "chebyshev":
-                cp = ChebyshevParams(th, dl, cheb_degree)
-                M_inv = lambda r: chebyshev_smooth(A, inv_diag, cp, r)
-            else:
-                M_inv = lambda r: inv_diag * r
-            res = cg_solve(
-                A, b[0],
-                M_inv=M_inv,
-                x0=x0[0], rtol=rtol, maxiter=maxiter,
-                dot=self._ddot(owned0),
-            )
-            return CGResult(res.x[None], res.iterations, res.residual,
-                            res.converged)
+        key = (float(rtol), int(maxiter), precond,
+               cheb_degree if precond == "chebyshev" else 0)
+        if key not in self._solvers:
 
-        sm = jax.jit(jax.shard_map(
-            body,
-            mesh=self.mesh,
-            in_specs=(spec,) * 3 + (P(), P()) + (spec,) * 8,
-            out_specs=CGResult(spec, P(), P(), P()),
-        ))
+            def body(b, diag, x0, th, dl, cell_dofs, inc, interior,
+                     owned, ghost_src, con, met, coef):
+                arrays = self._unpack_shard(cell_dofs, inc, interior,
+                                            ghost_src, con, met, coef)
+                owned0 = owned[0]
+                A = lambda v: self._local_vmult(v, arrays)
+                inv_diag = jnp.where(diag[0] != 0, 1.0 / diag[0], 0.0)
+                if precond == "chebyshev":
+                    cp = ChebyshevParams(th, dl, cheb_degree)
+                    M_inv = lambda r: chebyshev_smooth(A, inv_diag, cp, r)
+                else:
+                    M_inv = lambda r: inv_diag * r
+                res = cg_solve(
+                    A, b[0],
+                    M_inv=M_inv,
+                    x0=x0[0], rtol=rtol, maxiter=maxiter,
+                    dot=self._ddot(owned0),
+                )
+                return CGResult(res.x[None], res.iterations,
+                                res.residual, res.converged)
+
+            self._solvers[key] = jax.jit(jax.shard_map(
+                body,
+                mesh=self.mesh,
+                in_specs=(spec,) * 3 + (P(), P()) + (spec,) * 8,
+                out_specs=CGResult(spec, P(), P(), P()),
+            ))
         th = dl = jnp.zeros((), self._interior.dtype)
         if precond == "chebyshev":
             if cheb_params is None:
-                cheb_params = self.cheb_params(diag_global,
-                                               degree=cheb_degree)
+                dg = (diag_global if diag_global is not None
+                      else p.to_global(np.asarray(diag_local)))
+                cheb_params = self.cheb_params(dg, degree=cheb_degree)
             th, dl = cheb_params.theta, cheb_params.delta
-        res = sm(b_l, d_l, x0_l, th, dl, self._cell_dofs, self._inc,
-                 self._interior, self._owned, self._ghost_src, self._con,
-                 self._met, self._coef)
-        x_global = p.to_global(np.asarray(res.x))
-        return x_global, int(res.iterations), float(res.residual)
+        if x0_local is None:
+            x0_local = jnp.zeros_like(b_local)
+        return self._solvers[key](
+            b_local, diag_local, x0_local, th, dl, self._cell_dofs,
+            self._inc, self._interior, self._owned, self._ghost_src,
+            self._con, self._met, self._coef)
