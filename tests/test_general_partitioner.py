@@ -182,6 +182,26 @@ def test_distributed_generic_functor_operators():
                 <= 1e-11 * np.linalg.norm(y_ref)), kw
 
 
+def test_distributed_generic_functor_curved_metric():
+    """The functor path's GENERAL-metric branch (inv_jac/jxw transforms)
+    on a curved shell mesh."""
+    from tpufem.operators.generic import helmholtz_operator
+
+    mesh = Mesh.hyper_shell_2d(3)
+    dofs = DoFHandler(mesh, 2)
+    mf = MatrixFree.build(mesh, dofs, FemConfig(2, 2, scatter="incidence"))
+    part = GeneralPartitioner.build(mf, 8)
+    assert part.metric_kind == "general"
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal(dofs.n_dofs)
+    y_ref = np.asarray(helmholtz_operator(mf, 1.0, 0.3).vmult(
+        jnp.asarray(x)))
+    dop = GeneralDistributedOperator(
+        part, quad_op=lambda vals, grads, ctx: (vals, 0.3 * grads))
+    y = part.to_global(np.asarray(dop.vmult(dop.put_vector(x))))
+    assert np.linalg.norm(y - y_ref) <= 1e-11 * np.linalg.norm(y_ref)
+
+
 def test_uniform_mesh_also_works():
     """The general partitioner subsumes the slab case (any mesh)."""
     mesh = Mesh.hyper_cube(2, 3)
