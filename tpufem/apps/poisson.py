@@ -96,6 +96,7 @@ class PoissonResult:
     solution: np.ndarray
     dofs: object = None  # DoFHandler (for output writers)
     h1_error: float | None = None  # H1 seminorm, with --h1
+    eta: float | None = None  # global Kelly estimate (AMR loop)
 
 
 def solve_poisson(
@@ -115,6 +116,7 @@ def solve_poisson(
     precond: str = "jacobi",
     h1: bool = False,
     mesh_kind: str = "cube",
+    mesh: Mesh | None = None,
 ) -> PoissonResult:
     _ensure_dtype(dtype)
     if h1 and exact is not None:
@@ -131,7 +133,9 @@ def solve_poisson(
         # f32 CG cannot reach f64-grade residuals; pick a reachable default
         rtol = 1e-10 if dtype == "float64" else 1e-6
     t0 = time.perf_counter()
-    if mesh_kind == "shell":
+    if mesh is not None:
+        pass  # caller-provided mesh (the AMR loop); refine/kind ignored
+    elif mesh_kind == "shell":
         # GridGenerator::hyper_shell analogue (SURVEY.md §3.1) — the
         # curved/general-metric path; the default manufactured solution
         # is valid on any domain (physical coords, inhomogeneous
@@ -379,6 +383,47 @@ def _solve_poisson_boxes(mesh, dofs, constraints, coefficient, dtype,
     )
 
 
+def solve_poisson_amr(
+    dim: int = 2,
+    degree: int = 1,
+    refine: int = 2,
+    cycles: int = 5,
+    fraction: float = 0.3,
+    mesh_kind: str = "cube",
+    exact=None,
+    rhs=None,
+    **kwargs,
+):
+    """Solve -> estimate -> mark -> refine AMR loop (deal.II step-6
+    workflow; the reference repo only refines by a fixed geometric
+    criterion, SURVEY.md §3.1 — this closes that loop with the Kelly
+    indicator of ``tpufem.fem.estimator``).
+
+    Runs ``cycles`` solves, refining the top ``fraction`` of cells by
+    Kelly indicator between them.  Returns the list of PoissonResults
+    (one per cycle) with ``result.eta`` set to the global estimator
+    value sqrt(sum eta_K^2).  kwargs pass through to solve_poisson
+    (scatter/precond/dtype/shards/...).
+    """
+    from tpufem.fem.estimator import kelly_estimate, mark_fixed_fraction
+
+    if mesh_kind == "shell":
+        mesh = (Mesh.hyper_shell_2d(refine) if dim == 2
+                else Mesh.hyper_shell_3d(refine))
+    else:
+        mesh = Mesh.hyper_cube(dim, refine)
+    results = []
+    for cycle in range(cycles):
+        r = solve_poisson(dim=dim, degree=degree, mesh=mesh,
+                          exact=exact, rhs=rhs, **kwargs)
+        eta = kelly_estimate(r.dofs, r.solution.astype(np.float64))
+        r.eta = float(np.sqrt((eta**2).sum()))
+        results.append(r)
+        if cycle < cycles - 1:
+            mesh = mesh.refine(mark_fixed_fraction(eta, fraction))
+    return results
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--dim", type=int, default=2)
@@ -393,6 +438,12 @@ def main(argv=None):
                              "dense", "separable", "boxes"])
     ap.add_argument("--dtype", default="float64")
     ap.add_argument("--adaptive-steps", type=int, default=0)
+    ap.add_argument("--amr", type=int, default=0, metavar="CYCLES",
+                    help="solve->estimate->mark->refine loop: run CYCLES "
+                         "solves, refining by Kelly indicator between "
+                         "them (step-6 analogue)")
+    ap.add_argument("--amr-fraction", type=float, default=0.3,
+                    help="fraction of cells refined per AMR cycle")
     ap.add_argument("--shards", default=None,
                     help="distributed solve over a device mesh: "
                          "'4' (z slabs) or '2x4' (z x y, 3D) — the "
@@ -427,6 +478,35 @@ def main(argv=None):
     if args.shards:
         parts = [int(x) for x in str(args.shards).lower().split("x")]
         shards = (parts[0], 1) if len(parts) == 1 else tuple(parts[:2])
+    if args.amr:
+        rs = solve_poisson_amr(
+            dim=args.dim, degree=args.degree, refine=args.refine,
+            cycles=args.amr, fraction=args.amr_fraction,
+            mesh_kind=args.mesh, scatter=args.scatter, dtype=args.dtype,
+            use_pallas=args.pallas, shards=shards, precond=args.precond,
+            h1=args.h1,
+        )
+        if args.json:
+            for c, r in enumerate(rs):
+                line = {"cycle": c, "n_cells": r.n_cells,
+                        "n_dofs": r.n_dofs, "iterations": r.iterations,
+                        "l2_error": r.l2_error, "eta": r.eta,
+                        "solve_time": r.solve_time}
+                if r.h1_error is not None:
+                    line["h1_error"] = r.h1_error
+                print(json.dumps(line))
+        else:
+            print(f"{'cycle':>5} {'cells':>9} {'dofs':>10} {'iters':>6} "
+                  f"{'L2 error':>12} {'eta':>12}")
+            for c, r in enumerate(rs):
+                print(f"{c:>5} {r.n_cells:>9} {r.n_dofs:>10} "
+                      f"{r.iterations:>6} {r.l2_error:>12.4e} "
+                      f"{r.eta:>12.4e}")
+        if args.vtu:
+            from tpufem.utils.output import write_vtu
+
+            write_vtu(args.vtu, rs[-1].dofs, {"u": rs[-1].solution})
+        return None
     r = solve_poisson(
         dim=args.dim, degree=args.degree, refine=args.refine,
         scatter=args.scatter, dtype=args.dtype,
