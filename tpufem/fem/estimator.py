@@ -199,3 +199,20 @@ def mark_fixed_fraction(eta: np.ndarray, fraction: float = 0.3
     n = max(1, int(np.ceil(fraction * len(eta))))
     thresh = np.partition(eta, -n)[-n]
     return eta >= max(thresh, 1e-300)
+
+
+def mark_refine_and_coarsen(eta: np.ndarray, refine_fraction: float = 0.3,
+                            coarsen_fraction: float = 0.0
+                            ) -> tuple[np.ndarray, np.ndarray]:
+    """(refine_flags, coarsen_flags): top ``refine_fraction`` of cells by
+    indicator refined, bottom ``coarsen_fraction`` coarsened — the full
+    GridRefinement::refine_and_coarsen_fixed_number analogue.  Coarsen
+    flags are wishes: Mesh.coarsen merges only complete sibling groups."""
+    refine = mark_fixed_fraction(eta, refine_fraction)
+    coarsen = np.zeros(len(eta), dtype=bool)
+    if coarsen_fraction > 0.0:
+        n = int(coarsen_fraction * len(eta))
+        if n > 0:
+            thresh = np.partition(eta, n - 1)[n - 1]
+            coarsen = (eta <= thresh) & ~refine
+    return refine, coarsen

@@ -71,6 +71,21 @@ class Mesh:
         # matrices from (tpufem.ops.separable.global_1d_weighted).
         self.separable_metric = None
 
+    def _like(self, origins: np.ndarray, sizes: np.ndarray,
+              max_level: int) -> "Mesh":
+        """New Mesh with the same domain/map but different cells.
+
+        Carries ``transform_jac`` / ``separable_metric`` (attributes set
+        after __init__) — without this every refine/coarsen/balance pass
+        silently dropped the exact mapping geometry and downstream
+        metric/estimator code fell back to the Q1 multilinear map.
+        """
+        m = Mesh(self.dim, self.nbase, max_level, origins, sizes,
+                 self.lower, self.upper, self.transform)
+        m.transform_jac = self.transform_jac
+        m.separable_metric = self.separable_metric
+        return m
+
     # ------------------------------------------------------------------
     @property
     def n_cells(self) -> int:
@@ -275,10 +290,43 @@ class Mesh:
             new_sizes.append(np.repeat(par_s // 2, 2**d))
         origins = np.concatenate(new_origins, axis=0)
         sizes = np.concatenate(new_sizes, axis=0)
-        m = Mesh(
-            d, self.nbase, max_level, origins, sizes,
-            self.lower, self.upper, self.transform,
-        )
+        m = self._like(origins, sizes, max_level)
+        return m._balance()._normalized()
+
+    def coarsen(self, flags: np.ndarray) -> "Mesh":
+        """Merge flagged sibling groups back into their parents.
+
+        deal.II ``coarsen_flag`` semantics (execute_coarsening): a group
+        of 2^dim same-size siblings merges only if EVERY sibling is
+        flagged; merges that would violate 2:1 balance are undone by the
+        balance pass (net effect: vetoed).  Cells can coarsen at most
+        one level per call.
+        """
+        flags = np.asarray(flags, dtype=bool)
+        if flags.shape != (self.n_cells,):
+            raise ValueError("flags must have one entry per cell")
+        d = self.dim
+        base = 1 << self.max_level  # base-cell edge in units
+        s2 = 2 * self.sizes
+        eligible = flags & (s2 <= base)
+        # group by (parent origin, parent size); a parent region holds at
+        # most 2^d same-size children, so count==2^d <=> complete group
+        par_o = (self.origins // s2[:, None]) * s2[:, None]
+        lev = np.log2(self.sizes).astype(np.int64)  # sizes are powers of 2
+        key = _pack_coords(par_o, self.U + 1) * (self.max_level + 2) + lev
+        uk, inv = np.unique(key, return_inverse=True)
+        counts = np.bincount(inv, weights=eligible.astype(np.int64))
+        merged = counts[inv] == 2**d  # all 2^d siblings flagged
+        if not merged.any():
+            return self
+        keep_o = [self.origins[~merged]]
+        keep_s = [self.sizes[~merged]]
+        # one parent per merged group
+        gk, first = np.unique(inv[merged], return_index=True)
+        keep_o.append(par_o[merged][first])
+        keep_s.append(s2[merged][first])
+        m = self._like(np.concatenate(keep_o), np.concatenate(keep_s),
+                       self.max_level)
         return m._balance()._normalized()
 
     def _balance(self) -> "Mesh":
@@ -307,11 +355,8 @@ class Mesh:
         ch_o = par_o[:, None, :] + (par_s[:, None, None] // 2) * child[None]
         new_o.append(ch_o.reshape(-1, d))
         new_s.append(np.repeat(par_s // 2, 2**d))
-        return Mesh(
-            d, self.nbase, max_level,
-            np.concatenate(new_o), np.concatenate(new_s),
-            self.lower, self.upper, self.transform,
-        )
+        return self._like(np.concatenate(new_o), np.concatenate(new_s),
+                          max_level)
 
     def _unbalanced_cells(self) -> np.ndarray:
         """Cells with a (closed-bbox-)touching neighbor more than 2x smaller.
@@ -366,10 +411,7 @@ class Mesh:
             max_level -= 1
         key = _pack_coords(origins, self.nbase * (1 << max_level) + 1)
         order = np.lexsort((key, -sizes))
-        return Mesh(
-            self.dim, self.nbase, max_level, origins[order], sizes[order],
-            self.lower, self.upper, self.transform,
-        )
+        return self._like(origins[order], sizes[order], max_level)
 
 
 def _corner_offsets(dim: int) -> np.ndarray:
