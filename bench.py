@@ -95,6 +95,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tpufem.utils.cache import enable_persistent_cache
+
+# the JAX_COMPILATION_CACHE_DIR env var is ignored on this machine; the
+# config API works (measured) — without this every driver bench run is
+# cache-cold
+enable_persistent_cache()
+
 if _want_cpu:
     # the axon TPU plugin ignores JAX_PLATFORMS; this always works
     jax.config.update("jax_platforms", "cpu")

@@ -16,6 +16,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 
 import jax
 import jax.numpy as jnp
+
+from tpufem.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 import numpy as np
 
 
