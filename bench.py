@@ -345,9 +345,11 @@ def main():
             b = jnp.asarray(mask * rng.standard_normal(dofs.n_dofs),
                             jnp.dtype(dtype))
             inv_diag = 1.0 / diag
+            # track_best=False: see the resident section note
             solve = jax.jit(lambda dp_, id_, b_: cg_solve(
                 lambda v: op_s.vmult_with(dp_, v), b_,
-                M_inv=lambda r: id_ * r, rtol=solve_rtol))
+                M_inv=lambda r: id_ * r, rtol=solve_rtol,
+                track_best=False))
             sargs = (op_s.device_args, inv_diag)
             int(solve(*sargs, b).iterations)  # compile+warm, D2H sync
             t0 = time.perf_counter()
@@ -378,8 +380,15 @@ def main():
             from tpufem.solvers.cg import cg_solve
             from tpufem.solvers.multigrid import GeometricMultigrid
 
+            # pallas_mode='bf16' puts the RESIDENT kernel (section 4) on
+            # the bf16x3 x-matmul (~3e-6 operator class, measured same
+            # iteration counts as f32 at rtol 1e-5 —
+            # scripts/resident_mask_lab.py); the flat solve lines in THIS
+            # section use the pad/unpad kernel, which ignores the mode.
+            # pallas_dirichlet defaults to auto -> fused boundary mask.
             mg = GeometricMultigrid(3, 4, refine, coarsest_refine=1,
-                                    dtype=dtype, use_pallas=True)
+                                    dtype=dtype, use_pallas=True,
+                                    pallas_mode="bf16")
             rng = np.random.default_rng(7)
             mask = np.asarray(mg.fine.mask, np.float64)
             nd = mg.fine.mf.n_dofs
@@ -429,11 +438,15 @@ def main():
 
             op_r = mg.fine.op
             diag_r = mg.fine.op.diagonal()
+            # track_best=False: drop the best-iterate carry (~0.4 ms/iter
+            # of HBM traffic, measured scripts/cg_blas1_lab.py) — a
+            # converging solve returns the identical result
             int(resident_jacobi_cg(
-                op_r, b, diag=diag_r, rtol=solve_rtol).iterations)
+                op_r, b, diag=diag_r, rtol=solve_rtol,
+                track_best=False).iterations)
             t0 = time.perf_counter()
             res = resident_jacobi_cg(op_r, b, diag=diag_r,
-                                     rtol=solve_rtol)
+                                     rtol=solve_rtol, track_best=False)
             iters = int(res.iterations)
             dt = time.perf_counter() - t0
             emit({"metric": "3d_q4_jacobi_cg_solve_resident",
@@ -448,12 +461,14 @@ def main():
             err_line("3d_q4_jacobi_cg_solve_resident", e, unit="s")
         try:
             vals = []
-            int(resident_gmg_cg(mg, b, rtol=solve_rtol).iterations)
+            int(resident_gmg_cg(mg, b, rtol=solve_rtol,
+                                track_best=False).iterations)
             for _ in range(3):
                 if left() < 60:
                     break
                 t0 = time.perf_counter()
-                res = resident_gmg_cg(mg, b, rtol=solve_rtol)
+                res = resident_gmg_cg(mg, b, rtol=solve_rtol,
+                                      track_best=False)
                 iters = int(res.iterations)
                 vals.append(round(time.perf_counter() - t0, 4))
             if vals:

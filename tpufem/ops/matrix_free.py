@@ -272,8 +272,9 @@ class MatrixFree:
                         interpret=interp,
                     ),)
                     if d == 3:
-                        if config.pallas_dirichlet and not np.array_equal(
-                                constrained_mask, dofs.boundary_mask):
+                        plain_mask = np.array_equal(
+                            constrained_mask, dofs.boundary_mask)
+                        if config.pallas_dirichlet and not plain_mask:
                             # the fused kernel bakes the FULL-boundary
                             # separable mask in; any other constraint set
                             # would be silently mis-masked
@@ -281,11 +282,15 @@ class MatrixFree:
                                 "pallas_dirichlet=True requires the plain "
                                 "full-boundary Dirichlet mask (no extra "
                                 "constraints / custom constrained_mask)")
+                        # None = auto: fuse exactly when representable
+                        fuse_mask = (plain_mask
+                                     if config.pallas_dirichlet is None
+                                     else config.pallas_dirichlet)
                         try:
                             kwargs_res = dict(
                                 mode=config.pallas_mode,
                                 interpret=interp,
-                                dirichlet=config.pallas_dirichlet)
+                                dirichlet=fuse_mask)
                             resident = ResidentSeparable(
                                 uniform_n * p + 1, p, Ks_np, Ms_np,
                                 dtype, **kwargs_res)

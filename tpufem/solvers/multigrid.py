@@ -103,7 +103,7 @@ class GeometricMultigrid:
         nbase: int = 1,
         use_pallas: bool = False,
         pallas_mode: str = "f32",
-        pallas_dirichlet: bool = False,
+        pallas_dirichlet: bool | None = None,
     ):
         if coarsest_refine > finest_refine:
             raise ValueError("coarsest_refine must be <= finest_refine")

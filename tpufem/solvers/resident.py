@@ -32,9 +32,9 @@ def _dot3(a, b):
 # ResidentSeparable instance) — a fresh closure per solve call would
 # RECOMPILE the whole program every time (minutes on the flagship)
 @partial(jax.jit, static_argnames=("raw", "rtol", "maxiter", "sdt",
-                                   "fused_mask"))
+                                   "fused_mask", "track_best"))
 def _jacobi_solve(raw, m, inv_diag, bp, x0p, rtol, maxiter, sdt,
-                  fused_mask=False):
+                  fused_mask=False, track_best=None):
     # bf16s kernels: the search direction is STORED in the kernel's bf16
     # layout (p_dtype) so the kernel DMAs half the bytes, but x and r
     # stay in the compute dtype — quantizing them too leaves the TRUE
@@ -61,7 +61,7 @@ def _jacobi_solve(raw, m, inv_diag, bp, x0p, rtol, maxiter, sdt,
 
     res = cg_solve(A, bp, M_inv=lambda r: inv_diag * r, x0=x0p,
                    rtol=rtol, maxiter=maxiter, dot=_dot3,
-                   p_dtype=p_dtype)
+                   p_dtype=p_dtype, track_best=track_best)
     if p_dtype is None:
         return res
     rt = bp - A(res.x)
@@ -77,8 +77,14 @@ def resident_jacobi_cg(
     rtol: float = 1e-5,
     maxiter: int = 10000,
     x0=None,
+    track_best: bool | None = None,
 ):
     """Jacobi-preconditioned CG with solver-resident vectors.
+
+    ``track_best``: forwarded to :func:`cg_solve` (None = its default:
+    on when stall detection is active).  False drops the best-iterate
+    carry — ~0.4 ms/iteration of HBM traffic on the flagship — and a
+    stall exit then returns the final iterate instead.
 
     op: a ``LaplaceOperator`` whose MatrixFree carries a resident kernel
     (3D separable + use_pallas).  b/diag/x0 are flat (n_dofs,) vectors;
@@ -100,7 +106,8 @@ def resident_jacobi_cg(
 
     res = _jacobi_solve(rk.raw, m, inv_diag, bp, x0p, rtol, maxiter,
                         str(jnp.dtype(rk.dt)),
-                        fused_mask=getattr(rk, "dirichlet", False))
+                        fused_mask=getattr(rk, "dirichlet", False),
+                        track_best=track_best)
     return CGResult(rk.unpad(res.x), res.iterations, res.residual,
                     res.converged)
 
@@ -110,6 +117,7 @@ def resident_gmg_cg(
     b,
     rtol: float = 1e-5,
     maxiter: int = 10000,
+    track_best: bool | None = None,
 ):
     """GMG-preconditioned CG with the fine level solver-resident.
 
@@ -121,7 +129,7 @@ def resident_gmg_cg(
     # call would recompile the whole V-cycle program every time.  All
     # device arrays (rdp) enter the jitted program as ARGUMENTS
     # (platform rule, see MatrixFree.device_args).
-    key = (rtol, maxiter, id(mg.fine.mf.resident))
+    key = (rtol, maxiter, track_best, id(mg.fine.mf.resident))
     cache = getattr(mg, "_resident_cg_cache", None)
     if cache is None or cache[0] != key:
         ctx = mg.resident_context()
@@ -134,7 +142,8 @@ def resident_gmg_cg(
         solve = jax.jit(lambda rdp_, bp_: cg_solve(
             lambda gp: A(rdp_, gp), bp_,
             M_inv=lambda r: m_inv(rdp_, r),
-            rtol=rtol, maxiter=maxiter, dot=_dot3))
+            rtol=rtol, maxiter=maxiter, dot=_dot3,
+            track_best=track_best))
         mg._resident_cg_cache = (key, solve, rk, rdp)
     _, solve, rk, rdp = mg._resident_cg_cache
     bp = rk.pad(jnp.asarray(b, rk.dt))

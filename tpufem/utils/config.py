@@ -35,8 +35,13 @@ class FemConfig:
     pallas_mode: str = "f32"
     # fuse the hyper_cube Dirichlet mask algebra y = m·A(m·x) + (1-m)·x
     # into the resident kernel (separable iota masks, saves 2 HBM
-    # elementwise passes per apply in the resident CG loop)
-    pallas_dirichlet: bool = False
+    # elementwise passes per apply in the resident CG loop; measured
+    # 1.15x on the flagship resident Jacobi-CG, identical iteration
+    # counts — scripts/resident_mask_lab.py).  None = auto: fuse exactly
+    # when the constraint set is the plain full-boundary Dirichlet mask
+    # (the only mask the separable iota factorization can represent);
+    # True raises if it is not.
+    pallas_dirichlet: bool | None = None
 
     def __post_init__(self):
         if self.dim not in (2, 3):
