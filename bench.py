@@ -488,33 +488,13 @@ def main():
         skip("3d_q4_jacobi_cg_solve_resident", "budget or no GMG state")
         skip("3d_q4_gmg_cg_solve_resident", "budget or no GMG state")
 
-    # ---- 5. secondary apply tiers (attribution only — AFTER solves) ----
-    tier_specs = [("separable", False)]
-    if on_tpu:
-        tier_specs.append(("structured", False))
-    for scheme, pallas in tier_specs:
-        name = scheme + ("+pallas" if pallas else "")
-        if left() < 150:
-            skip(f"apply_{name}", "budget")
-            continue
-        try:
-            _, dofs, _, op, _ = _flagship(dtype, refine, scheme, pallas)
-            x = jnp.ones(dofs.n_dofs, jnp.dtype(dtype))
-            dp = op.device_args
-            gd, _, _ = chain_rate(lambda v: op.vmult_raw_with(dp, v), x,
-                               dofs.n_dofs)
-            tiers[name] = round(gd, 4)
-            apply_line(f"apply_{name}", gd, name, dofs.n_dofs)
-            del op, x, dp
-            gc.collect()
-        except Exception as e:
-            tier_errors[name] = f"{type(e).__name__}: {e}"[:300]
-            err_line(f"apply_{name}", e)
-
-    # ---- 6. adaptive-mesh apply (BASELINE config 4) --------------------
+    # ---- 5. adaptive-mesh apply (BASELINE config 4) --------------------
+    # (BASELINE deliverables 5-7 run BEFORE the secondary apply tiers:
+    # the round-3 dry run showed the two attribution-only tiers eating
+    # the last 100 s and budget-skipping all three of these lines)
     from tpufem.apps import bmop
 
-    if left() > 150:
+    if left() > 90:
         try:
             rec = bmop.bench_adaptive(
                 3, 4 if on_tpu else 2, 4 if on_tpu else 2, 2, dtype,
@@ -529,11 +509,26 @@ def main():
     else:
         skip("3d_adaptive_hanging_nodes_apply", "budget")
 
-    # ---- 6b. adaptive whole solves: Jacobi-CG vs adaptive GMG-CG -------
-    # (the poisson_mg analogue for adaptive meshes; gated on a generous
-    # budget remainder — the V-cycle program over every forest level is
-    # the largest compile in this file)
-    if left() > 200:
+    # ---- 6. curved-geometry apply (3D shell) ---------------------------
+    if left() > 90:
+        try:
+            rec = bmop.bench_curved(3, 4 if on_tpu else 2,
+                                    5 if on_tpu else 1, dtype,
+                                    reps=N_CHAIN if on_tpu else 2)
+            apply_line("3d_shell_curved_apply", rec["gdofs_per_s"],
+                       rec["scheme"], rec["n_dofs"],
+                       extra={"degree": rec["degree"],
+                              "tiers_gdofs": rec["tiers_gdofs"]})
+        except Exception as e:
+            err_line("3d_shell_curved_apply", e)
+    else:
+        skip("3d_shell_curved_apply", "budget")
+
+    # ---- 7. adaptive whole solves: Jacobi-CG vs adaptive GMG-CG -------
+    # (the poisson_mg analogue for adaptive meshes; the V-cycle program
+    # over every forest level is the largest compile in this file, but
+    # the watchdog guarantees a clean exit if it overruns)
+    if left() > 120:
         try:
             rec = bmop.bench_adaptive_solve(
                 3, 4 if on_tpu else 2, 4 if on_tpu else 2, 2, dtype)
@@ -553,20 +548,28 @@ def main():
     else:
         skip("3d_adaptive_gmg_cg_solve", "budget")
 
-    # ---- 7. curved-geometry apply (3D shell) ---------------------------
-    if left() > 150:
+    # ---- 8. secondary apply tiers (attribution only — LAST) ------------
+    tier_specs = [("separable", False)]
+    if on_tpu:
+        tier_specs.append(("structured", False))
+    for scheme, pallas in tier_specs:
+        name = scheme + ("+pallas" if pallas else "")
+        if left() < 60:
+            skip(f"apply_{name}", "budget")
+            continue
         try:
-            rec = bmop.bench_curved(3, 4 if on_tpu else 2,
-                                    5 if on_tpu else 1, dtype,
-                                    reps=N_CHAIN if on_tpu else 2)
-            apply_line("3d_shell_curved_apply", rec["gdofs_per_s"],
-                       rec["scheme"], rec["n_dofs"],
-                       extra={"degree": rec["degree"],
-                              "tiers_gdofs": rec["tiers_gdofs"]})
+            _, dofs, _, op, _ = _flagship(dtype, refine, scheme, pallas)
+            x = jnp.ones(dofs.n_dofs, jnp.dtype(dtype))
+            dp = op.device_args
+            gd, _, _ = chain_rate(lambda v: op.vmult_raw_with(dp, v), x,
+                               dofs.n_dofs)
+            tiers[name] = round(gd, 4)
+            apply_line(f"apply_{name}", gd, name, dofs.n_dofs)
+            del op, x, dp
+            gc.collect()
         except Exception as e:
-            err_line("3d_shell_curved_apply", e)
-    else:
-        skip("3d_shell_curved_apply", "budget")
+            tier_errors[name] = f"{type(e).__name__}: {e}"[:300]
+            err_line(f"apply_{name}", e)
 
     # ---- headline line LAST (driver parses the last line) --------------
     if not tiers:
