@@ -381,3 +381,69 @@ def test_flat_cg_p_bf16_storage():
     tr = np.asarray(b) - np.asarray(op.vmult(res.x.astype(jnp.float32)))
     rel = np.linalg.norm(tr) / np.linalg.norm(np.asarray(b))
     assert rel < 5 * rtol, rel
+
+
+def test_pallas_dirichlet_auto_default():
+    """pallas_dirichlet=None (the default) fuses the boundary mask into
+    the resident kernel exactly when the constraint set is the plain
+    full-boundary Dirichlet mask, and silently falls back to the flat
+    mask algebra for any other constrained_mask (where True would
+    raise)."""
+    from tpufem.fem.dof_handler import DoFHandler
+    from tpufem.fem.mesh import Mesh
+    from tpufem.ops.matrix_free import MatrixFree
+    from tpufem.utils.config import FemConfig
+
+    mesh = Mesh.hyper_cube(3, 4)
+    dofs = DoFHandler(mesh, 2)
+    mf = MatrixFree.build(
+        mesh, dofs,
+        FemConfig(3, 2, scatter="separable", use_pallas=True))
+    assert mf.resident is not None and mf.resident.dirichlet
+
+    bad = dofs.boundary_mask.copy()
+    bad[np.flatnonzero(~bad)[0]] = True  # one extra constrained DoF
+    mf2 = MatrixFree.build(
+        mesh, dofs,
+        FemConfig(3, 2, scatter="separable", use_pallas=True),
+        constrained_mask=bad)
+    assert mf2.resident is not None and not mf2.resident.dirichlet
+
+
+def test_track_best_false_converging_parity():
+    """track_best=False drops the best-iterate carry (a pure HBM-traffic
+    lever); a CONVERGING solve must return the identical iterate and
+    iteration count, flat and resident."""
+    from tpufem.fem.dof_handler import DoFHandler
+    from tpufem.fem.mesh import Mesh
+    from tpufem.operators.laplace import LaplaceOperator
+    from tpufem.ops.matrix_free import MatrixFree
+    from tpufem.solvers.cg import cg_solve, make_jacobi
+    from tpufem.solvers.resident import resident_jacobi_cg
+    from tpufem.utils.config import FemConfig
+
+    mesh = Mesh.hyper_cube(3, 4)
+    dofs = DoFHandler(mesh, 2)
+    mf = MatrixFree.build(
+        mesh, dofs,
+        FemConfig(3, 2, dtype="float32", scatter="separable",
+                  use_pallas=True))
+    op = LaplaceOperator(mf)
+    diag = op.diagonal()
+    rng = np.random.default_rng(9)
+    mask = np.asarray(mf.interior_mask, np.float64)
+    b = jnp.asarray(mask * rng.standard_normal(dofs.n_dofs), jnp.float32)
+
+    ref = cg_solve(op.vmult, b, M_inv=make_jacobi(diag), rtol=1e-5)
+    off = cg_solve(op.vmult, b, M_inv=make_jacobi(diag), rtol=1e-5,
+                   track_best=False)
+    assert bool(ref.converged) and bool(off.converged)
+    assert int(ref.iterations) == int(off.iterations)
+    assert np.array_equal(np.asarray(ref.x), np.asarray(off.x))
+
+    r_on = resident_jacobi_cg(op, b, diag=diag, rtol=1e-5)
+    r_off = resident_jacobi_cg(op, b, diag=diag, rtol=1e-5,
+                               track_best=False)
+    assert bool(r_on.converged) and bool(r_off.converged)
+    assert int(r_on.iterations) == int(r_off.iterations)
+    assert np.array_equal(np.asarray(r_on.x), np.asarray(r_off.x))
