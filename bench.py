@@ -52,6 +52,13 @@ import time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 
 BASELINE_GDOFS = 1.0  # V100-class anchor, BASELINE.md (approximate)
+# Roofline anchors for the headline roofline_pct field (docs/ROOFLINE.md,
+# measured on this chip): the resident-layout copy floor (0.80 ms DMA-only
+# at f32 storage = 21 GDoF/s; bf16 storage halves it) and the f32-HIGHEST
+# MXU schedule bound (29 GDoF/s).  BASELINE's ">=50% of roofline" gate is
+# tracked against these per round.
+COPY_FLOOR_GDOFS = {"f32": 21.0, "bf16": 21.0, "bf16s": 42.0}
+MXU_BOUND_GDOFS = 29.0
 T0 = time.perf_counter()
 BUDGET_S = float(os.environ.get("TPUFEM_BENCH_BUDGET_S", "540"))
 N_CHAIN = 30  # judge's chained-applies protocol
@@ -179,13 +186,19 @@ def err_line(metric, e, unit="GDoF/s"):
                  "error": f"{type(e).__name__}: {e}"[:300]})
 
 
-def chain_rate(apply_fn, x, n_dofs, n_chain=N_CHAIN, n_calls=2):
+def chain_rate(apply_fn, x, n_dofs, n_chain=N_CHAIN, n_calls=2,
+               n_repeats=1):
     """Sustained GDoF/s over an in-jit chain of n_chain applies.
 
     apply_fn must be traceable with x as its only traced arg.  Timing
     ends with a scalar D2H fetch — block_until_ready does not reliably
     wait for Pallas-chain programs on this platform (see module doc);
-    n_calls chains amortize the post-warmup fetch latency."""
+    n_calls chains amortize the post-warmup fetch latency.
+
+    Returns (median GDoF/s, all n_repeats measured rates, compile_s) —
+    the headline line records every repeat so the documented ~25%
+    run-to-run platform variance stays visible (VERDICT r3 weak item 5).
+    """
 
     @jax.jit
     def chain(v):
@@ -201,14 +214,18 @@ def chain_rate(apply_fn, x, n_dofs, n_chain=N_CHAIN, n_calls=2):
     s = float(jnp.sum(jnp.abs(y)))  # warm + real sync
     if not np.isfinite(s):
         raise FloatingPointError("apply produced non-finite output")
-    t0 = time.perf_counter()
-    for _ in range(n_calls):
-        y = chain(x)
-    s = float(jnp.sum(jnp.abs(y)))
-    dt = (time.perf_counter() - t0) / (n_chain * n_calls)
-    if not np.isfinite(s):
-        raise FloatingPointError("apply produced non-finite output")
-    return n_dofs / dt / 1e9, dt, compile_s
+    vals = []
+    for _ in range(n_repeats):
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            y = chain(x)
+        s = float(jnp.sum(jnp.abs(y)))
+        dt = (time.perf_counter() - t0) / (n_chain * n_calls)
+        if not np.isfinite(s):
+            raise FloatingPointError("apply produced non-finite output")
+        vals.append(round(n_dofs / dt / 1e9, 4))
+    med = sorted(vals)[len(vals) // 2]
+    return med, vals, compile_s
 
 
 def apply_line(metric, gdofs, tier, n_dofs, extra=None):
@@ -292,10 +309,18 @@ def main():
         try:
             rk, nd = _resident_kernel(refine, mode, dtype)
             xr = rk.pad(jnp.ones(nd, jnp.dtype(dtype)))
-            gd, _, comp_s = chain_rate(rk.raw, xr, nd)
+            # median of 3 repeats, all recorded (the headline protocol is
+            # pinned — docs/ROOFLINE.md run-to-run variance note)
+            gd, vals, comp_s = chain_rate(rk.raw, xr, nd, n_repeats=3)
             tiers[name] = round(gd, 4)
             apply_line("3d_q4_laplace_matrix_free_apply", gd, name, nd,
                        extra={**reps_note, "partial": True,
+                              "values": vals,
+                              "roofline_pct": {
+                                  "vs_copy_floor": round(
+                                      100 * gd / COPY_FLOOR_GDOFS[mode], 1),
+                                  "vs_mxu_bound": round(
+                                      100 * gd / MXU_BOUND_GDOFS, 1)},
                               "compile_s": round(comp_s, 1)})
             if comp_s > 120:  # compile cache is cold on this container
                 cold_cache = True
@@ -437,6 +462,19 @@ def main():
             )
 
             op_r = mg.fine.op
+
+            def true_rel_residual(x):
+                # recompute ONE true residual with the flat pad/unpad
+                # kernel (f32 operator class — it ignores pallas_mode),
+                # OUTSIDE any timing: the resident bf16x3 kernel's
+                # recurrence residual describes the ~3e-6-perturbed
+                # operator, not the f32 one (ADVICE r3)
+                dpf = op_r.device_args
+                rt = b - op_r.vmult_with(dpf, jnp.asarray(x, b.dtype))
+                hp = jax.lax.Precision.HIGHEST
+                return float(jnp.sqrt(jnp.dot(rt, rt, precision=hp))
+                             / jnp.sqrt(jnp.dot(b, b, precision=hp)))
+
             diag_r = mg.fine.op.diagonal()
             # track_best=False: drop the best-iterate carry (~0.4 ms/iter
             # of HBM traffic, measured scripts/cg_blas1_lab.py) — a
@@ -453,7 +491,11 @@ def main():
                   "value": round(dt, 4), "unit": "s",
                   "vs_baseline": round(dt, 4), "iterations": iters,
                   "converged": bool(res.converged),
-                  "residual": float(res.residual), "rtol": solve_rtol,
+                  "residual": float(res.residual),
+                  "true_rel_residual": true_rel_residual(res.x),
+                  "operator_class":
+                      f"{mg.fine.mf.resident.mode} kernel recurrence",
+                  "rtol": solve_rtol,
                   "n_dofs": mg.fine.mf.n_dofs,
                   "tier": f"resident-{mg.fine.mf.resident.mode}+pallas",
                   "elapsed_s": round(time.perf_counter() - T0, 1)})
@@ -477,6 +519,10 @@ def main():
                       "value": med, "unit": "s", "vs_baseline": med,
                       "values": vals, "iterations": iters,
                       "converged": bool(res.converged),
+                      "residual": float(res.residual),
+                      "true_rel_residual": true_rel_residual(res.x),
+                      "operator_class":
+                          f"{mg.fine.mf.resident.mode} kernel recurrence",
                       "rtol": solve_rtol, "n_dofs": mg.fine.mf.n_dofs,
                       "tier": "resident+pallas (median of 3 inline)",
                       "elapsed_s": round(time.perf_counter() - T0, 1)})

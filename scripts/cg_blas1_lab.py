@@ -38,22 +38,26 @@ def emit(**kw):
     print(json.dumps(kw), flush=True)
 
 
-def timed_loop(name, body, state, iters, passes_per_iter, nbytes):
+def timed_loop(name, body, state, iters, passes_per_iter, nbytes,
+               consts=()):
     """Sustained s/iter of an in-jit fori_loop of `body`; scalar-D2H
-    synced (block_until_ready does not reliably wait on this platform)."""
+    synced (block_until_ready does not reliably wait on this platform).
+
+    ``consts``: device arrays the body reads — threaded as jit ARGUMENTS
+    (never jnp closure constants, which intermittently hang this
+    platform's remote-TPU lowering; docs/ROOFLINE.md platform quirks)."""
 
     @jax.jit
-    def chain(s):
-        return jax.lax.fori_loop(0, iters, lambda i, s_: body(s_), s)
+    def chain(s, *cs):
+        return jax.lax.fori_loop(0, iters, lambda i, s_: body(s_, *cs), s)
 
-    out = chain(state)  # compile + warm
+    out = chain(state, *consts)  # compile + warm
     leaves = jax.tree_util.tree_leaves(out)
     float(jnp.sum(leaves[0].reshape(-1)[:8]))  # sync
     t0 = time.perf_counter()
-    out = chain(state)
-    float(jnp.sum(leaves[0].reshape(-1)[:8]))
+    out = chain(state, *consts)
     leaves = jax.tree_util.tree_leaves(out)
-    float(jnp.sum(leaves[0].reshape(-1)[:8]))
+    float(jnp.sum(leaves[0].reshape(-1)[:8]))  # sync on the timed run
     dt = (time.perf_counter() - t0) / iters
     gbps = passes_per_iter * nbytes / dt / 1e9
     emit(check=name, s_per_iter=round(dt, 6),
@@ -77,31 +81,31 @@ def main(shape, iters):
                         jnp.float32)
 
     # 1. axpy chain: x <- x + a*p (a varies per iter so nothing hoists)
-    def axpy_body(s):
+    def axpy_body(s, p_):
         x_, k = s
-        return (x_ + (0.5 + 1e-6 * k) * p, k + 1.0)
+        return (x_ + (0.5 + 1e-6 * k) * p_, k + 1.0)
 
     timed_loop("axpy_pass", axpy_body, (x, jnp.float32(0)), iters,
-               passes_per_iter=3, nbytes=nbytes)
+               passes_per_iter=3, nbytes=nbytes, consts=(p,))
 
     # 2. HIGHEST dot chain (result feeds next iter so nothing hoists)
-    def dot_body(s):
+    def dot_body(s, x_, p_):
         acc, k = s
-        v = jnp.dot(x.reshape(-1), (p + acc * 1e-20).reshape(-1),
+        v = jnp.dot(x_.reshape(-1), (p_ + acc * 1e-20).reshape(-1),
                     precision=jax.lax.Precision.HIGHEST)
         return (v, k + 1.0)
 
     timed_loop("dot_highest", dot_body, (jnp.float32(0), jnp.float32(0)),
-               iters, passes_per_iter=2, nbytes=nbytes)
+               iters, passes_per_iter=2, nbytes=nbytes, consts=(x, p))
 
     # 2b. default-precision dot
-    def dotd_body(s):
+    def dotd_body(s, x_, p_):
         acc, k = s
-        v = jnp.dot(x.reshape(-1), (p + acc * 1e-20).reshape(-1))
+        v = jnp.dot(x_.reshape(-1), (p_ + acc * 1e-20).reshape(-1))
         return (v, k + 1.0)
 
     timed_loop("dot_default", dotd_body, (jnp.float32(0), jnp.float32(0)),
-               iters, passes_per_iter=2, nbytes=nbytes)
+               iters, passes_per_iter=2, nbytes=nbytes, consts=(x, p))
 
     # 3. full production CG body, A = identity-ish (1 cheap pass).
     from tpufem.solvers.cg import cg_solve
@@ -113,19 +117,19 @@ def main(shape, iters):
         t0 = time.perf_counter()
 
         @jax.jit
-        def solve(b):
-            return cg_solve(A, b, M_inv=lambda r: idiag * r,
+        def solve(b, idiag_):
+            return cg_solve(A, b, M_inv=lambda r: idiag_ * r,
                             rtol=1e-30, maxiter=iters,
                             track_best=track_best,
                             dot=lambda a_, b_: jnp.dot(
                                 a_.reshape(-1), b_.reshape(-1),
                                 precision=jax.lax.Precision.HIGHEST))
 
-        res = solve(p)
+        res = solve(p, idiag)
         float(res.residual)
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        res = solve(p)
+        res = solve(p, idiag)
         float(res.residual)
         dt = (time.perf_counter() - t0) / iters
         emit(check=name, ms_per_iter=round(dt * 1e3, 3),
@@ -138,7 +142,7 @@ def main(shape, iters):
 
     # 4. hand-fused body: same recurrences, ops arranged to give XLA the
     # best shot at multi-output fusion (single expression per vector).
-    def fused_body(s):
+    def fused_body(s, idiag_):
         x_, r, pv_, rz, k = s
         v = pv_ * 1.0000001  # stand-in apply (pv_ reused as p)
         pv = jnp.vdot(pv_.reshape(-1), v.reshape(-1),
@@ -146,7 +150,7 @@ def main(shape, iters):
         alpha = rz / pv
         x2 = x_ + alpha * pv_
         r2 = r - alpha * v
-        z2 = idiag * r2
+        z2 = idiag_ * r2
         rz2 = jnp.vdot(r2.reshape(-1), z2.reshape(-1),
                        precision=jax.lax.Precision.HIGHEST)
         beta = rz2 / rz
@@ -155,7 +159,7 @@ def main(shape, iters):
 
     timed_loop("hand_fused_body", fused_body,
                (x, p, p, jnp.float32(1.0), jnp.float32(0)), iters,
-               passes_per_iter=12, nbytes=nbytes)
+               passes_per_iter=12, nbytes=nbytes, consts=(idiag,))
 
 
 if __name__ == "__main__":

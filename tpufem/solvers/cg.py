@@ -129,12 +129,14 @@ def cg_solve(
 
     out = jax.lax.while_loop(cond, body, state0)
     x, rnorm, k, rnb, sb = out[0], out[5], out[6], out[7], out[8]
-    # if we exited on stall/NaN, return the best iterate seen
+    # if we exited on stall/NaN, return the best iterate seen; without the
+    # best-iterate carry, keep the FINAL iterate's rnorm so residual and x
+    # stay consistent (the best-seen rnb would describe a discarded x)
     use_best = jnp.logical_or(sb >= stall_iters,
                               jnp.logical_not(jnp.isfinite(rnorm)))
     if track_best:
         x = jnp.where(use_best, out[9], x)
-    rnorm = jnp.where(use_best, rnb, rnorm)
+        rnorm = jnp.where(use_best, rnb, rnorm)
     return CGResult(x, k, rnorm, rnorm <= tol)
 
 
