@@ -447,3 +447,111 @@ def test_track_best_false_converging_parity():
     assert bool(r_on.converged) and bool(r_off.converged)
     assert int(r_on.iterations) == int(r_off.iterations)
     assert np.array_equal(np.asarray(r_on.x), np.asarray(r_off.x))
+
+
+# ---------------------------------------------------------------------
+# resident TERMS kernel: exact per-row bands for sum-of-tensor-product
+# operators (curved orthogonal shells / graded grids — VERDICT r4 item 3)
+# ---------------------------------------------------------------------
+from tpufem.ops.pallas_separable import ResidentTerms  # noqa: E402
+from tpufem.ops.separable import (  # noqa: E402
+    global_1d_weighted,
+    laplace_apply_separable_terms,
+)
+
+
+def _weighted_terms(p, n, nq1, dim=3):
+    """Distinct smooth 1D weights per (term, axis): the structure of an
+    orthogonal-shell metric, with no shared matrices between terms."""
+    wfs = [lambda x: 1.0 + 0.5 * np.sin(2.3 * x + 0.2),
+           lambda x: 1.2 + x,
+           lambda x: 0.7 + 0.3 * np.cos(1.7 * x)]
+    return [[global_1d_weighted(p, n, nq1, wfs[(a + b) % 3],
+                                "K" if b == a else "M")
+             for b in range(dim)] for a in range(dim)]
+
+
+@pytest.mark.parametrize("p,n,tile", [(2, 8, 8), (4, 4, 8), (3, 8, 24),
+                                      (5, 4, 16)])
+def test_resident_terms_matches_xla_terms_and_chains(p, n, tile):
+    npts = n * p + 1
+    terms = _weighted_terms(p, n, p + 1)
+    tj = [[jnp.asarray(m) for m in t3] for t3 in terms]
+    ref = lambda v: laplace_apply_separable_terms(v, 3, npts, tj)
+    rng = np.random.default_rng(0)
+    u = rng.standard_normal(npts**3)
+    y_ref = np.asarray(ref(jnp.asarray(u)))
+    rk = ResidentTerms(npts, p, terms, "float64", tile=tile,
+                       interpret=True)
+    y = np.asarray(rk(jnp.asarray(u)))
+    assert np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref) < 1e-13
+    # chainability: halo/overhang zeros maintained kernel-side
+    y1 = rk.raw(rk.pad(jnp.asarray(u)))
+    hz = np.asarray(y1).copy()
+    hz[rk.p : rk.p + npts, rk.H : rk.H + npts, :npts] = 0.0
+    assert np.all(hz == 0.0), "halo/overhang not zeroed by the kernel"
+    y2 = np.asarray(rk.unpad(rk.raw(y1)))
+    y2_ref = np.asarray(ref(ref(jnp.asarray(u))))
+    assert np.linalg.norm(y2 - y2_ref) / np.linalg.norm(y2_ref) < 1e-12
+
+
+def test_shell_separable_pallas_vmult_parity():
+    """A 3D spherical-shell build with use_pallas=True must route the
+    separable-metric tier through the ResidentTerms kernel and match the
+    XLA terms apply to rounding."""
+    from tpufem.fem.dof_handler import DoFHandler
+    from tpufem.fem.mesh import Mesh
+    from tpufem.operators.laplace import LaplaceOperator
+    from tpufem.ops.matrix_free import MatrixFree
+    from tpufem.utils.config import FemConfig
+
+    mesh = Mesh.hyper_shell_3d(3)
+    dofs = DoFHandler(mesh, 2)
+    cfgs = dict(dim=3, degree=2, dtype="float64", scatter="separable")
+    mf_x = MatrixFree.build(mesh, dofs, FemConfig(**cfgs))
+    mf_p = MatrixFree.build(mesh, dofs,
+                            FemConfig(**cfgs, use_pallas=True))
+    assert len(mf_p.sep_ops) == 3 and isinstance(
+        mf_p.sep_ops[2], ResidentTerms)
+    assert mf_p.resident is not None
+    op_x, op_p = LaplaceOperator(mf_x), LaplaceOperator(mf_p)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal(dofs.n_dofs))
+    y_x = np.asarray(op_x.vmult_raw(x))
+    y_p = np.asarray(op_p.vmult_raw(x))
+    assert np.linalg.norm(y_p - y_x) / np.linalg.norm(y_x) < 1e-13
+    # constrained apply parity too (mask algebra around the kernel)
+    y_x = np.asarray(op_x.vmult(x))
+    y_p = np.asarray(op_p.vmult(x))
+    assert np.linalg.norm(y_p - y_x) / np.linalg.norm(y_x) < 1e-13
+
+
+def test_shell_resident_cg_matches_flat():
+    """resident_jacobi_cg on a shell (ResidentTerms kernel): same
+    iteration count and solution as the flat CG."""
+    from tpufem.fem.dof_handler import DoFHandler
+    from tpufem.fem.mesh import Mesh
+    from tpufem.operators.laplace import LaplaceOperator
+    from tpufem.ops.matrix_free import MatrixFree
+    from tpufem.solvers.cg import cg_solve, make_jacobi
+    from tpufem.solvers.resident import resident_jacobi_cg
+    from tpufem.utils.config import FemConfig
+
+    mesh = Mesh.hyper_shell_3d(3)
+    dofs = DoFHandler(mesh, 2)
+    mf = MatrixFree.build(
+        mesh, dofs,
+        FemConfig(3, 2, scatter="separable", use_pallas=True))
+    assert mf.resident is not None
+    op = LaplaceOperator(mf)
+    diag = op.diagonal()
+    rng = np.random.default_rng(4)
+    mask = np.asarray(mf.interior_mask)
+    b = jnp.asarray(mask * rng.standard_normal(dofs.n_dofs))
+
+    res_flat = cg_solve(op.vmult, b, M_inv=make_jacobi(diag), rtol=1e-8,
+                        maxiter=400)
+    res_r = resident_jacobi_cg(op, b, diag=diag, rtol=1e-8, maxiter=400)
+    assert int(res_r.iterations) == int(res_flat.iterations)
+    xr, xf = np.asarray(res_r.x), np.asarray(res_flat.x)
+    assert np.linalg.norm(xr - xf) <= 1e-8 * max(np.linalg.norm(xf), 1.0)

@@ -243,6 +243,50 @@ def bench_curved(dim, p, refine, dtype, reps):
     # per-qpoint general-metric structured tier
     tiers = {"separable(metric-factorized)": rate("separable"),
              "structured(general-metric)": rate("structured")}
+
+    # fused ResidentTerms kernel on the exact separable-metric
+    # factorization (per-row band tables): measured 2.25/2.65/3.0 GDoF/s
+    # (f32/bf16/bf16s) vs 1.38 XLA at the 2.1M-DoF shell flagship —
+    # chained in the resident layout like the headline protocol
+    def rate_resident(mode):
+        mf = MatrixFree.build(
+            mesh, dofs,
+            FemConfig(dim=dim, degree=p, dtype=dtype, scatter="separable",
+                      use_pallas=True, pallas_mode=mode))
+        rk = mf.resident
+        if rk is None:
+            raise ValueError("no resident terms kernel for this shape")
+
+        @jax.jit
+        def chain(v):
+            def body(i, w):
+                return (rk.raw(w) * 1e-7).astype(w.dtype)
+
+            return jax.lax.fori_loop(0, n_chain, body, v)
+
+        xp = rk.pad(x)
+        y = chain(xp)
+        s = float(jnp.sum(jnp.abs(y)))  # scalar D2H sync
+        # 2 chain calls (the headline protocol): the process-wide
+        # ~11 ms/dispatch tax after eager ops (docs/ROOFLINE.md quirk 2)
+        # otherwise adds ~0.4 ms/apply at n_chain=30
+        t0 = time.perf_counter()
+        for _ in range(2):
+            y = chain(xp)
+        s = float(jnp.sum(jnp.abs(y)))
+        dt = (time.perf_counter() - t0) / (2 * n_chain)
+        if not np.isfinite(s):
+            raise FloatingPointError(
+                "curved resident apply produced non-finite output")
+        return dt
+
+    if dim == 3:
+        for mode in ("f32", "bf16"):
+            try:
+                tiers[f"resident-terms-{mode}+pallas"] = rate_resident(mode)
+            except Exception:
+                pass  # tiling constraints unmet / platform without Mosaic
+
     best = min(tiers, key=tiers.get)
     dt = tiers[best]
     return {

@@ -202,6 +202,8 @@ def _vmult_raw(mf: MatrixFree, dp, x):
     if mf.scheme == "separable":
         npts = mf.uniform_n * mf.config.degree + 1
         if mf.sep_ops[0] == "terms":  # orthogonal separable metric
+            if len(mf.sep_ops) == 3:  # ("terms", terms, resident kernel)
+                return mf.sep_ops[2](x)
             from tpufem.ops.separable import laplace_apply_separable_terms
 
             return laplace_apply_separable_terms(

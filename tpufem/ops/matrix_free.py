@@ -189,9 +189,29 @@ class MatrixFree:
             from tpufem.ops.separable import build_separable_metric_terms
 
             uniform_n = int(mesh.U // mesh.sizes[0])
-            sep_ops = ("terms", build_separable_metric_terms(
+            terms = build_separable_metric_terms(
                 p, d, config.nq1, uniform_n, mesh.separable_metric, dtype
-            ))
+            )
+            sep_ops = ("terms", terms)
+            if config.use_pallas and d == 3:
+                # fused resident kernel for the exact sum-of-tensor-
+                # product factorization (per-row band tables — the
+                # curved-shell / graded-grid fast tier, VERDICT r4
+                # item 3); also powers resident_jacobi_cg on shells
+                from tpufem.ops.pallas_separable import ResidentTerms
+
+                import jax
+
+                interp = jax.default_backend() == "cpu"
+                try:
+                    resident = ResidentTerms(
+                        uniform_n * p + 1, p,
+                        [[np.asarray(m, np.float64) for m in t3]
+                         for t3 in terms],
+                        dtype, mode=config.pallas_mode, interpret=interp)
+                    sep_ops = ("terms", terms, resident)
+                except ValueError:
+                    resident = None  # tiling constraints unmet
         elif scheme == "structured" and metric.kind == "general":
             # curved uniform mesh: per-qpoint metric in the blocked layout
             uniform_n = int(mesh.U // mesh.sizes[0])
