@@ -594,6 +594,46 @@ def main():
     else:
         skip("3d_adaptive_gmg_cg_solve", "budget")
 
+    # ---- 7b. fast-tier degree sweep (the reference's bmop north-star is
+    # the per-degree TABLE, not one point — SURVEY.md §2 'Operator
+    # benchmark'; VERDICT r3 missing item 3).  Resident kernel, bf16s
+    # (headline mode), refine per degree to keep 2-17M DoFs; partial
+    # tables are emitted if the budget runs out mid-sweep.
+    if on_tpu and left() > 150:
+        sweep, sweep_err = {}, {}
+        for p_ in (2, 3, 4, 5, 6, 7):
+            if left() < 90:
+                sweep_err[str(p_)] = "budget"
+                continue
+            r_ = 6 if p_ <= 4 else 5
+            try:
+                rec = bmop.bench_resident(p_, r_, dtype, N_CHAIN,
+                                          mode="bf16s")
+                sweep[str(p_)] = {"gdofs": round(rec["gdofs_per_s"], 3),
+                                  "refine": r_, "n_dofs": rec["n_dofs"]}
+            except Exception as e:
+                sweep_err[str(p_)] = f"{type(e).__name__}: {e}"[:120]
+        sweep2d = None
+        if left() > 60:
+            try:
+                # refine 7 (npts 513): the dense K-stacked x operator of
+                # the 2D kernel must fit VMEM (npts ~ 600 bound)
+                rec = bmop.bench_resident(4, 7, dtype, N_CHAIN,
+                                          mode="bf16s", dim=2)
+                sweep2d = {"gdofs": round(rec["gdofs_per_s"], 3),
+                           "refine": 7, "n_dofs": rec["n_dofs"]}
+            except Exception as e:
+                sweep_err["2d_p4"] = f"{type(e).__name__}: {e}"[:120]
+        val = sweep.get("4", {}).get("gdofs", 0.0)
+        emit({"metric": "resident_degree_sweep", "value": val,
+              "unit": "GDoF/s", "vs_baseline": val,
+              "note": "value = 3D p=4; full per-degree table attached",
+              "mode": "bf16s", "sweep_3d": sweep, "sweep_2d": sweep2d,
+              "errors": sweep_err,
+              "elapsed_s": round(time.perf_counter() - T0, 1)})
+    elif on_tpu:
+        skip("resident_degree_sweep", "budget")
+
     # ---- 8. secondary apply tiers (attribution only — LAST) ------------
     tier_specs = [("separable", False)]
     if on_tpu:

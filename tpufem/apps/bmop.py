@@ -300,28 +300,56 @@ def bench_curved(dim, p, refine, dtype, reps):
     }
 
 
-def bench_resident(p, refine, dtype, reps, mode="f32"):
-    """Solver-resident fused-kernel apply (halo'd layout in/out — the rate
-    chained CG applies sustain; 3D only)."""
+def bench_resident(p, refine, dtype, reps, mode="f32", dim=3):
+    """Solver-resident fused-kernel apply (halo'd layout in/out — the
+    rate chained CG applies sustain), 3D or 2D, measured with the
+    headline protocol (in-jit chain, 2 timed calls)."""
+    import time
+
     import jax
     import jax.numpy as jnp
 
-    from tpufem.ops.pallas_separable import ResidentSeparable
+    from tpufem.ops.pallas_separable import ResidentSeparable, ResidentTerms2D
     from tpufem.ops.separable import global_1d_matrices
 
     n = 1 << refine
     npts = n * p + 1
     K1u, M1u = global_1d_matrices(p, n, p + 1)
     h = 1.0 / n
-    rk = ResidentSeparable(npts, p, [np.asarray(K1u / h)] * 3,
-                           [np.asarray(M1u * h)] * 3, dtype, mode=mode,
-                           interpret=jax.default_backend() == "cpu")
-    n_dofs = npts**3
+    interp = jax.default_backend() == "cpu"
+    if dim == 3:
+        rk = ResidentSeparable(npts, p, [np.asarray(K1u / h)] * 3,
+                               [np.asarray(M1u * h)] * 3, dtype, mode=mode,
+                               interpret=interp)
+    elif dim == 2:
+        Kx, Mx = np.asarray(K1u / h), np.asarray(M1u * h)
+        rk = ResidentTerms2D(npts, p, [[Kx, Mx], [Mx, Kx]], dtype,
+                             mode=mode, interpret=interp)
+    else:
+        raise ValueError("bench_resident supports dim 2 and 3")
+    n_dofs = npts**dim
     x = rk.pad(jnp.ones(n_dofs, jnp.dtype(dtype)))
-    dt = time_fn(rk._raw_jit, x, reps=reps)
+    n_chain = max(reps, 2)
+
+    @jax.jit
+    def chain(v):
+        def body(i, w):
+            return (rk.raw(w) * 1e-7).astype(w.dtype)
+
+        return jax.lax.fori_loop(0, n_chain, body, v)
+
+    y = chain(x)
+    s = float(jnp.sum(jnp.abs(y)))  # scalar D2H sync
+    t0 = time.perf_counter()
+    for _ in range(2):
+        y = chain(x)
+    s = float(jnp.sum(jnp.abs(y)))
+    dt = (time.perf_counter() - t0) / (2 * n_chain)
+    if not np.isfinite(s):
+        raise FloatingPointError("resident apply produced non-finite output")
     return {
         "bench": "bmop-resident",
-        "dim": 3, "degree": p, "refine": refine, "n_dofs": n_dofs,
+        "dim": dim, "degree": p, "refine": refine, "n_dofs": n_dofs,
         "scheme": f"resident-{mode}", "dtype": dtype,
         "s_per_apply": dt,
         "gdofs_per_s": n_dofs / dt / 1e9,
@@ -382,9 +410,11 @@ def main(argv=None):
     ap.add_argument("--compare-incidence", action="store_true",
                     help="with --adaptive: also time the generic "
                          "incidence path for comparison")
-    ap.add_argument("--resident", choices=["f32", "bf16"], default=None,
+    ap.add_argument("--resident", choices=["f32", "bf16", "bf16s"],
+                    default=None,
                     help="benchmark the solver-resident fused kernel "
-                         "(halo'd layout in/out, 3D only) in this mode")
+                         "(halo'd layout in/out, 2D/3D via --dim) in "
+                         "this mode")
     ap.add_argument("--shards", default=None,
                     help="with --adaptive: distributed box-tier apply "
                          "over a device mesh, '4' (z slabs) or '2x4' "
@@ -405,7 +435,7 @@ def main(argv=None):
     for p in args.degrees:
         if args.resident:
             rec = bench_resident(p, args.refine, args.dtype, args.reps,
-                                 mode=args.resident)
+                                 mode=args.resident, dim=args.dim)
         elif args.curved:
             rec = bench_curved(args.dim, p, args.refine, args.dtype,
                                args.reps)

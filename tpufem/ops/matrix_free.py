@@ -193,18 +193,22 @@ class MatrixFree:
                 p, d, config.nq1, uniform_n, mesh.separable_metric, dtype
             )
             sep_ops = ("terms", terms)
-            if config.use_pallas and d == 3:
+            if config.use_pallas and d in (2, 3):
                 # fused resident kernel for the exact sum-of-tensor-
                 # product factorization (per-row band tables — the
                 # curved-shell / graded-grid fast tier, VERDICT r4
                 # item 3); also powers resident_jacobi_cg on shells
-                from tpufem.ops.pallas_separable import ResidentTerms
+                from tpufem.ops.pallas_separable import (
+                    ResidentTerms,
+                    ResidentTerms2D,
+                )
 
                 import jax
 
                 interp = jax.default_backend() == "cpu"
+                cls_k = ResidentTerms if d == 3 else ResidentTerms2D
                 try:
-                    resident = ResidentTerms(
+                    resident = cls_k(
                         uniform_n * p + 1, p,
                         [[np.asarray(m, np.float64) for m in t3]
                          for t3 in terms],
@@ -314,6 +318,23 @@ class MatrixFree:
                             resident = ResidentSeparable(
                                 uniform_n * p + 1, p, Ks_np, Ms_np,
                                 dtype, **kwargs_res)
+                        except ValueError:
+                            resident = None  # tiling constraints unmet
+                    elif d == 2:
+                        # 2D resident kernel (uniform = the 2-term
+                        # Laplace factorization); enables 2D resident
+                        # CG and the 2D fast-tier degree sweep
+                        from tpufem.ops.pallas_separable import (
+                            ResidentTerms2D,
+                        )
+
+                        try:
+                            resident = ResidentTerms2D(
+                                uniform_n * p + 1, p,
+                                [[Ks_np[0], Ms_np[1]],
+                                 [Ms_np[0], Ks_np[1]]],
+                                dtype, mode=config.pallas_mode,
+                                interpret=interp)
                         except ValueError:
                             resident = None  # tiling constraints unmet
             if coef_q is not None:

@@ -893,3 +893,184 @@ class ResidentTerms:
 
     def __call__(self, u):
         return self._call(u)
+
+
+def _kernel_resident_2d(u_hbm, xkm, wy, out, scratch, sem, osc, osem, *,
+                        b, LY, X, p, H, npts, n_terms, nt, mode):
+    """2D solver-resident fused apply (see :class:`ResidentTerms2D`).
+    One banded VPU stage per term + one K-stacked x matmul; exact
+    per-row band tables (``_exact_bands``); halo'd (sy, X) layout in/out
+    with kernel-maintained zero borders."""
+    t = pl.program_id(0)
+    slot = t % 2
+    nxt = (t + 1) % 2
+
+    def dma_in(sl, tt):
+        return pltpu.make_async_copy(
+            u_hbm.at[pl.ds(tt * b, LY), :], scratch.at[sl], sem.at[sl])
+
+    @pl.when(t == 0)
+    def _():
+        dma_in(slot, t).start()
+
+    @pl.when(t + 1 < nt)
+    def _():
+        dma_in(nxt, t + 1).start()
+
+    @pl.when(t == 0)
+    def _():
+        osc[0] = jnp.zeros_like(osc[0])
+
+    def out_dma(tt, action):
+        ycls = [(tt == 0, 0, 0, H + b),
+                (jnp.logical_and(tt > 0, tt < nt - 1), H, None, b),
+                (tt == nt - 1, H, H + (nt - 1) * b, b + H)]
+        for yc, ysrc, ydst, ylen in ycls:
+            yd = H + tt * b if ydst is None else ydst
+
+            @pl.when(yc)
+            def _(ysrc=ysrc, yd=yd, ylen=ylen):
+                cp = pltpu.make_async_copy(
+                    osc.at[0, pl.ds(ysrc, ylen), :],
+                    out.at[pl.ds(yd, ylen), :], osem)
+                if action == "start":
+                    cp.start()
+                else:
+                    cp.wait()
+
+    dma_in(slot, t).wait()
+    u = scratch[slot]
+    if mode == "bf16s":
+        u = u.astype(jnp.float32)
+    nb = 2 * p + 1
+    dy = H - p
+
+    def sel_tile(tab, idx):
+        w = tab[:, 0]
+        for k in range(1, tab.shape[1]):
+            w = jnp.where(idx == k, tab[:, k], w)
+        return w
+
+    wy_t = sel_tile(wy, t)  # (n_terms, nb, b, 1)
+
+    def band_y(w9):  # (LY, X) -> (b, X)
+        acc = None
+        for o in range(nb):
+            c = u[dy + o : dy + o + b] * w9[o]
+            acc = c if acc is None else acc + c
+        return acc
+
+    qq = jnp.concatenate([band_y(wy_t[a]) for a in range(n_terms)],
+                         axis=1)  # (b, n_terms*X)
+
+    if mode in ("bf16", "bf16s"):
+        qh = qq.astype(jnp.bfloat16)
+        xh = xkm[:].astype(jnp.bfloat16)
+
+        def mm(a, bb):
+            return jax.lax.dot_general(
+                a, bb, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=qq.dtype,
+                precision=jax.lax.Precision.DEFAULT)
+
+        if mode == "bf16s":
+            res = mm(qh, xh)
+        else:
+            ql = (qq - qh.astype(qq.dtype)).astype(jnp.bfloat16)
+            xl = (xkm[:] - xh.astype(qq.dtype)).astype(jnp.bfloat16)
+            res = mm(qh, xh) + (mm(qh, xl) + mm(ql, xh))
+    else:
+        res = jax.lax.dot_general(
+            qq, xkm[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=qq.dtype,
+            precision=jax.lax.Precision.HIGHEST)
+    res = res.astype(osc.dtype)
+
+    @pl.when(t >= 1)
+    def _():
+        out_dma(t - 1, "wait")
+
+    osc[0, H : H + b, :] = res
+    out_dma(t, "start")
+
+    @pl.when(t == nt - 1)
+    def _():
+        out_dma(t, "wait")
+
+
+class ResidentTerms2D:
+    """2D solver-resident fused apply for A = sum_a X_{a,1} (x) X_{a,0}
+    (y, x) — the 2D form of :class:`ResidentTerms` (uniform grids pass
+    the 2-term Laplace factorization; 2D shells their weighted terms).
+    Halo'd (sy, X) layout with data at [H:H+npts, :npts]; ``raw`` chains
+    with zero pad/unpad passes."""
+
+    def __init__(self, npts, p, terms_np, dtype, tile=None, mode="f32",
+                 interpret=False):
+        cdt = jnp.dtype(dtype)
+        sdt = jnp.dtype(jnp.bfloat16) if mode == "bf16s" else cdt
+        sub = 16 if sdt.itemsize == 2 else 8
+        H = sub * max(1, -(-p // sub))
+        if tile is None:
+            # 2D tiles are (LY, X) only — much smaller than 3D; larger
+            # tiles amortize the matmul M dimension
+            tile = {"f32": 128, "bf16": 128, "bf16s": 256}[mode]
+        b = max(tile - tile % sub, sub)
+        while b >= npts and b > sub:
+            b -= sub  # small grids: shrink until >= 2 tiles
+        nt = -(-npts // b)
+        if nt < 2:
+            raise ValueError("resident kernel needs >= 2 tiles per axis")
+        LY = b + 2 * H
+        X = npts if interpret else 128 * (-(-npts // 128))
+        if len(terms_np) * X * X * jnp.dtype(dtype).itemsize > 6 << 20:
+            # the dense K-stacked x operator must fit VMEM: 2D grids
+            # beyond npts ~ 600 need a banded-x formulation instead
+            # (measured: npts 2049 crashes the remote Mosaic helper)
+            raise ValueError(f"x operator ({len(terms_np)}x{X}x{X}) "
+                             "exceeds the VMEM budget")
+        sy = nt * b + 2 * H
+        self.npts, self.p, self.b, self.nt = npts, p, b, nt
+        self.H, self.LY, self.X, self.sy = H, LY, X, sy
+        self.mode = mode
+        self.dt = sdt
+        self.compute_dt = cdt
+        self.dirichlet = False
+
+        terms = [[np.asarray(m) for m in t2] for t2 in terms_np]
+        n_terms = len(terms)
+        assert all(len(t2) == 2 for t2 in terms), "2D terms only"
+        wy = np.stack([_exact_bands(t2[1], p, b, nt) for t2 in terms])
+        xkm = np.zeros((n_terms * X, X))
+        for a, t2 in enumerate(terms):
+            xkm[a * X : a * X + npts, :npts] = t2[0].T
+        mats = [np.asarray(xkm, cdt),
+                np.asarray(wy[:, :, :, :, None], cdt)]
+        kern = functools.partial(
+            _kernel_resident_2d, b=b, LY=LY, X=X, p=p, H=H, npts=npts,
+            n_terms=n_terms, nt=nt, mode=mode)
+        full = pl.BlockSpec(memory_space=pltpu.VMEM)
+        pc = pl.pallas_call(
+            kern, grid=(nt,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [full] * 2,
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((sy, X), sdt),
+            scratch_shapes=[pltpu.VMEM((2, LY, X), sdt),
+                            pltpu.SemaphoreType.DMA((2,)),
+                            pltpu.VMEM((1, LY, X), sdt),
+                            pltpu.SemaphoreType.DMA(())],
+            interpret=interpret)
+        self.raw = lambda gp: pc(gp, *mats)
+        self._raw_jit = jax.jit(self.raw)
+        self.pad = jax.jit(lambda u: jnp.pad(
+            u.astype(sdt).reshape((npts,) * 2),
+            [(H, sy - npts - H), (0, X - npts)]))
+        self.pad_any = jax.jit(lambda u: jnp.pad(
+            u.reshape((npts,) * 2),
+            [(H, sy - npts - H), (0, X - npts)]))
+        self.unpad = jax.jit(
+            lambda gp: gp[H : H + npts, :npts].reshape(-1))
+        self._call = jax.jit(lambda u: self.unpad(self.raw(self.pad(u))))
+
+    def __call__(self, u):
+        return self._call(u)
