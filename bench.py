@@ -570,6 +570,23 @@ def main():
     else:
         skip("3d_shell_curved_apply", "budget")
 
+    # ---- 6b. variable-coefficient apply (BASELINE config 5) ------------
+    # separable smooth coefficient through the exactly-factored terms +
+    # ResidentTerms kernel; per-qpoint structured tier for attribution
+    if left() > 90:
+        try:
+            rec = bmop.bench_varcoef(3, 4 if on_tpu else 2,
+                                     refine if on_tpu else 2, dtype,
+                                     reps=N_CHAIN if on_tpu else 2)
+            apply_line("3d_q4_variable_coef_apply", rec["gdofs_per_s"],
+                       rec["scheme"], rec["n_dofs"],
+                       extra={"coefficient": rec["coefficient"],
+                              "tiers_gdofs": rec["tiers_gdofs"]})
+        except Exception as e:
+            err_line("3d_q4_variable_coef_apply", e)
+    else:
+        skip("3d_q4_variable_coef_apply", "budget")
+
     # ---- 7. adaptive whole solves: Jacobi-CG vs adaptive GMG-CG -------
     # (the poisson_mg analogue for adaptive meshes; the V-cycle program
     # over every forest level is the largest compile in this file, but

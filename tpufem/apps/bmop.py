@@ -300,6 +300,92 @@ def bench_curved(dim, p, refine, dtype, reps):
     }
 
 
+def bench_varcoef(dim, p, refine, dtype, reps):
+    """Variable-coefficient apply benchmark (BASELINE config 5): a
+    SEPARABLE smooth coefficient c(x) = prod_a c_a(x_a) — genuinely
+    varying along every axis — rides the exactly-factored weighted-1D
+    terms + the fused ResidentTerms kernel (the variable-coefficient
+    fast path, VERDICT r4 item 2); the per-qpoint structured tier runs
+    the SAME operator for attribution (and is the exact fallback for
+    non-separable coefficients — see docs/ROOFLINE.md kill-arithmetic
+    for why no per-qpoint kernel beats it on this toolchain)."""
+    import time
+
+    import jax
+
+    cax = [lambda x: 1.0 + 0.5 * np.sin(2.1 * np.pi * x),
+           lambda y: 1.3 + y * y,
+           lambda z: np.exp(0.5 * z)][:dim]
+
+    def coef(pts):
+        out = np.ones(pts.shape[0])
+        for a in range(dim):
+            out = out * np.asarray(cax[a](pts[:, a]))
+        return out
+
+    mesh = Mesh.hyper_cube(dim, refine)
+    dofs = DoFHandler(mesh, p)
+    x = jnp.ones(dofs.n_dofs, jnp.dtype(dtype))
+    n_chain = max(reps, 2)
+    tiers = {}
+
+    def chain_rate(apply_fn, v):
+        @jax.jit
+        def chain(w):
+            def body(i, u):
+                return (apply_fn(u) * 1e-7).astype(u.dtype)
+
+            return jax.lax.fori_loop(0, n_chain, body, w)
+
+        y = chain(v)
+        s = float(jnp.sum(jnp.abs(y)))  # scalar D2H sync
+        t0 = time.perf_counter()
+        for _ in range(2):
+            y = chain(v)
+        s = float(jnp.sum(jnp.abs(y)))
+        dt = (time.perf_counter() - t0) / (2 * n_chain)
+        if not np.isfinite(s):
+            raise FloatingPointError("apply produced non-finite output")
+        return dt
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    modes = ("f32", "bf16") if (dim == 3 and on_tpu) else ("f32",)
+    for mode in modes:
+        try:
+            mf = MatrixFree.build(
+                mesh, dofs,
+                FemConfig(dim=dim, degree=p, dtype=dtype,
+                          scatter="separable", use_pallas=True,
+                          pallas_mode=mode),
+                coefficient_axes=cax)
+            rk = mf.resident
+            if rk is None:
+                raise ValueError("no resident terms kernel")
+            tiers[f"resident-terms-{mode}+pallas"] = chain_rate(
+                rk.raw, rk.pad(x))
+        except Exception:
+            pass
+    # per-qpoint structured tier, same operator (exact fallback)
+    mf_s = MatrixFree.build(
+        mesh, dofs,
+        FemConfig(dim=dim, degree=p, dtype=dtype, scatter="structured"),
+        coefficient=coef)
+    op_s = LaplaceOperator(mf_s)
+    dp = op_s.device_args
+    tiers["structured(per-qpoint)"] = chain_rate(
+        lambda v: op_s.vmult_raw_with(dp, v), x)
+    best = min(tiers, key=tiers.get)
+    return {
+        "bench": "bmop-varcoef", "dim": dim, "degree": p,
+        "refine": refine, "n_dofs": dofs.n_dofs, "scheme": best,
+        "coefficient": "separable: (1+.5 sin(2.1 pi x))(1.3+y^2)e^{z/2}",
+        "tiers_gdofs": {k: dofs.n_dofs / v / 1e9 for k, v in tiers.items()},
+        "dtype": dtype,
+        "s_per_apply": tiers[best],
+        "gdofs_per_s": dofs.n_dofs / tiers[best] / 1e9,
+    }
+
+
 def bench_resident(p, refine, dtype, reps, mode="f32", dim=3):
     """Solver-resident fused-kernel apply (halo'd layout in/out — the
     rate chained CG applies sustain), 3D or 2D, measured with the

@@ -41,6 +41,31 @@ def _scatter_inc(v_loc, inc):
     return jnp.sum(flat[inc], axis=1)
 
 
+def _terms_with_kernel(terms, npts, p, d, config, dtype):
+    """(sep_ops, resident) for a sum-of-tensor-products operator: the
+    XLA terms apply plus, when use_pallas and the tiling fits, the fused
+    ResidentTerms(2D) kernel (exact per-row band tables)."""
+    sep_ops = ("terms", terms)
+    resident = None
+    if config.use_pallas and d in (2, 3):
+        from tpufem.ops.pallas_separable import (
+            ResidentTerms,
+            ResidentTerms2D,
+        )
+
+        interp = jax.default_backend() == "cpu"
+        cls_k = ResidentTerms if d == 3 else ResidentTerms2D
+        try:
+            resident = cls_k(
+                npts, p,
+                [[np.asarray(m, np.float64) for m in t3] for t3 in terms],
+                dtype, mode=config.pallas_mode, interpret=interp)
+            sep_ops = ("terms", terms, resident)
+        except ValueError:
+            resident = None  # tiling constraints unmet
+    return sep_ops, resident
+
+
 @dataclasses.dataclass
 class MatrixFree:
     """Static + device data for one (mesh, degree, quadrature) instance."""
@@ -103,9 +128,22 @@ class MatrixFree:
         coefficient: Optional[Callable[[np.ndarray], np.ndarray]] = None,
         constrained_mask: Optional[np.ndarray] = None,
         constraints=None,  # AffineConstraints (hanging nodes etc.)
+        coefficient_axes: Optional[list] = None,
     ) -> "MatrixFree":
         """The reference's ``reinit`` (SURVEY.md §3.2): host-side walk over
-        cells producing flat device arrays. Amortized one-time setup."""
+        cells producing flat device arrays. Amortized one-time setup.
+
+        ``coefficient_axes``: a SEPARABLE variable coefficient given as d
+        per-axis callables, c(x) = prod_a c_a(x_a) (each vectorized on
+        physical coords).  On a uniform Cartesian mesh the operator then
+        factors EXACTLY into weighted 1D matrices (same tensor Gauss
+        rule, so parity with the per-qpoint path is rounding-level) and
+        the separable scheme — including the fused ResidentTerms
+        kernel — stays available: the variable-coefficient fast path
+        (VERDICT r4 item 2).  The equivalent pointwise ``coefficient``
+        is synthesized automatically for the diagonal / oracle /
+        structured fallback paths; passing both is an error.
+        """
         p, d = config.degree, config.dim
         assert mesh.dim == d and dofs.degree == p
         dtype = jnp.dtype(config.dtype)
@@ -113,6 +151,20 @@ class MatrixFree:
         si = ShapeInfo(p, quad)
         nn = config.n_dofs_per_cell
         nc = mesh.n_cells
+
+        if coefficient_axes is not None:
+            if coefficient is not None:
+                raise ValueError(
+                    "pass either coefficient or coefficient_axes, not both")
+            if len(coefficient_axes) != d:
+                raise ValueError(f"coefficient_axes needs {d} callables")
+            cax = list(coefficient_axes)
+
+            def coefficient(pts, _cax=cax):  # noqa: F811
+                out = np.ones(pts.shape[0])
+                for a, ca in enumerate(_cax):
+                    out = out * np.asarray(ca(pts[:, a]))
+                return out
 
         metric = compute_metric(mesh, quad, need_points=coefficient is not None)
 
@@ -162,11 +214,17 @@ class MatrixFree:
             and coef_q is None
             and getattr(mesh, "separable_metric", None) is not None
         )
-        if scheme == "separable" and not (dense_ok or sep_metric_ok):
+        # a SEPARABLE coefficient keeps the separable scheme available
+        # (weighted 1D matrices) — only a generic pointwise coefficient
+        # forces the per-qpoint tiers
+        sep_coef_ok = cartesian_ok and coefficient_axes is not None
+        if scheme == "separable" and not (dense_ok or sep_metric_ok
+                                          or sep_coef_ok):
             raise ValueError(
                 "separable scheme needs a uniform Cartesian mesh (or an "
                 "orthogonal separable metric), nq1 == p+1 and no "
-                "variable coefficient"
+                "non-separable variable coefficient (pass "
+                "coefficient_axes for a separable one)"
             )
         if scheme == "dense" and not dense_ok:
             raise ValueError(
@@ -192,30 +250,12 @@ class MatrixFree:
             terms = build_separable_metric_terms(
                 p, d, config.nq1, uniform_n, mesh.separable_metric, dtype
             )
-            sep_ops = ("terms", terms)
-            if config.use_pallas and d in (2, 3):
-                # fused resident kernel for the exact sum-of-tensor-
-                # product factorization (per-row band tables — the
-                # curved-shell / graded-grid fast tier, VERDICT r4
-                # item 3); also powers resident_jacobi_cg on shells
-                from tpufem.ops.pallas_separable import (
-                    ResidentTerms,
-                    ResidentTerms2D,
-                )
-
-                import jax
-
-                interp = jax.default_backend() == "cpu"
-                cls_k = ResidentTerms if d == 3 else ResidentTerms2D
-                try:
-                    resident = cls_k(
-                        uniform_n * p + 1, p,
-                        [[np.asarray(m, np.float64) for m in t3]
-                         for t3 in terms],
-                        dtype, mode=config.pallas_mode, interpret=interp)
-                    sep_ops = ("terms", terms, resident)
-                except ValueError:
-                    resident = None  # tiling constraints unmet
+            # fused resident kernel for the exact sum-of-tensor-product
+            # factorization (per-row band tables — the curved-shell /
+            # graded-grid fast tier, VERDICT r4 item 3); also powers
+            # resident_jacobi_cg on shells
+            sep_ops, resident = _terms_with_kernel(
+                terms, uniform_n * p + 1, p, d, config, dtype)
         elif scheme == "structured" and metric.kind == "general":
             # curved uniform mesh: per-qpoint metric in the blocked layout
             uniform_n = int(mesh.U // mesh.sizes[0])
@@ -269,7 +309,19 @@ class MatrixFree:
                 dense_A = build_dense_local_matrix(
                     p, d, config.nq1, np.asarray(struct_scale), dtype
                 )
-            if scheme == "separable":
+            if scheme == "separable" and coefficient_axes is not None:
+                # separable variable coefficient: exactly-factored
+                # weighted 1D matrices ride the terms apply + the fused
+                # ResidentTerms kernel (VERDICT r4 item 2 — the
+                # variable-coefficient fast path)
+                from tpufem.ops.separable import cartesian_coef_terms
+
+                terms = cartesian_coef_terms(
+                    p, d, config.nq1, uniform_n, mesh.lower, mesh.upper,
+                    coefficient_axes, dtype)
+                sep_ops, resident = _terms_with_kernel(
+                    terms, uniform_n * p + 1, p, d, config, dtype)
+            elif scheme == "separable":
                 from tpufem.ops.separable import (
                     build_separable_operators,
                     global_1d_matrices,
