@@ -53,6 +53,23 @@ class Metric:
         )
 
 
+def _lagrange_1d(nodes: np.ndarray, x: np.ndarray):
+    """Values and derivatives of the Lagrange basis at ``nodes``
+    evaluated at ``x``: (V[q, j], D[q, j])."""
+    n = len(nodes)
+    V = np.ones((len(x), n))
+    D = np.zeros((len(x), n))
+    for j in range(n):
+        for k in range(n):
+            if k == j:
+                continue
+            fac = (x - nodes[k]) / (nodes[j] - nodes[k])
+            # derivative via product rule before multiplying this factor
+            D[:, j] = D[:, j] * fac + V[:, j] / (nodes[j] - nodes[k])
+            V[:, j] = V[:, j] * fac
+    return V, D
+
+
 def compute_metric(
     mesh: Mesh, quad: Quadrature, need_points: bool = False
 ) -> Metric:
@@ -61,6 +78,44 @@ def compute_metric(
     nq = nq1**d
     nc = mesh.n_cells
     qp_ref = quad.tensor_points(d)  # (nq, d), x fastest
+
+    # DISCRETE polynomial geometry (MappingQ analogue, SURVEY.md §2 L0):
+    # per-qpoint J from the Q_m interpolant of the stored support points
+    # — geometry known only discretely (perturbed nodes, imported
+    # meshes); takes precedence over transform/transform_jac
+    sp = getattr(mesh, "support_points", None)
+    if sp is not None:
+        m = mesh.mapping_degree
+        n1 = m + 1
+        nodes = np.linspace(0.0, 1.0, n1)
+        V1, D1 = _lagrange_1d(nodes, quad.points_1d)  # (nq1, n1)
+        nv = n1**d
+        kidx = np.arange(nv)
+        qidx = np.arange(nq)
+        N = np.ones((nq, nv))
+        dN = np.ones((nq, nv, d))
+        for a in range(d):
+            ka = (kidx // n1**a) % n1  # node 1D index on axis a
+            qa = (qidx // nq1**a) % nq1  # qpoint 1D index on axis a
+            Va = V1[qa][:, ka]  # (nq, nv)
+            Da = D1[qa][:, ka]
+            N = N * Va
+            for b in range(d):
+                dN[:, :, b] = dN[:, :, b] * (Da if b == a else Va)
+        J = np.einsum("cka,qkb->cqab", np.asarray(sp, np.float64), dN)
+        det = np.linalg.det(J)
+        if np.any(det <= 0):
+            raise ValueError(
+                "mapping produced non-positive Jacobian determinant")
+        metric = Metric(
+            "general", d, nc, nq,
+            inv_jac=np.linalg.inv(J),
+            jxw=det * quad.tensor_weights(d)[None, :],
+        )
+        if need_points:
+            metric.quad_points = np.einsum(
+                "qk,cka->cqa", N, np.asarray(sp, np.float64))
+        return metric
 
     if mesh.transform is None:
         # axis-aligned boxes: h_a = size * (upper-lower)_a / U

@@ -70,6 +70,15 @@ class Mesh:
         # exact factorization the separable tier assembles 1D weighted
         # matrices from (tpufem.ops.separable.global_1d_weighted).
         self.separable_metric = None
+        # Optional DISCRETE polynomial geometry (the reference's MappingQ,
+        # SURVEY.md §2/L0: geometry known only at support points —
+        # perturbed nodes, imported meshes): (nc, (m+1)^dim, dim) physical
+        # support-point coords per cell (lexicographic, x fastest) on an
+        # equidistant Q_m lattice of the reference cell, plus the mapping
+        # degree m.  Takes precedence over transform/transform_jac in
+        # compute_metric.  Set via ``set_mapping_q`` or directly.
+        self.support_points = None
+        self.mapping_degree = None
 
     def _like(self, origins: np.ndarray, sizes: np.ndarray,
               max_level: int) -> "Mesh":
@@ -84,7 +93,38 @@ class Mesh:
                  self.lower, self.upper, self.transform)
         m.transform_jac = self.transform_jac
         m.separable_metric = self.separable_metric
+        # support_points are PER-CELL and do not survive cell changes:
+        # re-derive them on the new mesh with set_mapping_q if needed
         return m
+
+    # ------------------------------------------------------------------
+    def set_mapping_q(self, degree: int, perturb=None) -> "Mesh":
+        """Attach a discrete Q_``degree`` geometry (deal.II ``MappingQ``
+        analogue, SURVEY.md §2 L0): per-cell support points sampled from
+        the mesh's current geometry (transform or affine), optionally
+        moved by ``perturb(pts) -> pts`` (vectorized on physical
+        coords).  After this call the geometry is known ONLY through the
+        stored support points — compute_metric builds the per-qpoint
+        metric from the polynomial interpolant, exactly how the
+        reference handles imported/perturbed meshes whose geometry has
+        no closed form.  Returns self (chainable)."""
+        m = int(degree)
+        if m < 1:
+            raise ValueError("mapping degree must be >= 1")
+        n1 = m + 1
+        nodes = np.linspace(0.0, 1.0, n1)
+        idx = np.arange(n1**self.dim)
+        ref = np.stack([nodes[(idx // n1**a) % n1]
+                        for a in range(self.dim)], axis=-1)  # (k, d)
+        logical = (self.origins[:, None, :]
+                   + self.sizes[:, None, None] * ref[None]) / self.U
+        pts = self.to_physical(logical)
+        if perturb is not None:
+            d = self.dim
+            pts = np.asarray(perturb(pts.reshape(-1, d))).reshape(pts.shape)
+        self.support_points = np.asarray(pts, np.float64)
+        self.mapping_degree = m
+        return self
 
     # ------------------------------------------------------------------
     @property

@@ -142,8 +142,10 @@ class BoxLaplaceOperator:
         structured_interfaces: bool = True,
         cell_scheme: str = "global",
     ):
-        if mesh.transform is not None:
-            # curved adaptive (transform x refinement, VERDICT r2 item 6):
+        if (mesh.transform is not None
+                or getattr(mesh, "support_points", None) is not None):
+            # curved adaptive (transform x refinement, VERDICT r2 item 6)
+            # or discrete support-point geometry (MappingQ analogue):
             # the per-box cell loop carries the full per-qpoint packed
             # symmetric metric (dead lattice cells get G = 0) through
             # laplace_apply_global_general — same machinery as the
