@@ -832,14 +832,25 @@ class ResidentTerms:
             # the f32 default at 16; bf16 at 24 measured to fit
             tile = {"f32": 16, "bf16": 24, "bf16s": 32}[mode]
         b = max(tile - tile % sub, sub)  # exact tables: no p-alignment
+        X = npts if interpret else 128 * (-(-npts // 128))
+        # measured VMEM-fit boundary on this toolchain (remote Mosaic
+        # helper crashes rather than erroring past it): b*X <= 6144 for
+        # f32/bf16 compute buffers, <= 12288 for bf16s storage —
+        # calibrated at X=256 (shell) and X=384 (17M flagship)
+        bx_max = 12288 if mode == "bf16s" else 6144
+        if not interpret:
+            while b * X > bx_max and b > sub:
+                b -= sub
         nt = -(-npts // b)
         if nt < 2:
             raise ValueError("resident kernel needs >= 2 tiles per axis")
         if b > (48 if sdt.itemsize == 2 else 32):
             raise ValueError(f"tile {b} too large for the VMEM budget")
+        if b * X > bx_max and not interpret:
+            raise ValueError(f"tile {b} x lanes {X} exceeds the VMEM "
+                             "budget")
         L = b + 2 * p
         LY = b + 2 * H
-        X = npts if interpret else 128 * (-(-npts // 128))
         sz = nt * b + 2 * p
         sy = nt * b + 2 * H
         self.npts, self.p, self.b, self.nt = npts, p, b, nt
