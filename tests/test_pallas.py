@@ -732,3 +732,52 @@ def test_separable_coefficient_rejects_both_coefficients():
         MatrixFree.build(mesh, dofs, FemConfig(2, 2),
                          coefficient=lambda pts: np.ones(pts.shape[0]),
                          coefficient_axes=_sep_coef_axes(2))
+
+
+def test_cp_decompose_grid_exact_low_rank():
+    from tpufem.ops.separable import cp_decompose_grid
+
+    rng = np.random.default_rng(0)
+    vs = [rng.standard_normal(9) for _ in range(3)]
+    ws = [rng.standard_normal(9) for _ in range(3)]
+    T = (np.einsum("z,y,x->zyx", *vs) + 0.5 * np.einsum("z,y,x->zyx", *ws))
+    facs, err = cp_decompose_grid(T, max_rank=4, tol=1e-12)
+    assert len(facs) <= 3 and err < 1e-10
+
+
+@pytest.mark.parametrize("dim,p,r", [(2, 2, 3), (3, 2, 2)])
+def test_cp_coefficient_operator_certified(dim, p, r):
+    """A NON-separable smooth coefficient (step-37 style) rides the
+    terms fast path via CP expansion: the operator matches the exact
+    per-qpoint oracle within the certified coefficient error."""
+    from tpufem.fem.assemble import assemble_laplace
+    from tpufem.fem.dof_handler import DoFHandler
+    from tpufem.fem.mesh import Mesh
+    from tpufem.operators.laplace import LaplaceOperator
+    from tpufem.ops.matrix_free import MatrixFree
+    from tpufem.utils.config import FemConfig
+
+    coef = lambda pts: 1.0 / (0.5 + 2.0 * np.sum(pts**2, axis=1))
+    mesh = Mesh.hyper_cube(dim, r)
+    dofs = DoFHandler(mesh, p)
+    mf = MatrixFree.build(
+        mesh, dofs,
+        FemConfig(dim, p, dtype="float64", scatter="separable"),
+        coefficient=coef, coefficient_cp_tol=1e-9,
+        coefficient_cp_max_rank=12)
+    assert mf.sep_ops[0] == "terms"
+    # this coefficient's intrinsic CP spectrum needs ~rank 12 for 1e-6
+    # in 3D (measured); 2D SVD reaches ~1e-10
+    assert mf.coef_cp_err is not None and mf.coef_cp_err < 2e-5, \
+        mf.coef_cp_err
+    K = assemble_laplace(dofs, coefficient=coef)
+    op = LaplaceOperator(mf)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(dofs.n_dofs)
+    y = np.asarray(op.vmult_raw(jnp.asarray(x)))
+    y_ref = K @ x
+    rel = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
+    # operator perturbation is bounded by the certified coefficient
+    # error (times a modest norm-equivalence constant)
+    assert rel < 50 * max(mf.coef_cp_err, 1e-15), (rel, mf.coef_cp_err)
+    assert rel < 1e-3

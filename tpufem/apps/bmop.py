@@ -35,7 +35,22 @@ def adaptive_mesh(dim, refine, steps, center=0.31, radius=0.35):
     return mesh
 
 
-def bench_adaptive(dim, p, refine, steps, dtype, reps, compare=False):
+def build_adaptive_op(dim, p, refine, steps, dtype):
+    """(mesh, dofs, constraints, op) for the adaptive benchmarks — built
+    once and shared between the apply and solve sections (the host setup
+    is ~1 min at the flagship size)."""
+    from tpufem.fem.constraints import make_hanging_node_constraints
+    from tpufem.ops.boxes import BoxLaplaceOperator
+
+    mesh = adaptive_mesh(dim, refine, steps)
+    dofs = DoFHandler(mesh, p)
+    ac = make_hanging_node_constraints(dofs)
+    op = BoxLaplaceOperator(mesh, dofs, constraints=ac, dtype=dtype)
+    return mesh, dofs, ac, op
+
+
+def bench_adaptive(dim, p, refine, steps, dtype, reps, compare=False,
+                   prebuilt=None):
     """Adaptive-mesh apply benchmark: box-structured tier (the fast TPU
     path for BASELINE config 4) with optional incidence-path comparison.
 
@@ -48,13 +63,9 @@ def bench_adaptive(dim, p, refine, steps, dtype, reps, compare=False):
 
     import jax
 
-    from tpufem.fem.constraints import make_hanging_node_constraints
-    from tpufem.ops.boxes import BoxLaplaceOperator
-
-    mesh = adaptive_mesh(dim, refine, steps)
-    dofs = DoFHandler(mesh, p)
-    ac = make_hanging_node_constraints(dofs)
-    op = BoxLaplaceOperator(mesh, dofs, constraints=ac, dtype=dtype)
+    mesh, dofs, ac, op = (prebuilt if prebuilt is not None
+                          else build_adaptive_op(dim, p, refine, steps,
+                                                 dtype))
     x = op.to_patch(np.ones(dofs.n_dofs))
     n_chain = max(reps, 2)
 
@@ -156,7 +167,8 @@ def bench_distributed(dim, p, refine, steps, dtype, reps, shards):
     }
 
 
-def bench_adaptive_solve(dim, p, refine, steps, dtype, rtol=1e-5):
+def bench_adaptive_solve(dim, p, refine, steps, dtype, rtol=1e-5,
+                         prebuilt=None):
     """Adaptive whole-solve benchmark: Jacobi-CG vs global-coarsening
     GMG-CG on the box tier (the ``poisson_mg`` analogue for adaptively
     refined meshes, tpufem.solvers.box_multigrid).  Both solves run as
@@ -164,14 +176,11 @@ def bench_adaptive_solve(dim, p, refine, steps, dtype, rtol=1e-5):
     solve first, scalar D2H sync ends each timing)."""
     import time
 
-    from tpufem.fem.constraints import make_hanging_node_constraints
-    from tpufem.ops.boxes import BoxLaplaceOperator
     from tpufem.solvers.box_multigrid import BoxMultigrid
 
-    mesh = adaptive_mesh(dim, refine, steps)
-    dofs = DoFHandler(mesh, p)
-    ac = make_hanging_node_constraints(dofs)
-    op = BoxLaplaceOperator(mesh, dofs, constraints=ac, dtype=dtype)
+    mesh, dofs, ac, op = (prebuilt if prebuilt is not None
+                          else build_adaptive_op(dim, p, refine, steps,
+                                                 dtype))
     diag = op.diagonal()
     mg = BoxMultigrid(mesh, dofs, constraints=ac, dtype=dtype,
                       fine_op=op, fine_diag=diag)
@@ -240,9 +249,14 @@ def bench_curved(dim, p, refine, dtype, reps):
         return dt
 
     # separable-metric tier (orthogonal shells factor exactly) + the
-    # per-qpoint general-metric structured tier
-    tiers = {"separable(metric-factorized)": rate("separable"),
-             "structured(general-metric)": rate("structured")}
+    # per-qpoint general-metric structured tier (CPU rigs only: on the
+    # chip its 1.08 GDoF/s attribution is recorded in docs/ROOFLINE.md
+    # and its compile does not earn its bench-budget cost)
+    import jax as _jax
+
+    tiers = {"separable(metric-factorized)": rate("separable")}
+    if _jax.default_backend() in ("cpu",):
+        tiers["structured(general-metric)"] = rate("structured")
 
     # fused ResidentTerms kernel on the exact separable-metric
     # factorization (per-row band tables): measured 2.25/2.65/3.0 GDoF/s

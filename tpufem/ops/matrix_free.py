@@ -114,6 +114,9 @@ class MatrixFree:
     constraints_obj: Any | None = None  # host AffineConstraints (setup use)
     dense_A: Any | None = None  # (nn, nn) shared local matrix (dense tier)
     sep_ops: Any | None = None  # ([K1_a], [M1_a]) global 1D operators
+    # certified relative coefficient error of a CP-expanded operator
+    # (None = the operator is exact to rounding)
+    coef_cp_err: float | None = None
     # solver-resident fused kernel (3D separable + use_pallas; halo'd
     # layout in/out so CG chains applies with zero pad/unpad passes)
     resident: Any | None = None
@@ -129,6 +132,8 @@ class MatrixFree:
         constrained_mask: Optional[np.ndarray] = None,
         constraints=None,  # AffineConstraints (hanging nodes etc.)
         coefficient_axes: Optional[list] = None,
+        coefficient_cp_tol: Optional[float] = None,
+        coefficient_cp_max_rank: int = 6,
     ) -> "MatrixFree":
         """The reference's ``reinit`` (SURVEY.md §3.2): host-side walk over
         cells producing flat device arrays. Amortized one-time setup.
@@ -143,6 +148,18 @@ class MatrixFree:
         (VERDICT r4 item 2).  The equivalent pointwise ``coefficient``
         is synthesized automatically for the diagonal / oracle /
         structured fallback paths; passing both is an error.
+
+        ``coefficient_cp_tol``: with a GENERIC (non-separable)
+        ``coefficient`` on a uniform Cartesian mesh and
+        scatter='separable', CP-expand c at the quadrature grid to this
+        relative tolerance (greedy rank-1 deflation, up to
+        ``coefficient_cp_max_rank`` ranks — dim terms each) and ride the
+        same fast terms path; the achieved error is recorded in
+        ``coef_cp_err`` and the applied operator is EXACTLY the
+        per-qpoint operator with the reconstructed coefficient.  Use
+        when the tolerance is at or below the discretization error (or
+        for preconditioning); the per-qpoint structured tier remains
+        the exact path.
         """
         p, d = config.degree, config.dim
         assert mesh.dim == d and dofs.degree == p
@@ -218,8 +235,11 @@ class MatrixFree:
         # (weighted 1D matrices) — only a generic pointwise coefficient
         # forces the per-qpoint tiers
         sep_coef_ok = cartesian_ok and coefficient_axes is not None
+        sep_cp_ok = (cartesian_ok and coefficient is not None
+                     and coefficient_cp_tol is not None
+                     and coefficient_axes is None)
         if scheme == "separable" and not (dense_ok or sep_metric_ok
-                                          or sep_coef_ok):
+                                          or sep_coef_ok or sep_cp_ok):
             raise ValueError(
                 "separable scheme needs a uniform Cartesian mesh (or an "
                 "orthogonal separable metric), nq1 == p+1 and no "
@@ -231,6 +251,7 @@ class MatrixFree:
                 "dense scheme needs a uniform Cartesian mesh, "
                 "nq1 == p+1 and no variable coefficient"
             )
+        coef_cp_err = None
         uniform_n = None
         struct_scale = None
         struct_w = None
@@ -309,7 +330,19 @@ class MatrixFree:
                 dense_A = build_dense_local_matrix(
                     p, d, config.nq1, np.asarray(struct_scale), dtype
                 )
-            if scheme == "separable" and coefficient_axes is not None:
+            if scheme == "separable" and sep_cp_ok:
+                # generic smooth coefficient: CP-expand at the
+                # quadrature grid and ride the SAME terms fast path
+                # (certified coefficient error in coef_cp_err)
+                from tpufem.ops.separable import cp_coef_terms
+
+                terms, coef_cp_err = cp_coef_terms(
+                    p, d, config.nq1, uniform_n, mesh.lower, mesh.upper,
+                    coefficient, dtype, tol=coefficient_cp_tol,
+                    max_rank=coefficient_cp_max_rank)
+                sep_ops, resident = _terms_with_kernel(
+                    terms, uniform_n * p + 1, p, d, config, dtype)
+            elif scheme == "separable" and coefficient_axes is not None:
                 # separable variable coefficient: exactly-factored
                 # weighted 1D matrices ride the terms apply + the fused
                 # ResidentTerms kernel (VERDICT r4 item 2 — the
@@ -468,6 +501,7 @@ class MatrixFree:
             constraints_obj=constraints,
             dense_A=dense_A,
             sep_ops=sep_ops,
+            coef_cp_err=coef_cp_err,
             resident=resident,
             **kwargs,
         )

@@ -836,8 +836,11 @@ class ResidentTerms:
         # measured VMEM-fit boundary on this toolchain (remote Mosaic
         # helper crashes rather than erroring past it): b*X <= 6144 for
         # f32/bf16 compute buffers, <= 12288 for bf16s storage —
-        # calibrated at X=256 (shell) and X=384 (17M flagship)
-        bx_max = 12288 if mode == "bf16s" else 6144
+        # calibrated at X=256 (shell) and X=384 (17M flagship) with 3
+        # terms; qq/xkm grow linearly in the term count (CP-expanded
+        # coefficients), so the budget scales with 3/n_terms
+        bx_max = ((12288 if mode == "bf16s" else 6144) * 3
+                  // max(len(terms_np), 3))
         if not interpret:
             while b * X > bx_max and b > sub:
                 b -= sub

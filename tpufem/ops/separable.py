@@ -106,15 +106,15 @@ def build_separable_metric_terms(p, dim, nq1, n, separable_metric, dtype):
 
 
 def laplace_apply_separable_terms(u, dim: int, npts: int, terms):
-    """y = sum_a (X_a,d-1 (x) ... (x) X_a,0) u — the general
-    sum-of-tensor-products apply (d^2 contractions; curved orthogonal
-    meshes: polar/spherical shells)."""
+    """y = sum_t (X_t,d-1 (x) ... (x) X_t,0) u — the general
+    sum-of-tensor-products apply (d contractions per term; curved
+    orthogonal meshes have d terms, CP-expanded coefficients d*R)."""
     t0 = u.reshape((npts,) * dim)
     r = None
-    for a in range(dim):
+    for term in terms:
         t = t0
         for b in range(dim):
-            t = _contract_grid(t, terms[a][b], b, dim)
+            t = _contract_grid(t, term[b], b, dim)
         r = t if r is None else r + t
     return r.reshape(-1)
 
@@ -190,3 +190,136 @@ def laplace_apply_separable(u, dim: int, npts: int, Ks, Ms):
     f = _contract_grid(e, Ms[1], 1, dim)
     r = r + _contract_grid(f, Ms[2], 2, dim)
     return r.reshape(-1)
+
+
+def global_1d_weighted_values(p: int, n: int, nq1: int, wvals: np.ndarray,
+                              kind: str) -> np.ndarray:
+    """``global_1d_weighted`` with the weight given as per-cell
+    per-qpoint VALUES (n, nq1) instead of a callable — the CP-expansion
+    path feeds factor values at exactly the quadrature points."""
+    si = ShapeInfo(p, Quadrature.gauss(nq1))
+    wq = si.quad.weights_1d
+    h = 1.0 / n
+    npts = n * p + 1
+    X = np.zeros((npts, npts))
+    B = si.D if kind == "K" else si.S
+    scale = (1.0 / h) if kind == "K" else h
+    wvals = np.asarray(wvals, np.float64).reshape(n, nq1)
+    for c in range(n):
+        loc = np.einsum("qi,q,qj->ij", B, wq * wvals[c], B) * scale
+        sl = slice(c * p, c * p + p + 1)
+        X[sl, sl] += loc
+    return X
+
+
+def cp_decompose_grid(T: np.ndarray, max_rank: int, tol: float,
+                      iters: int = 30):
+    """CP decomposition of a dim-D tensor sampled on the quadrature
+    grid: T ~= sum_r  f_r,0 (x) f_r,1 (x) ... — returns (factors,
+    rel_err) with factors[r][a] the axis-a value vector (axes in the
+    TENSOR's order).  2D: truncated SVD (optimal).  3D: classic CP-ALS
+    with an increasing-rank search; converges fast for the smooth
+    coefficients this serves."""
+    T = np.asarray(T, np.float64)
+    d = T.ndim
+    nrm0 = float(np.linalg.norm(T))
+    if nrm0 == 0.0:
+        return [], 0.0
+    if d == 2:
+        U, s, Vt = np.linalg.svd(T, full_matrices=False)
+        tail = np.sqrt(np.concatenate(
+            [np.cumsum((s**2)[::-1])[::-1][1:], [0.0]])) / nrm0
+        R = int(np.searchsorted(-tail, -tol) + 1)
+        R = min(max(R, 1), max_rank, len(s))
+        facs = [[U[:, r] * s[r], Vt[r]] for r in range(R)]
+        err = float(tail[R - 1]) if R <= len(tail) else 0.0
+        return facs, err
+    if d != 3:
+        raise ValueError("cp_decompose_grid supports dim 2 and 3")
+    rng = np.random.default_rng(0)
+    best = ([], 1.0)
+    prev = None
+    for R in range(1, max_rank + 1):
+        A = [rng.standard_normal((T.shape[a], R)) for a in range(3)]
+        if prev is not None:
+            # warm-start: keep the converged rank-(R-1) factors, add one
+            # random column — ALS then refines the residual direction
+            for a in range(3):
+                A[a][:, : R - 1] = prev[a]
+                A[a][:, R - 1] *= 0.01 * np.abs(prev[a]).max()
+        for _ in range(iters):
+            for a in range(3):
+                o1, o2 = [b for b in range(3) if b != a]
+                G = (A[o1].T @ A[o1]) * (A[o2].T @ A[o2])
+                subs = ["zyx", "zyx", "zyx"]
+                lbl = subs[0]
+                M = np.einsum(
+                    f"{lbl},{lbl[o1]}r,{lbl[o2]}r->{lbl[a]}r",
+                    T, A[o1], A[o2], optimize=True)
+                A[a] = M @ np.linalg.pinv(G)
+        recon = np.einsum("zr,yr,xr->zyx", A[0], A[1], A[2],
+                          optimize=True)
+        err = float(np.linalg.norm(T - recon) / nrm0)
+        if err < best[1]:
+            best = ([[A[a][:, r].copy() for a in range(3)]
+                     for r in range(R)], err)
+        prev = A
+        if err <= tol:
+            break
+    return best
+
+
+def cp_coef_terms(p, dim, nq1, n, lower, upper, coefficient, dtype,
+                  tol: float = 1e-6, max_rank: int = 8):
+    """terms for a GENERIC smooth coefficient via CP expansion:
+    c(x) ~= sum_r prod_a f_r,a(x_a) sampled at the tensor quadrature
+    grid and greedily decomposed; each rank contributes dim
+    tensor-product terms (3R total in 3D), so the fused ResidentTerms
+    kernel applies at ~2 extra banded stages + X extra matmul lanes per
+    rank.  Returns (terms, rel_err): rel_err is the CERTIFIED relative
+    Frobenius error of the coefficient at the quadrature points — the
+    applied operator equals the per-qpoint operator with the
+    reconstructed coefficient exactly (tensor Gauss rule factorizes),
+    so the operator perturbation is O(rel_err)."""
+    quad = Quadrature.gauss(nq1)
+    xq = np.asarray(quad.points_1d)
+    # per-axis physical quadrature coordinates, (n*nq1,), TENSOR axis
+    # order z..x = reversed spatial order
+    ax_pts = []
+    for a in range(dim):  # spatial axis a (x first)
+        L = float(upper[a] - lower[a])
+        h = L / n
+        pts = (np.arange(n)[:, None] * h + xq[None, :] * h
+               + float(lower[a])).reshape(-1)
+        ax_pts.append(pts)
+    Q = n * nq1
+    # sample c on the tensor quadrature grid, chunked (the flagship grid
+    # is 33M points); tensor axes are (z, ..., x): axis t holds spatial
+    # dim-1-t
+    grids = np.meshgrid(*[ax_pts[dim - 1 - t] for t in range(dim)],
+                        indexing="ij")
+    pts_all = np.stack([grids[dim - 1 - a] for a in range(dim)],
+                       axis=-1).reshape(-1, dim)
+    step = max(1, int(2e7 // dim))
+    vals = np.empty(pts_all.shape[0])
+    for i0 in range(0, len(pts_all), step):
+        vals[i0:i0 + step] = np.asarray(
+            coefficient(pts_all[i0:i0 + step]))
+    T = vals.reshape((Q,) * dim)
+    facs, rel_err = cp_decompose_grid(T, max_rank, tol)
+    terms = []
+    for fr in facs:  # fr[t]: tensor-axis t values (t=0 is z)
+        for a in range(dim):  # K-axis (spatial)
+            row = []
+            for b in range(dim):  # spatial axis of the matrix
+                L = float(upper[b] - lower[b])
+                w = fr[dim - 1 - b]  # tensor axis for spatial b
+                if a == b:
+                    X = global_1d_weighted_values(
+                        p, n, nq1, w / L, "K")
+                else:
+                    X = global_1d_weighted_values(
+                        p, n, nq1, w * L, "M")
+                row.append(np.asarray(X, dtype))
+            terms.append(row)
+    return terms, rel_err
