@@ -104,26 +104,45 @@ class GeometricMultigrid:
         use_pallas: bool = False,
         pallas_mode: str = "f32",
         pallas_dirichlet: bool | None = None,
+        mesh_factory: Optional[Callable] = None,
+        coefficient_axes: Optional[list] = None,
     ):
+        """``mesh_factory(refine) -> Mesh`` generalizes the level
+        hierarchy beyond hyper_cube: any family of uniformly refined
+        meshes sharing ONE geometry (e.g. ``Mesh.hyper_shell_3d`` —
+        curved-domain GMG; the level FE spaces nest in logical
+        coordinates, coarse operators are re-discretized per level, the
+        standard geometric-MG construction).  ``coefficient_axes``: a
+        separable variable coefficient (see MatrixFree.build) — every
+        level's smoother then rides the exactly-factored terms path
+        (+ResidentTerms kernel when use_pallas), the fast
+        BASELINE-config-5 composition."""
         if coarsest_refine > finest_refine:
             raise ValueError("coarsest_refine must be <= finest_refine")
+        if coefficient is not None and coefficient_axes is not None:
+            raise ValueError(
+                "pass either coefficient or coefficient_axes, not both")
         self.dim, self.degree = dim, degree
         self.n_cycles = n_cycles
         self.nbase = nbase
-        # the fused Pallas kernel (constant-coefficient separable form)
-        # can power every level's smoother applies; accuracy is
-        # structured-class (ops/pallas_separable.py)
+        if mesh_factory is None:
+            mesh_factory = lambda r: Mesh.hyper_cube(dim, r, nbase=nbase)
+        # the fused Pallas kernels (separable / terms form) can power
+        # every level's smoother applies; accuracy is structured-class
+        # (ops/pallas_separable.py).  A generic pointwise coefficient
+        # has no separable factorization — flat tiers only.
         pallas_ok = use_pallas and coefficient is None
         self.levels: list[MGLevel] = []
         for r in range(coarsest_refine, finest_refine + 1):
-            mesh = Mesh.hyper_cube(dim, r, nbase=nbase)
+            mesh = mesh_factory(r)
             dofs = DoFHandler(mesh, degree)
             cfg = FemConfig(dim=dim, degree=degree, dtype=dtype,
                             scatter="separable" if pallas_ok else scatter,
                             use_pallas=pallas_ok,
                             pallas_mode=pallas_mode,
                             pallas_dirichlet=pallas_dirichlet)
-            mf = MatrixFree.build(mesh, dofs, cfg, coefficient=coefficient)
+            mf = MatrixFree.build(mesh, dofs, cfg, coefficient=coefficient,
+                                  coefficient_axes=coefficient_axes)
             op = LaplaceOperator(mf)
             diag = op.diagonal()
             cheb = make_chebyshev_params(
@@ -144,8 +163,15 @@ class GeometricMultigrid:
             self.P1d.append(np.asarray(P, np.dtype(dtype)))
         # coarse dense inverse (constrained rows/cols -> identity)
         lvl0 = self.levels[0]
+        coarse_coef = coefficient
+        if coefficient_axes is not None:
+            def coarse_coef(pts, _cax=list(coefficient_axes)):
+                out = np.ones(pts.shape[0])
+                for a, ca in enumerate(_cax):
+                    out = out * np.asarray(ca(pts[:, a]))
+                return out
         K = assemble_laplace(
-            lvl0.mf.dofs, coefficient=coefficient
+            lvl0.mf.dofs, coefficient=coarse_coef
         ).toarray()
         m = np.asarray(lvl0.mask, dtype=np.float64)
         Kc = (m[:, None] * K * m[None, :]) + np.diag(1.0 - m)
