@@ -621,12 +621,13 @@ def main():
         sweep2d = None
         if left() > 60:
             try:
-                # refine 7 (npts 513): the dense K-stacked x operator of
-                # the 2D kernel must fit VMEM (npts ~ 600 bound)
-                rec = bmop.bench_resident(4, 7, dtype, N_CHAIN,
+                # refine 10 (npts 4097, 16.8M DoFs — flagship scale):
+                # the block-tridiagonal x path keeps the operator O(p)
+                # in VMEM, lifting the dense path's npts ~ 600 bound
+                rec = bmop.bench_resident(4, 10, dtype, N_CHAIN,
                                           mode="bf16s", dim=2)
                 sweep2d = {"gdofs": round(rec["gdofs_per_s"], 3),
-                           "refine": 7, "n_dofs": rec["n_dofs"]}
+                           "refine": 10, "n_dofs": rec["n_dofs"]}
             except Exception as e:
                 sweep_err["2d_p4"] = f"{type(e).__name__}: {e}"[:120]
         val = sweep.get("4", {}).get("gdofs", 0.0)

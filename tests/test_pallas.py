@@ -609,6 +609,70 @@ def test_resident_2d_shell_terms_parity():
     assert np.linalg.norm(y_p - y_x) / np.linalg.norm(y_x) < 1e-13
 
 
+@pytest.mark.parametrize("p,n,tile,mode", [
+    (4, 40, 64, "f32"), (3, 50, 64, "f32"),
+    (4, 40, 64, "bf16s"), (4, 40, 64, "bf16")])
+def test_resident_2d_block_x_matches_dense(p, n, tile, mode):
+    """Block-tridiagonal x path (ROADMAP r4 gap 3 — large 2D grids):
+    parity with the dense K-stacked x path at every mode, plus the
+    chainable halo invariant.  The block path dedupes the O(p) unique
+    128-lane column blocks of the banded x operators and streams the
+    per-tile band table through the grid pipeline (a VMEM-resident
+    table lane-pads its singleton dim 128x — measured Mosaic stack
+    overflow at npts ~ 4k on chip)."""
+    from tpufem.ops.pallas_separable import _xblocks
+
+    npts = n * p + 1
+    K1u, M1u = global_1d_matrices(p, n, p + 1)
+    h = 1.0 / n
+    Kx, Mx = np.asarray(K1u / h), np.asarray(M1u * h)
+    terms = [[Kx, Mx], [Mx, Kx]]
+    dt = "float64" if mode == "f32" else "float32"
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.standard_normal(npts**2), dt)
+    kd = ResidentTerms2D(npts, p, terms, dt, tile=tile, mode=mode,
+                         interpret=True, x_mode="dense")
+    kb = ResidentTerms2D(npts, p, terms, dt, tile=tile, mode=mode,
+                         interpret=True, x_mode="block")
+    yd, yb = np.asarray(kd(u), np.float64), np.asarray(kb(u), np.float64)
+    tol = 1e-13 if mode == "f32" else 2e-3
+    assert np.linalg.norm(yb - yd) / np.linalg.norm(yd) < tol
+    # uniform grid => interior column blocks dedupe to O(p) classes
+    X = 128 * (-(-npts // 128))
+    ops, groups = _xblocks([t2[0] for t2 in terms], X, npts)
+    assert ops.shape[0] <= 2 * p + 4
+    assert sorted(j for g in groups for j in g) == list(range(X // 128))
+    # chainable halo invariant (block path)
+    y1 = kb.raw(kb.pad(u))
+    hz = np.asarray(y1).copy()
+    hz[kb.H : kb.H + npts, :npts] = 0.0
+    assert np.all(hz == 0.0), "halo/overhang not zeroed by the kernel"
+    y2 = np.asarray(kb.unpad(kb.raw(y1)), np.float64)
+    y2_ref = np.asarray(kd.unpad(kd.raw(kd.pad(u))), np.float64)
+    y2d = np.asarray(kd.unpad(kd.raw(kd.pad(jnp.asarray(y2_ref, dt)))),
+                     np.float64)
+    y2b = np.asarray(kb.unpad(kb.raw(y1)), np.float64)
+    assert np.linalg.norm(y2b - y2d) / np.linalg.norm(y2d) < (
+        1e-12 if mode == "f32" else 5e-3)
+
+
+def test_resident_2d_auto_picks_block_for_large_grids():
+    """x_mode='auto' keeps the dense path for small grids and switches
+    to the block path once the dense x operator would exceed VMEM —
+    the constructor no longer raises at npts > ~600."""
+    p, n = 4, 256  # npts = 1025: dense operator 2*1152^2*4B = 10.6 MB
+    npts = n * p + 1
+    K1u, M1u = global_1d_matrices(p, n, p + 1)
+    Kx, Mx = np.asarray(K1u * n), np.asarray(M1u / n)
+    rk = ResidentTerms2D(npts, p, [[Kx, Mx], [Mx, Kx]], "float32",
+                         interpret=True)
+    assert rk.x_mode == "block"
+    rk_small = ResidentTerms2D(161, p, [[Kx[:161, :161], Mx[:161, :161]],
+                                        [Mx[:161, :161], Kx[:161, :161]]],
+                               "float32", interpret=True)
+    assert rk_small.x_mode == "dense"
+
+
 def test_resident_2d_cg_matches_flat():
     """2D resident CG (uniform grid) parity with the flat CG."""
     from tpufem.fem.dof_handler import DoFHandler

@@ -909,12 +909,62 @@ class ResidentTerms:
         return self._call(u)
 
 
-def _kernel_resident_2d(u_hbm, xkm, wy, out, scratch, sem, osc, osem, *,
-                        b, LY, X, p, H, npts, n_terms, nt, mode):
+def _xblocks(terms_x: list, X: int, npts: int) -> tuple:
+    """Block-tridiagonal x-stage operators for the 2D block-x path.
+
+    The x factors are banded (width 2p+1 <= 129), so output lane-block
+    j (128 lanes) reads only input lane-blocks j-1..j+1.  For each j
+    build the K-stacked (n_terms*384, 128) operator
+    ``op[a*384 + r, col] = M_a[j*128 + col, (j-1)*128 + r]`` (zero
+    outside [0, npts) in either global index) and dedupe identical
+    blocks: on a uniform grid interior rows repeat with period p, so
+    the unique set is O(p) (one per (j*128 mod p) class + the two
+    boundary blocks) — VMEM stays O(p) instead of the dense path's
+    O(npts^2).  Returns (ops (n_uniq, n_terms*384, 128), groups) with
+    groups[k] = sorted tuple of the j's sharing op k — same-class
+    interior blocks form an arithmetic progression, which the kernel
+    turns into ONE fori_loop with a static matmul operand (unrolling
+    all nbx blocks gives every iteration its own Mosaic stack slot and
+    blows the 16 MB scoped-VMEM limit)."""
+    nbx = X // 128
+    n_terms = len(terms_x)
+    mats = []
+    for m in terms_x:
+        mx = np.zeros((X, X))
+        mx[:npts, :npts] = np.asarray(m)
+        mats.append(mx)
+    uniq: dict = {}
+    ops, idx = [], []
+    for j in range(nbx):
+        op = np.zeros((n_terms * 384, 128))
+        lo = (j - 1) * 128
+        r0, r1 = max(0, -lo), min(384, X - lo)
+        for a in range(n_terms):
+            op[a * 384 + r0 : a * 384 + r1, :] = \
+                mats[a][j * 128 : (j + 1) * 128, lo + r0 : lo + r1].T
+        key = op.tobytes()
+        k = uniq.get(key)
+        if k is None:
+            k = len(ops)
+            uniq[key] = k
+            ops.append(op)
+        idx.append(k)
+    groups = tuple(
+        tuple(j for j in range(nbx) if idx[j] == k)
+        for k in range(len(ops)))
+    return np.stack(ops), groups
+
+
+def _kernel_resident_2d(u_hbm, xkm, wy, out, scratch, sem, osc, osem,
+                        *args, b, LY, X, p, H, npts, n_terms, nt, mode,
+                        blk_groups=None):
     """2D solver-resident fused apply (see :class:`ResidentTerms2D`).
-    One banded VPU stage per term + one K-stacked x matmul; exact
-    per-row band tables (``_exact_bands``); halo'd (sy, X) layout in/out
-    with kernel-maintained zero borders."""
+    One banded VPU stage per term + either one K-stacked x matmul
+    (dense path) or, when ``blk_groups`` is set, a block-tridiagonal
+    sweep of (b, n_terms*384) x (n_terms*384, 128) matmuls sharing
+    deduped operators (large-npts path); exact per-row band tables
+    (``_exact_bands``); halo'd (sy, X) layout in/out with
+    kernel-maintained zero borders."""
     t = pl.program_id(0)
     slot = t % 2
     nxt = (t + 1) % 2
@@ -953,58 +1003,133 @@ def _kernel_resident_2d(u_hbm, xkm, wy, out, scratch, sem, osc, osem, *,
                     cp.wait()
 
     dma_in(slot, t).wait()
-    u = scratch[slot]
-    if mode == "bf16s":
-        u = u.astype(jnp.float32)
     nb = 2 * p + 1
     dy = H - p
 
-    def sel_tile(tab, idx):
-        w = tab[:, 0]
-        for k in range(1, tab.shape[1]):
-            w = jnp.where(idx == k, tab[:, k], w)
-        return w
+    # wy is pipeline-streamed per tile (BlockSpec index_map t -> tile t),
+    # so only this tile's (n_terms, nb, b, 1) slab is in VMEM — keeping
+    # the whole (n_terms, nt, nb, b, 1) table resident lane-pads the
+    # singleton dim 128x (~38 MB at nt=32, measured Mosaic stack
+    # overflow) and needs a where-chain select.
+    wy_t = wy[0]  # (n_terms, nb, b, 1)
 
-    wy_t = sel_tile(wy, t)  # (n_terms, nb, b, 1)
-
-    def band_y(w9):  # (LY, X) -> (b, X)
+    def band_y(u, w9):  # (LY, X) -> (b, X)
         acc = None
         for o in range(nb):
             c = u[dy + o : dy + o + b] * w9[o]
             acc = c if acc is None else acc + c
         return acc
 
-    qq = jnp.concatenate([band_y(wy_t[a]) for a in range(n_terms)],
-                         axis=1)  # (b, n_terms*X)
+    def mm_fast(a, bb, out_dt):
+        return jax.lax.dot_general(
+            a, bb, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=out_dt,
+            precision=jax.lax.Precision.DEFAULT)
 
-    if mode in ("bf16", "bf16s"):
-        qh = qq.astype(jnp.bfloat16)
-        xh = xkm[:].astype(jnp.bfloat16)
-
-        def mm(a, bb):
-            return jax.lax.dot_general(
-                a, bb, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=qq.dtype,
-                precision=jax.lax.Precision.DEFAULT)
-
+    def mm_x(qq, xop, xop_f32):
+        """Mode-dispatched x matmul: qq (b, K) @ xop (K, N)."""
         if mode == "bf16s":
-            res = mm(qh, xh)
-        else:
+            return mm_fast(qq.astype(jnp.bfloat16),
+                           xop.astype(jnp.bfloat16), qq.dtype)
+        if mode == "bf16":
+            qh = qq.astype(jnp.bfloat16)
             ql = (qq - qh.astype(qq.dtype)).astype(jnp.bfloat16)
-            xl = (xkm[:] - xh.astype(qq.dtype)).astype(jnp.bfloat16)
-            res = mm(qh, xh) + (mm(qh, xl) + mm(ql, xh))
-    else:
-        res = jax.lax.dot_general(
-            qq, xkm[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            xh = xop_f32.astype(jnp.bfloat16)
+            xl = (xop_f32 - xh.astype(qq.dtype)).astype(jnp.bfloat16)
+            return (mm_fast(qh, xh, qq.dtype)
+                    + (mm_fast(qh, xl, qq.dtype)
+                       + mm_fast(ql, xh, qq.dtype)))
+        return jax.lax.dot_general(
+            qq, xop, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=qq.dtype,
             precision=jax.lax.Precision.HIGHEST)
-    res = res.astype(osc.dtype)
 
-    @pl.when(t >= 1)
-    def _():
-        out_dma(t - 1, "wait")
+    def wait_prev():
+        @pl.when(t >= 1)
+        def _():
+            out_dma(t - 1, "wait")
 
-    osc[0, H : H + b, :] = res
+    if blk_groups is None:
+        u = scratch[slot]
+        if mode == "bf16s":
+            u = u.astype(jnp.float32)
+        qq = jnp.concatenate(
+            [band_y(u, wy_t[a]) for a in range(n_terms)],
+            axis=1)  # (b, n_terms*X)
+        res = mm_x(qq, xkm[:], xkm[:]).astype(osc.dtype)
+        wait_prev()
+        osc[0, H : H + b, :] = res
+    else:
+        # Block-tridiagonal x sweep.  The banded-y outputs are staged
+        # through the qsc scratch ref (one (b, X+256) slab per term,
+        # side strips zeroed once): the ref round-trip keeps the live
+        # vector set O(b*X) per term, and it normalizes band_y's
+        # sublane-offset layout, which Mosaic's concat refuses to mix
+        # with fresh zeros.  BOTH sweeps run as fori_loops with
+        # 128-aligned pl.ds lane offsets — a fully unrolled sweep gives
+        # every iteration its own Mosaic stack slot and overflows the
+        # 16 MB scoped-VMEM limit at X ~ 4k (measured: 45.4M).
+        (qsc,) = args
+
+        @pl.when(t == 0)
+        def _():
+            qsc[:, :, :128] = jnp.zeros((n_terms, b, 128), qsc.dtype)
+            qsc[:, :, 128 + X :] = jnp.zeros((n_terms, b, 128), qsc.dtype)
+
+        # lane-chunked banded y, one register-accumulated CH-lane
+        # chunk per fori step (+ a static tail for X % CH)
+        CH = 1024
+
+        def ych(a, w9, c0, cl):
+            acc = None
+            for o in range(nb):
+                v = scratch[slot, dy + o : dy + o + b, pl.ds(c0, cl)]
+                if mode == "bf16s":
+                    v = v.astype(jnp.float32)
+                cc = v * w9[o]
+                acc = cc if acc is None else acc + cc
+            qsc[a, :, pl.ds(128 + c0, cl)] = acc
+
+        nfull, rem = X // CH, X % CH
+        for a in range(n_terms):
+            w9 = wy_t[a]  # (nb, b, 1)
+
+            def ybody(c, carry, a=a, w9=w9):
+                ych(a, w9, pl.multiple_of(c * CH, CH), CH)
+                return carry
+
+            if nfull:
+                jax.lax.fori_loop(0, nfull, ybody, 0)
+            if rem:
+                ych(a, w9, nfull * CH, rem)
+        wait_prev()
+
+        # x sweep grouped by unique operator: each group's op is a
+        # STATIC matmul operand; same-class interior blocks form an
+        # arithmetic progression -> one fori_loop per group
+        def xblk(xop, j128):
+            qwin = jnp.concatenate(
+                [qsc[a, :, pl.ds(j128, 384)] for a in range(n_terms)],
+                axis=1)
+            osc[0, H : H + b, pl.ds(j128, 128)] = \
+                mm_x(qwin, xop, xop).astype(osc.dtype)
+
+        for k, js in enumerate(blk_groups):
+            xop = xkm[k]
+            ap = len(js) > 2 and len(set(np.diff(js))) == 1
+            if ap:
+                j0, stride = js[0], js[1] - js[0]
+
+                def xbody(m, carry, xop=xop, j0=j0, stride=stride):
+                    xblk(xop, pl.multiple_of(
+                        (j0 + m * stride) * 128, 128))
+                    return carry
+
+                jax.lax.fori_loop(0, len(js), xbody, 0)
+            else:
+                for j in js:
+                    xblk(xop, j * 128)
+
     out_dma(t, "start")
 
     @pl.when(t == nt - 1)
@@ -1020,15 +1145,30 @@ class ResidentTerms2D:
     with zero pad/unpad passes."""
 
     def __init__(self, npts, p, terms_np, dtype, tile=None, mode="f32",
-                 interpret=False):
+                 interpret=False, x_mode="auto"):
         cdt = jnp.dtype(dtype)
         sdt = jnp.dtype(jnp.bfloat16) if mode == "bf16s" else cdt
         sub = 16 if sdt.itemsize == 2 else 8
         H = sub * max(1, -(-p // sub))
+        n_terms = len(terms_np)
+        odt = jnp.dtype(jnp.bfloat16) if mode == "bf16s" else cdt
+        dense_bytes = n_terms * (128 * -(-npts // 128)) ** 2 * odt.itemsize
+        if x_mode == "auto":
+            # dense single K-stacked x matmul while the operator fits
+            # VMEM; beyond npts ~ 600 switch to the block-tridiagonal
+            # x sweep (the large-grid path, ROADMAP r4 gap 3)
+            x_mode = "dense" if dense_bytes <= 6 << 20 else "block"
         if tile is None:
             # 2D tiles are (LY, X) only — much smaller than 3D; larger
-            # tiles amortize the matmul M dimension
-            tile = {"f32": 128, "bf16": 128, "bf16s": 256}[mode]
+            # tiles amortize the matmul M dimension.  The block path
+            # holds per-term (b, X+256) padded q fields in VMEM, so it
+            # runs a smaller default tile.
+            if x_mode == "block":
+                # chip-swept at npts=4097: f32 96>64>112, bf16 96>64,
+                # bf16s 128>144 (160 overflows scoped VMEM)
+                tile = {"f32": 96, "bf16": 96, "bf16s": 128}[mode]
+            else:
+                tile = {"f32": 128, "bf16": 128, "bf16s": 256}[mode]
         b = max(tile - tile % sub, sub)
         while b >= npts and b > sub:
             b -= sub  # small grids: shrink until >= 2 tiles
@@ -1036,43 +1176,61 @@ class ResidentTerms2D:
         if nt < 2:
             raise ValueError("resident kernel needs >= 2 tiles per axis")
         LY = b + 2 * H
-        X = npts if interpret else 128 * (-(-npts // 128))
-        if len(terms_np) * X * X * jnp.dtype(dtype).itemsize > 6 << 20:
-            # the dense K-stacked x operator must fit VMEM: 2D grids
-            # beyond npts ~ 600 need a banded-x formulation instead
-            # (measured: npts 2049 crashes the remote Mosaic helper)
-            raise ValueError(f"x operator ({len(terms_np)}x{X}x{X}) "
-                             "exceeds the VMEM budget")
+        X = npts if (interpret and x_mode == "dense") \
+            else 128 * (-(-npts // 128))
         sy = nt * b + 2 * H
         self.npts, self.p, self.b, self.nt = npts, p, b, nt
         self.H, self.LY, self.X, self.sy = H, LY, X, sy
         self.mode = mode
+        self.x_mode = x_mode
         self.dt = sdt
         self.compute_dt = cdt
         self.dirichlet = False
 
         terms = [[np.asarray(m) for m in t2] for t2 in terms_np]
-        n_terms = len(terms)
         assert all(len(t2) == 2 for t2 in terms), "2D terms only"
         wy = np.stack([_exact_bands(t2[1], p, b, nt) for t2 in terms])
-        xkm = np.zeros((n_terms * X, X))
-        for a, t2 in enumerate(terms):
-            xkm[a * X : a * X + npts, :npts] = t2[0].T
-        mats = [np.asarray(xkm, cdt),
-                np.asarray(wy[:, :, :, :, None], cdt)]
+        blk_groups = None
+        if x_mode == "dense":
+            if dense_bytes > 6 << 20:
+                raise ValueError(f"x operator ({n_terms}x{X}x{X}) "
+                                 "exceeds the VMEM budget")
+            xkm = np.zeros((n_terms * X, X))
+            for a, t2 in enumerate(terms):
+                xkm[a * X : a * X + npts, :npts] = t2[0].T
+        else:
+            if 2 * p + 1 > 129:
+                raise ValueError("block-x path needs bandwidth <= 129")
+            xkm, blk_groups = _xblocks([t2[0] for t2 in terms], X, npts)
+            if xkm.size * odt.itemsize > 6 << 20:
+                # general (non-repeating) terms on a huge grid: the
+                # deduped block set itself outgrows VMEM — stay on the
+                # XLA terms tier
+                raise ValueError(
+                    f"{xkm.shape[0]} unique x blocks exceed the VMEM "
+                    "budget")
+        # bf16s never needs the f32 operator — store it narrow (halves
+        # the VMEM bill; the in-kernel astype becomes a no-op)
+        nb = 2 * p + 1
+        mats = [np.asarray(xkm, odt),
+                np.asarray(wy.transpose(1, 0, 2, 3)[..., None], cdt)]
         kern = functools.partial(
             _kernel_resident_2d, b=b, LY=LY, X=X, p=p, H=H, npts=npts,
-            n_terms=n_terms, nt=nt, mode=mode)
+            n_terms=n_terms, nt=nt, mode=mode, blk_groups=blk_groups)
         full = pl.BlockSpec(memory_space=pltpu.VMEM)
+        wy_spec = pl.BlockSpec((1, n_terms, nb, b, 1),
+                               lambda t: (t, 0, 0, 0, 0))
         pc = pl.pallas_call(
             kern, grid=(nt,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [full] * 2,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY), full, wy_spec],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct((sy, X), sdt),
             scratch_shapes=[pltpu.VMEM((2, LY, X), sdt),
                             pltpu.SemaphoreType.DMA((2,)),
                             pltpu.VMEM((1, LY, X), sdt),
-                            pltpu.SemaphoreType.DMA(())],
+                            pltpu.SemaphoreType.DMA(())]
+            + ([pltpu.VMEM((n_terms, b, X + 256), cdt)]
+               if blk_groups is not None else []),
             interpret=interpret)
         self.raw = lambda gp: pc(gp, *mats)
         self._raw_jit = jax.jit(self.raw)
