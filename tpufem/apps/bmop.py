@@ -363,7 +363,9 @@ def bench_varcoef(dim, p, refine, dtype, reps):
         return dt
 
     on_tpu = jax.default_backend() not in ("cpu",)
-    modes = ("f32", "bf16") if (dim == 3 and on_tpu) else ("f32",)
+    # bf16s fits at 17M since the vmem-limit raise + streamed band
+    # tables (chip-swept: terms bf16s tile 48 = 7.1 GDoF/s chained)
+    modes = ("f32", "bf16", "bf16s") if (dim == 3 and on_tpu) else ("f32",)
     for mode in modes:
         try:
             mf = MatrixFree.build(

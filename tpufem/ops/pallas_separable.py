@@ -37,12 +37,20 @@ q2 = By(s;Ky), q3 = By(t;My);  out = [q1 | q2+q3] @ [Kx^T ; Mx^T].
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Mosaic's DEFAULT scoped-VMEM limit is 16 MB — v5e has 128 MB of
+# physical VMEM.  Every tile clamp in rounds 2-4 was calibrated against
+# the default; raising the limit unlocks larger tiles (bigger matmul M
+# dims, fewer tiles, less halo DMA).  Leave headroom for the pipeline's
+# own double buffers.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def _periodic_band(M1: np.ndarray, p: int, b: int,
@@ -468,19 +476,27 @@ class ResidentSeparable:
         H = sub * max(1, -(-p // sub))
         lcm = sub * p // int(np.gcd(sub, p))
         if tile is None:
-            # per-mode defaults that fit the 16M VMEM budget (f32 @ 24
-            # is 1% over — the round-2 standalone-compile failure)
-            tile = {"f32": 16, "bf16": 24, "bf16s": 32}[mode]
+            # chip-swept at the 17M flagship with vmem_limit_bytes
+            # raised past Mosaic's 16M default (the silent ceiling the
+            # round-2/3 clamps were calibrated against): f32 24 > 16 >
+            # 32, bf16 24 > 32 > 48, bf16s 48 > 32 > 64 (chained
+            # protocol, _VMEM_LIMIT)
+            tile = {"f32": 24, "bf16": 24, "bf16s": 48}[mode]
         if lcm <= tile:
             b = tile - tile % lcm  # p-aligned: single-phase tables
+            step = lcm
         else:
             b = max(tile - tile % sub, sub)  # phased tables
+            step = sub
+        while b >= npts and b > step:
+            b -= step  # small grids: shrink until >= 2 tiles
         nt = -(-npts // b)
         if nt < 2:
             raise ValueError("resident kernel needs >= 2 tiles per axis")
-        if b > (48 if sdt.itemsize == 2 else 32):
+        if (b > (48 if sdt.itemsize == 2 else 32)
+                and not os.environ.get("TPUFEM_TERMS_BX_MAX")):
             # empirically f32 b >= 40 exceeds what the Mosaic toolchain
-            # compiles (VMEM budget)
+            # compiles (VMEM budget); env knob = lab recalibration
             raise ValueError(f"tile {b} too large for the VMEM budget")
         L = b + 2 * p
         LY = b + 2 * H
@@ -538,6 +554,7 @@ class ResidentSeparable:
                             pltpu.SemaphoreType.DMA((2,)),
                             pltpu.VMEM((1, L, LY, X), dt),
                             pltpu.SemaphoreType.DMA(())],
+            compiler_params=None if interpret else _VMEM_LIMIT,
             interpret=interpret)
         self.raw = lambda gp: pc(gp, *mats)
         self._raw_jit = jax.jit(self.raw)
@@ -637,6 +654,7 @@ class PallasSeparable:
             out_specs=out_spec,
             out_shape=out_shape,
             scratch_shapes=scratch,
+            compiler_params=None if interpret else _VMEM_LIMIT,
             interpret=interpret,
         )
 
@@ -729,22 +747,19 @@ def _kernel_resident_terms(u_hbm, xkm, wz, wy, out, scratch, sem,
     nb = 2 * p + 1
     dy = H - p
 
-    def sel_tile(tab, idx):
-        """Pick this tile's exact per-row table: tab is (n_terms, nt,
-        nb, b, ...); a where-chain over the (static, small) tile count —
-        the proven Mosaic-safe select pattern (see sel_phase)."""
-        w = tab[:, 0]
-        for k in range(1, tab.shape[1]):
-            w = jnp.where(idx == k, tab[:, k], w)
-        return w
-
-    wz_t = sel_tile(wz, iz)  # (n_terms, nb, b, 1, 1)
-    wy_t = sel_tile(wy, iy)  # (n_terms, nb, b, 1)
+    # band tables are pipeline-streamed per tile (BlockSpec index_maps
+    # iz / iy): keeping the whole (n_terms, nt, nb, b, 1[, 1]) tables
+    # VMEM-resident pads the trailing singleton dims to the (8, 128)
+    # Mosaic tile — ~30 MB at shell/varcoef shapes — which forced the
+    # round-4 b*X tile clamp.  The z table is stored with ONE singleton
+    # (b, 1) and reshaped to (b, 1, 1) at use.
+    wz_t = wz[0]  # (n_terms, nb, b, 1)
+    wy_t = wy[0]  # (n_terms, nb, b, 1)
 
     def band_z(tt_, w9):
         acc = None
         for o in range(nb):
-            c = tt_[o : o + b] * w9[o]
+            c = tt_[o : o + b] * w9[o][..., None]
             acc = c if acc is None else acc + c
         return acc
 
@@ -828,26 +843,32 @@ class ResidentTerms:
         sub = 16 if sdt.itemsize == 2 else 8
         H = sub * max(1, -(-p // sub))
         if tile is None:
-            # qq is n_terms/2 x larger than the uniform kernel's: keep
-            # the f32 default at 16; bf16 at 24 measured to fit
-            tile = {"f32": 16, "bf16": 24, "bf16s": 32}[mode]
+            # chip-swept at the 17M 3-term flagship with
+            # vmem_limit_bytes raised past Mosaic's 16M default: f32
+            # 24 > 16 > 32, bf16 32 > 24, bf16s 48 > 32 > 64 (chained)
+            tile = {"f32": 24, "bf16": 32, "bf16s": 48}[mode]
         b = max(tile - tile % sub, sub)  # exact tables: no p-alignment
+        while b >= npts and b > sub:
+            b -= sub  # small grids: shrink until >= 2 tiles
         X = npts if interpret else 128 * (-(-npts // 128))
-        # measured VMEM-fit boundary on this toolchain (remote Mosaic
-        # helper crashes rather than erroring past it): b*X <= 6144 for
-        # f32/bf16 compute buffers, <= 12288 for bf16s storage —
-        # calibrated at X=256 (shell) and X=384 (17M flagship) with 3
-        # terms; qq/xkm grow linearly in the term count (CP-expanded
-        # coefficients), so the budget scales with 3/n_terms
-        bx_max = ((12288 if mode == "bf16s" else 6144) * 3
+        # measured compile-OK boundary with _VMEM_LIMIT (100 MB): f32
+        # b=40 and bf16s b=64 both compile at X=384 — the clamp keeps a
+        # margin under those; the live set is the per-term (b, LY, X)
+        # chains + the (b*b, n_terms*X) qq + xkm, all linear in the
+        # term count beyond 3
+        bx_max = ((24576 if mode == "bf16s" else 15360) * 3
                   // max(len(terms_np), 3))
+        # lab knob for on-chip recalibration sweeps (kernel_lab use)
+        env_bx = os.environ.get("TPUFEM_TERMS_BX_MAX")
+        if env_bx:
+            bx_max = int(env_bx)
         if not interpret:
             while b * X > bx_max and b > sub:
                 b -= sub
         nt = -(-npts // b)
         if nt < 2:
             raise ValueError("resident kernel needs >= 2 tiles per axis")
-        if b > (48 if sdt.itemsize == 2 else 32):
+        if b > (48 if sdt.itemsize == 2 else 32) and not env_bx:
             raise ValueError(f"tile {b} too large for the VMEM budget")
         if b * X > bx_max and not interpret:
             raise ValueError(f"tile {b} x lanes {X} exceeds the VMEM "
@@ -867,7 +888,9 @@ class ResidentTerms:
         terms = [[np.asarray(m) for m in t3] for t3 in terms_np]
         n_terms = len(terms)
         assert all(len(t3) == 3 for t3 in terms), "3D terms only"
-        # exact per-row band tables, stacked (n_terms, nt, nb, b, ...)
+        # exact per-row band tables, (nt, n_terms, nb, b, 1) — tile
+        # axis LEADING so each grid step streams only its own slab
+        # (see the kernel's table-layout note)
         wz = np.stack([_exact_bands(t3[2], p, b, nt) for t3 in terms])
         wy = np.stack([_exact_bands(t3[1], p, b, nt) for t3 in terms])
         # K-stacked x operator [X_00^T ; X_10^T ; X_20^T]: (n_terms*X, X)
@@ -876,22 +899,28 @@ class ResidentTerms:
             xkm[a * X : a * X + npts, :npts] = t3[0].T
         # numpy constants on purpose — device constants D2H-hang at
         # lowering on this platform (see ResidentSeparable.__init__)
+        nb = 2 * p + 1
         mats = [np.asarray(xkm, cdt),
-                np.asarray(wz[:, :, :, :, None, None], cdt),
-                np.asarray(wy[:, :, :, :, None], cdt)]
+                np.asarray(wz.transpose(1, 0, 2, 3)[..., None], cdt),
+                np.asarray(wy.transpose(1, 0, 2, 3)[..., None], cdt)]
         kern = functools.partial(
             _kernel_resident_terms, b=b, L=L, LY=LY, X=X, p=p, H=H,
             npts=npts, n_terms=n_terms, nt=nt, mode=mode)
         full = pl.BlockSpec(memory_space=pltpu.VMEM)
+        tab_blk = (1, n_terms, nb, b, 1)
+        wz_spec = pl.BlockSpec(tab_blk, lambda t: (t // nt, 0, 0, 0, 0))
+        wy_spec = pl.BlockSpec(tab_blk, lambda t: (t % nt, 0, 0, 0, 0))
         pc = pl.pallas_call(
             kern, grid=(nt * nt,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [full] * 3,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY), full,
+                      wz_spec, wy_spec],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct((sz, sy, X), sdt),
             scratch_shapes=[pltpu.VMEM((2, L, LY, X), sdt),
                             pltpu.SemaphoreType.DMA((2,)),
                             pltpu.VMEM((1, L, LY, X), sdt),
                             pltpu.SemaphoreType.DMA(())],
+            compiler_params=None if interpret else _VMEM_LIMIT,
             interpret=interpret)
         self.raw = lambda gp: pc(gp, *mats)
         self._raw_jit = jax.jit(self.raw)
@@ -1231,6 +1260,7 @@ class ResidentTerms2D:
                             pltpu.SemaphoreType.DMA(())]
             + ([pltpu.VMEM((n_terms, b, X + 256), cdt)]
                if blk_groups is not None else []),
+            compiler_params=None if interpret else _VMEM_LIMIT,
             interpret=interpret)
         self.raw = lambda gp: pc(gp, *mats)
         self._raw_jit = jax.jit(self.raw)
