@@ -295,7 +295,7 @@ def bench_curved(dim, p, refine, dtype, reps):
         return dt
 
     if dim == 3:
-        for mode in ("f32", "bf16"):
+        for mode in ("f32", "bf16", "bf16s"):
             try:
                 tiers[f"resident-terms-{mode}+pallas"] = rate_resident(mode)
             except Exception:
