@@ -843,10 +843,13 @@ class ResidentTerms:
         sub = 16 if sdt.itemsize == 2 else 8
         H = sub * max(1, -(-p // sub))
         if tile is None:
-            # chip-swept at the 17M 3-term flagship with
-            # vmem_limit_bytes raised past Mosaic's 16M default: f32
-            # 24 > 16 > 32, bf16 32 > 24, bf16s 48 > 32 > 64 (chained)
+            # chip-swept at the 17M 3-term flagship AND the 2.1M shell
+            # scale with vmem_limit_bytes raised past Mosaic's 16M
+            # default: f32 24 > 16 > 32 (both scales), bf16s 48 > 32
+            # (both), bf16 32 > 24 at 17M but 24 >= 16 > 32 at 2.1M
             tile = {"f32": 24, "bf16": 32, "bf16s": 48}[mode]
+            if mode == "bf16" and npts <= 256:
+                tile = 24
         b = max(tile - tile % sub, sub)  # exact tables: no p-alignment
         while b >= npts and b > sub:
             b -= sub  # small grids: shrink until >= 2 tiles
