@@ -588,12 +588,15 @@ def main():
                 3, 4 if on_tpu else 2, 4 if on_tpu else 2, 2, dtype)
             rec = bmop.bench_adaptive(
                 3, 4 if on_tpu else 2, 4 if on_tpu else 2, 2, dtype,
-                reps=N_CHAIN if on_tpu else 2, prebuilt=adaptive_pre)
+                reps=N_CHAIN if on_tpu else 2, prebuilt=adaptive_pre,
+                bf16_tier=left() > 150)
             apply_line("3d_adaptive_hanging_nodes_apply",
-                       rec["gdofs_per_s"], "boxes", rec["n_dofs"],
+                       rec["gdofs_per_s"], rec["scheme"], rec["n_dofs"],
                        extra={"n_hanging": rec["n_hanging"],
                               "degree": rec["degree"],
-                              "patch_overhead": rec["patch_overhead"]})
+                              "patch_overhead": rec["patch_overhead"],
+                              "tiers_gdofs": rec["tiers_gdofs"],
+                              "bf16_rel_err": rec.get("bf16_rel_err")})
         except Exception as e:
             err_line("3d_adaptive_hanging_nodes_apply", e)
     else:
@@ -648,17 +651,27 @@ def main():
         try:
             rec = bmop.bench_adaptive_solve(
                 3, 4 if on_tpu else 2, 4 if on_tpu else 2, 2, dtype,
-                prebuilt=adaptive_pre)
+                prebuilt=adaptive_pre, bf16_cycle=left() > 240)
+            extra16 = {}
+            if "gmg_bf16cycle_s" in rec:
+                extra16 = {
+                    "gmg_bf16cycle_s": round(rec["gmg_bf16cycle_s"], 4),
+                    "gmg_bf16cycle_iterations":
+                        rec["gmg_bf16cycle_iterations"],
+                    "gmg_bf16cycle_true_rel_res":
+                        rec["gmg_bf16cycle_true_rel_res"]}
             emit({"metric": "3d_adaptive_gmg_cg_solve",
                   "value": round(rec["gmg_s"], 4), "unit": "s",
                   "vs_baseline": round(rec["gmg_s"], 4),
                   "iterations": rec["gmg_iterations"],
                   "converged": rec["gmg_converged"],
+                  "gmg_true_rel_res": rec.get("gmg_true_rel_res"),
                   "jacobi_s": round(rec["jacobi_s"], 4),
                   "jacobi_iterations": rec["jacobi_iterations"],
                   "n_dofs": rec["n_dofs"],
                   "n_hanging": rec["n_hanging"],
                   "levels": rec["levels"], "rtol": rec["rtol"],
+                  **extra16,
                   "elapsed_s": round(time.perf_counter() - T0, 1)})
         except Exception as e:
             err_line("3d_adaptive_gmg_cg_solve", e, unit="s")

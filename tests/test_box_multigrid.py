@@ -71,6 +71,35 @@ def test_box_gmg_cg_matches_jacobi(dim, p, base, steps):
     _compare(gop, jac, res, iter_bound=12)
 
 
+def test_box_gmg_mixed_precision_bf16_cycle():
+    """f32 outer CG + bf16 V-cycle hierarchy (``solve_op=``): the fast
+    adaptive tier as the smoother.  The preconditioner only steers the
+    search — the f32 recurrence must still converge to the f32-cycle
+    solution at rtol, in a comparable iteration count (measured: equal
+    at the flagship)."""
+    mesh = adaptive_mesh(3, 2, 1)
+    dofs = DoFHandler(mesh, 2)
+    ac = make_hanging_node_constraints(dofs)
+    op = BoxLaplaceOperator(mesh, dofs, constraints=ac, dtype="float32")
+    mg = BoxMultigrid(mesh, dofs, constraints=ac, dtype="float32",
+                      fine_op=op, fine_diag=op.diagonal())
+    mg16 = BoxMultigrid(mesh, dofs, constraints=ac, dtype="bfloat16",
+                        solve_op=op)
+    b = _canonical_rhs(op, mg).astype(jnp.float32)
+    r32 = mg.cg_solve(b, rtol=1e-6)
+    r16 = mg16.cg_solve(b, rtol=1e-6)
+    assert bool(r16.converged)
+    assert int(r16.iterations) <= int(r32.iterations) + 3
+    x32 = np.asarray(r32.x, np.float64)
+    x16 = np.asarray(r16.x, np.float64)
+    assert np.linalg.norm(x16 - x32) / np.linalg.norm(x32) < 1e-4
+    # true f32 residual honors the tolerance class (recurrence drift
+    # from the rounded preconditioner stays within one digit)
+    rr = b - op.vmult(jnp.asarray(x16, op.dt))
+    rel = float(jnp.linalg.norm(rr)) / float(jnp.linalg.norm(b))
+    assert rel < 1e-5
+
+
 def test_box_gmg_variable_coefficient():
     coef = lambda x: 1.0 + 10.0 * np.exp(
         -np.sum((x - 0.4) ** 2, axis=1) * 8)

@@ -97,6 +97,23 @@ def test_box_vmult_variable_coefficient():
     assert np.linalg.norm(y_box - y_o) / np.linalg.norm(y_o) < 1e-12
 
 
+@pytest.mark.parametrize("dim,p", [(2, 2), (3, 2)])
+def test_box_bf16_tier_parity(dim, p):
+    """bf16 patch storage — the fast adaptive bench tier (1-pass MXU
+    matmuls + halved transfer DMA; measured 0.57 -> 0.94 GDoF/s at the
+    3.3M flagship, docs/ROOFLINE.md 'Adaptive box tier — the precision
+    axis').  Constrained vmult must stay in the bf16 error class."""
+    mesh, dofs, ac, op = _mesh_and_op(dim, p, steps=2 if dim == 2 else 1)
+    op16 = BoxLaplaceOperator(mesh, dofs, constraints=ac,
+                              dtype="bfloat16")
+    x = RNG.standard_normal(dofs.n_dofs)
+    y_ref = op.from_patch(op.vmult(op.to_patch(x)))
+    x16 = op16.to_patch(x).astype(jnp.bfloat16)
+    y16 = op16.from_patch(op16.vmult(x16))
+    rel = np.linalg.norm(y16 - y_ref) / np.linalg.norm(y_ref)
+    assert np.isfinite(rel) and rel < 5e-3, rel
+
+
 def test_box_uniform_mesh_degenerates_to_structured():
     """On a uniform mesh the tier is one full box — parity still holds."""
     mesh = Mesh.hyper_cube(2, 3)

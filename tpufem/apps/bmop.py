@@ -50,9 +50,15 @@ def build_adaptive_op(dim, p, refine, steps, dtype):
 
 
 def bench_adaptive(dim, p, refine, steps, dtype, reps, compare=False,
-                   prebuilt=None):
+                   prebuilt=None, bf16_tier=True):
     """Adaptive-mesh apply benchmark: box-structured tier (the fast TPU
     path for BASELINE config 4) with optional incidence-path comparison.
+
+    Two precision tiers (mirroring the uniform flagship's f32/bf16
+    ladder): f32 patch vectors with HIGH (bf16x3) matmuls, and bf16
+    patch storage (1-pass matmuls + halved transfer DMA); the reported
+    rate is the best tier, with per-tier rates and the bf16 rel error
+    attached.
 
     The sustained rate is measured as an in-jit chained loop (CG-style
     back-to-back applies): per-call dispatch on this platform carries a
@@ -63,28 +69,55 @@ def bench_adaptive(dim, p, refine, steps, dtype, reps, compare=False,
 
     import jax
 
+    from tpufem.ops.boxes import BoxLaplaceOperator
+
     mesh, dofs, ac, op = (prebuilt if prebuilt is not None
                           else build_adaptive_op(dim, p, refine, steps,
                                                  dtype))
-    x = op.to_patch(np.ones(dofs.n_dofs))
     n_chain = max(reps, 2)
 
-    @jax.jit
-    def chain(pr, x):
-        def body(i, v):
-            return op._vmult_p(pr, v) * 1e-7  # rescale: spectral radius >> 1
+    def chain_rate(op_, dt_):
+        xs = op_.to_patch(np.ones(dofs.n_dofs)).astype(jnp.dtype(dt_))
 
-        return jax.lax.fori_loop(0, n_chain, body, x)
+        @jax.jit
+        def chain(pr, v):
+            def body(i, u):
+                # rescale: spectral radius >> 1
+                return (op_._vmult_p(pr, u) * 1e-7).astype(u.dtype)
 
-    y = chain(op.params, x)
-    s = float(jnp.sum(jnp.abs(y)))  # scalar D2H: the only reliable sync
-    # on this platform (block_until_ready returns early on Pallas chains)
-    t0 = time.perf_counter()
-    y = chain(op.params, x)
-    s = float(jnp.sum(jnp.abs(y)))
-    dt = (time.perf_counter() - t0) / n_chain
-    if not np.isfinite(s):
-        raise FloatingPointError("adaptive apply produced non-finite output")
+            return jax.lax.fori_loop(0, n_chain, body, v)
+
+        y = chain(op_.params, xs)
+        # scalar D2H: the only reliable sync on this platform
+        # (block_until_ready returns early on Pallas chains)
+        s = float(jnp.sum(jnp.abs(y).astype(jnp.float32)))
+        t0 = time.perf_counter()
+        y = chain(op_.params, xs)
+        s = float(jnp.sum(jnp.abs(y).astype(jnp.float32)))
+        if not np.isfinite(s):
+            raise FloatingPointError(
+                "adaptive apply produced non-finite output")
+        return (time.perf_counter() - t0) / n_chain, xs
+
+    dt, x = chain_rate(op, dtype)
+    tiers = {"boxes-f32": dofs.n_dofs / dt / 1e9}
+    bf16_err = None
+    if bf16_tier and jnp.dtype(dtype) == jnp.float32:
+        # bf16 patch storage: halves the transfer-stage DMA and runs
+        # every matmul as a single MXU pass (vs 3 for f32 HIGH) —
+        # measured 0.57 -> 0.94 GDoF/s at the 3.3M flagship with
+        # 5.6e-4 rel err (scripts/adaptive_prec_lab.py, ROOFLINE.md
+        # "Adaptive box tier - the precision axis")
+        op16 = BoxLaplaceOperator(mesh, dofs, constraints=ac,
+                                  dtype="bfloat16")
+        dt16, x16 = chain_rate(op16, "bfloat16")
+        tiers["boxes-bf16"] = dofs.n_dofs / dt16 / 1e9
+        yr = np.asarray(jax.jit(op._vmult_p)(op.params, x), np.float64)
+        y16 = np.asarray(jax.jit(op16._vmult_p)(op16.params, x16),
+                         np.float64)
+        bf16_err = float(np.linalg.norm(y16 - yr) / np.linalg.norm(yr))
+        if tiers["boxes-bf16"] > tiers["boxes-f32"]:
+            dt = dt16
     rec = {
         "bench": "bmop-adaptive",
         "dim": dim, "degree": p, "refine": refine, "adaptive_steps": steps,
@@ -92,12 +125,15 @@ def bench_adaptive(dim, p, refine, steps, dtype, reps, compare=False,
         "n_hanging": len(ac.lines),
         "n_patch": op.n_patch,
         "patch_overhead": round(op.n_patch / dofs.n_dofs, 3),
-        "scheme": "boxes", "dtype": dtype,
+        "scheme": max(tiers, key=tiers.get), "dtype": dtype,
         "n_rects": len(op._rect_meta), "n_fallback_rows": (
             len(ac.lines) - op.n_rect_rows),
         "s_per_apply": dt,
         "gdofs_per_s": dofs.n_dofs / dt / 1e9,
+        "tiers_gdofs": {k: round(v, 4) for k, v in tiers.items()},
     }
+    if bf16_err is not None:
+        rec["bf16_rel_err"] = bf16_err
     if compare:
         mf = MatrixFree.build(
             mesh, dofs,
@@ -168,12 +204,16 @@ def bench_distributed(dim, p, refine, steps, dtype, reps, shards):
 
 
 def bench_adaptive_solve(dim, p, refine, steps, dtype, rtol=1e-5,
-                         prebuilt=None):
+                         prebuilt=None, bf16_cycle=False):
     """Adaptive whole-solve benchmark: Jacobi-CG vs global-coarsening
     GMG-CG on the box tier (the ``poisson_mg`` analogue for adaptively
     refined meshes, tpufem.solvers.box_multigrid).  Both solves run as
     ONE jitted computation each; timings are warm (compile + one warm
-    solve first, scalar D2H sync ends each timing)."""
+    solve first, scalar D2H sync ends each timing).
+
+    bf16_cycle additionally times the mixed-precision variant (f32
+    outer CG + bf16 V-cycle hierarchy via ``BoxMultigrid(solve_op=)``)
+    and records its true f32 residual alongside."""
     import time
 
     from tpufem.solvers.box_multigrid import BoxMultigrid
@@ -194,10 +234,17 @@ def bench_adaptive_solve(dim, p, refine, steps, dtype, rtol=1e-5,
         "n_dofs": dofs.n_dofs, "n_hanging": len(ac.lines),
         "rtol": rtol, "levels": len(mg.levels),
     }
-    for name, run in (
+    runs = [
         ("jacobi", lambda: op.cg_solve(b, diag, rtol=rtol)),
         ("gmg", lambda: mg.cg_solve(b, rtol=rtol)),
-    ):
+    ]
+    if bf16_cycle and jnp.dtype(dtype) == jnp.float32:
+        mg16 = BoxMultigrid(mesh, dofs, constraints=ac,
+                            dtype="bfloat16", solve_op=op)
+        runs.append(("gmg_bf16cycle",
+                     lambda: mg16.cg_solve(b, rtol=rtol)))
+    bnorm = float(jnp.linalg.norm(b))
+    for name, run in runs:
         int(run().iterations)  # compile + warm (iteration fetch = sync)
         t0 = time.perf_counter()
         res = run()
@@ -205,6 +252,12 @@ def bench_adaptive_solve(dim, p, refine, steps, dtype, rtol=1e-5,
         out[f"{name}_s"] = time.perf_counter() - t0
         out[f"{name}_iterations"] = it
         out[f"{name}_converged"] = bool(res.converged)
+        # true f32 residual for EVERY variant: the f32 apply's own
+        # rounding floors this at ~eps*||A||/||b||-relative (~1e-4 at
+        # this stiffness), so only the comparison across variants is
+        # meaningful, not the absolute digits
+        rr = b - op.vmult(jnp.asarray(res.x, op.dt))
+        out[f"{name}_true_rel_res"] = float(jnp.linalg.norm(rr)) / bnorm
     return out
 
 

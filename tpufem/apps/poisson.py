@@ -189,7 +189,7 @@ def solve_poisson(
     # program as ARGUMENTS — closure-captured device constants D2H-hang
     # at lowering on this platform (see MatrixFree.device_args).
     inv_diag = 1.0 / diag
-    if precond == "gmg":
+    if precond in ("gmg", "gmg-bf16"):
         raise ValueError(
             "--precond gmg pairs with the box tier (--scatter boxes / "
             "adaptive meshes) or the poisson_mg app for uniform meshes")
@@ -302,6 +302,9 @@ def _solve_poisson_boxes(mesh, dofs, constraints, coefficient, dtype,
         dop = DistributedBoxLaplace(op, shards=tuple(shards))
         bl = dop.put_vector(np.asarray(b_con))
         x0l = dop.put_vector(np.asarray(x0))
+        if precond == "gmg-bf16":
+            raise ValueError("--precond gmg-bf16 is single-device; "
+                             "use --precond gmg with --shards")
         if precond == "gmg":
             # distributed adaptive GMG: fine level sharded, coarser
             # levels replicated (parallel/box_multigrid.py)
@@ -328,15 +331,23 @@ def _solve_poisson_boxes(mesh, dofs, constraints, coefficient, dtype,
         solve_time = time.perf_counter() - t1
         res = res._replace(x=jnp.asarray(
             dop.from_local(np.asarray(res.x)), op.dt))
-    elif precond == "gmg":
+    elif precond in ("gmg", "gmg-bf16"):
         # adaptive GMG: global-coarsening V-cycle over forest levels
         # (solvers/box_multigrid.py) — the poisson_mg analogue for
-        # adaptively refined meshes
+        # adaptively refined meshes.  gmg-bf16 = mixed precision: the
+        # V-cycle hierarchy (smoother applies) runs bf16 — the fast
+        # adaptive tier — under the f32 outer CG (solve_op), with the
+        # finest defects computed by the f32 operator (exact_defect).
         from tpufem.solvers.box_multigrid import BoxMultigrid
 
-        mg = BoxMultigrid(mesh, dofs, constraints=constraints,
-                          coefficient=coefficient, dtype=dtype,
-                          fine_op=op, fine_diag=diag)
+        if precond == "gmg-bf16":
+            mg = BoxMultigrid(mesh, dofs, constraints=constraints,
+                              coefficient=coefficient, dtype="bfloat16",
+                              solve_op=op)
+        else:
+            mg = BoxMultigrid(mesh, dofs, constraints=constraints,
+                              coefficient=coefficient, dtype=dtype,
+                              fine_op=op, fine_diag=diag)
         setup_time = time.perf_counter() - t0
         if warm:
             jax.block_until_ready(
@@ -450,11 +461,13 @@ def main(argv=None):
                          "multi-GPU poisson analogue; needs that many "
                          "JAX devices")
     ap.add_argument("--precond", default="jacobi",
-                    choices=["jacobi", "chebyshev", "gmg"],
+                    choices=["jacobi", "chebyshev", "gmg", "gmg-bf16"],
                     help="CG preconditioner for the box tier "
                          "(chebyshev = deal.II PreconditionChebyshev "
                          "analogue; gmg = adaptive global-coarsening "
-                         "multigrid V-cycle, also with --shards)")
+                         "multigrid V-cycle, also with --shards; "
+                         "gmg-bf16 = the same V-cycle in bf16 under "
+                         "the f32 CG — the fast mixed-precision tier)")
     ap.add_argument("--pallas", action="store_true")
     ap.add_argument("--h1", action="store_true",
                     help="also report the H1 seminorm error "

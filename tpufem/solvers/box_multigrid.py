@@ -169,7 +169,21 @@ class BoxMultigrid:
         coarse_cheb_degree: int = 16,
         fine_op: Optional[BoxLaplaceOperator] = None,
         fine_diag=None,
+        solve_op: Optional[BoxLaplaceOperator] = None,
+        exact_defect: bool = True,
     ):
+        # solve_op: operator for the OUTER CG in cg_solve (A, dots,
+        # residual), typically f32/HIGH, while the V-cycle hierarchy
+        # runs at `dtype` — pass dtype="bfloat16" for the fast adaptive
+        # tier as the smoother (mixed-precision GMG-CG; the
+        # preconditioner only steers the search, the f32 recurrence
+        # keeps the convergence test honest).  Same mesh/dofs layout
+        # required.  None = the fine level's own operator.
+        # exact_defect: in a mixed-precision cycle, compute the FINEST
+        # level's pre/post defects with solve_op (f32) instead of the
+        # dt-rounded operator — see _cycle_with.
+        self.solve_op = solve_op
+        self._exact_defect = exact_defect
         self.dim, self.p = mesh.dim, dofs.degree
         self.smoother_degree = smoother_degree
         d = mesh.dim
@@ -294,6 +308,8 @@ class BoxMultigrid:
             ],
             "coarse": coarse,
         }
+        if solve_op is not None:
+            self.device_args["sp"] = solve_op.params
         self._vcycle_jit = None
         self._solvers: dict = {}
 
@@ -367,15 +383,51 @@ class BoxMultigrid:
         cheb = ChebyshevParams(ld["cheb"][0], ld["cheb"][1],
                                self.smoother_degree)
         Af = lambda x: lvl.op._vmult_p(ld["pr"], x)
+        st = b.dtype
+        dt_l = lvl.op.dt
+        if dt_l == st:
+            # uniform-precision level (bitwise-unchanged round-3 path;
+            # DistributedBoxMultigrid._mcycle mirrors this form)
+            b = m * b
+            x = chebyshev_smooth(Af, ld["inv_diag"], cheb, b)
+            r = m * (b - Af(x))
+            rc = self.restrict_with(gdp, l, r)
+            xc = self._cycle_with(gdp, l - 1, rc)
+            ldc = gdp["levels"][l - 1]
+            zc = self.levels[l - 1].op.distribute_p(ldc["pr"], xc)
+            x = x + m * ld["nh"] * self.prolongate_with(gdp, l, zc)
+            return chebyshev_smooth(Af, ld["inv_diag"], cheb, b, x0=x)
+        # mixed precision (e.g. bf16 hierarchy under an f32 solve):
+        # smoother applies run in the level op's dtype — the fast
+        # adaptive tier — while the cycle SPINE (defect, transfers,
+        # correction accumulation) stays in the solve dtype.  Post-
+        # smoothing uses the exact delta form x <- x + S(b - A x)
+        # (chebyshev_smooth is linear, so this equals the x0 form) so
+        # the coarse correction is never rounded to dt_l.  With
+        # exact_defect + solve_op, the finest defect uses the f32
+        # operator: the coarse correction then targets the TRUE
+        # residual (costs 2 f32 applies/cycle, buys CG iterations).
+        if (self._exact_defect and self.solve_op is not None
+                and l == len(self.levels) - 1):
+            sop = self.solve_op
+            res = lambda v: sop._vmult_p(gdp["sp"],
+                                         v.astype(sop.dt)).astype(st)
+        else:
+            res = lambda v: Af(v.astype(dt_l)).astype(st)
         b = m * b
-        x = chebyshev_smooth(Af, ld["inv_diag"], cheb, b)
-        r = m * (b - Af(x))
+        x = chebyshev_smooth(Af, ld["inv_diag"], cheb,
+                             b.astype(dt_l)).astype(st)
+        r = m * (b - res(x))
         rc = self.restrict_with(gdp, l, r)
         xc = self._cycle_with(gdp, l - 1, rc)
         ldc = gdp["levels"][l - 1]
         zc = self.levels[l - 1].op.distribute_p(ldc["pr"], xc)
-        x = x + m * ld["nh"] * self.prolongate_with(gdp, l, zc)
-        return chebyshev_smooth(Af, ld["inv_diag"], cheb, b, x0=x)
+        x = x + (m * ld["nh"] * self.prolongate_with(gdp, l, zc)
+                 ).astype(st)
+        r2 = m * (b - res(x))
+        x = x + chebyshev_smooth(Af, ld["inv_diag"], cheb,
+                                 r2.astype(dt_l)).astype(st)
+        return x
 
     def preconditioner_with(self, gdp, b):
         """Traceable M⁻¹ body (one V-cycle) for an enclosing jitted CG."""
@@ -402,19 +454,25 @@ class BoxMultigrid:
         key = ()
         if key not in self._solvers:
             fine = self.levels[-1]
+            sop = self.solve_op if self.solve_op is not None else fine.op
 
-            def solver(gdp, b, x0_, rtol_, maxiter_):
-                pr = gdp["levels"][-1]["pr"]
-                w = pr["w_owner"]
+            def solver(gdp, sp, b, x0_, rtol_, maxiter_):
+                w = sp["w_owner"]
                 dot = lambda a, c: jnp.dot(
                     w * a, c, precision=jax.lax.Precision.HIGHEST)
-                A = lambda v: fine.op._vmult_p(pr, v)
-                M_inv = lambda r: self.preconditioner_with(gdp, r)
+                A = lambda v: sop._vmult_p(sp, v)
+                # the cycle spine runs in r's dtype; mixed levels cast
+                # around their smoother applies internally
+                M_inv = lambda r: self.preconditioner_with(
+                    gdp, r).astype(sop.dt)
                 return _cg(A, b, M_inv=M_inv, x0=x0_, rtol=rtol_,
                            maxiter=maxiter_, dot=dot)
 
-            self._solvers[key] = jax.jit(solver, static_argnums=(3, 4))
+            self._solvers[key] = (
+                jax.jit(solver, static_argnums=(4, 5)), sop)
+        solver_jit, sop = self._solvers[key]
+        b_patch = jnp.asarray(b_patch, sop.dt)
         if x0 is None:
             x0 = jnp.zeros_like(b_patch)
-        return self._solvers[key](self.device_args, b_patch, x0,
-                                  rtol, maxiter)
+        return solver_jit(self.device_args, sop.params, b_patch, x0,
+                          rtol, maxiter)
