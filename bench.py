@@ -602,6 +602,41 @@ def main():
     else:
         skip("3d_adaptive_hanging_nodes_apply", "budget")
 
+    # ---- 7. adaptive whole solves: Jacobi-CG vs adaptive GMG-CG -------
+    # (the poisson_mg analogue for adaptive meshes; the V-cycle program
+    # over every forest level is the largest compile in this file, but
+    # the watchdog guarantees a clean exit if it overruns)
+    if left() > 120:
+        try:
+            rec = bmop.bench_adaptive_solve(
+                3, 4 if on_tpu else 2, 4 if on_tpu else 2, 2, dtype,
+                prebuilt=adaptive_pre, bf16_cycle=left() > 240)
+            extra16 = {}
+            if "gmg_bf16cycle_s" in rec:
+                extra16 = {
+                    "gmg_bf16cycle_s": round(rec["gmg_bf16cycle_s"], 4),
+                    "gmg_bf16cycle_iterations":
+                        rec["gmg_bf16cycle_iterations"],
+                    "gmg_bf16cycle_true_rel_res":
+                        rec["gmg_bf16cycle_true_rel_res"]}
+            emit({"metric": "3d_adaptive_gmg_cg_solve",
+                  "value": round(rec["gmg_s"], 4), "unit": "s",
+                  "vs_baseline": round(rec["gmg_s"], 4),
+                  "iterations": rec["gmg_iterations"],
+                  "converged": rec["gmg_converged"],
+                  "gmg_true_rel_res": rec.get("gmg_true_rel_res"),
+                  "jacobi_s": round(rec["jacobi_s"], 4),
+                  "jacobi_iterations": rec["jacobi_iterations"],
+                  "n_dofs": rec["n_dofs"],
+                  "n_hanging": rec["n_hanging"],
+                  "levels": rec["levels"], "rtol": rec["rtol"],
+                  **extra16,
+                  "elapsed_s": round(time.perf_counter() - T0, 1)})
+        except Exception as e:
+            err_line("3d_adaptive_gmg_cg_solve", e, unit="s")
+    else:
+        skip("3d_adaptive_gmg_cg_solve", "budget")
+
     # ---- 7b. fast-tier degree sweep (the reference's bmop north-star is
     # the per-degree TABLE, not one point — SURVEY.md §2 'Operator
     # benchmark'; VERDICT r3 missing item 3).  Resident kernel, bf16s
@@ -642,41 +677,6 @@ def main():
               "elapsed_s": round(time.perf_counter() - T0, 1)})
     elif on_tpu:
         skip("resident_degree_sweep", "budget")
-
-    # ---- 7. adaptive whole solves: Jacobi-CG vs adaptive GMG-CG -------
-    # (the poisson_mg analogue for adaptive meshes; the V-cycle program
-    # over every forest level is the largest compile in this file, but
-    # the watchdog guarantees a clean exit if it overruns)
-    if left() > 120:
-        try:
-            rec = bmop.bench_adaptive_solve(
-                3, 4 if on_tpu else 2, 4 if on_tpu else 2, 2, dtype,
-                prebuilt=adaptive_pre, bf16_cycle=left() > 240)
-            extra16 = {}
-            if "gmg_bf16cycle_s" in rec:
-                extra16 = {
-                    "gmg_bf16cycle_s": round(rec["gmg_bf16cycle_s"], 4),
-                    "gmg_bf16cycle_iterations":
-                        rec["gmg_bf16cycle_iterations"],
-                    "gmg_bf16cycle_true_rel_res":
-                        rec["gmg_bf16cycle_true_rel_res"]}
-            emit({"metric": "3d_adaptive_gmg_cg_solve",
-                  "value": round(rec["gmg_s"], 4), "unit": "s",
-                  "vs_baseline": round(rec["gmg_s"], 4),
-                  "iterations": rec["gmg_iterations"],
-                  "converged": rec["gmg_converged"],
-                  "gmg_true_rel_res": rec.get("gmg_true_rel_res"),
-                  "jacobi_s": round(rec["jacobi_s"], 4),
-                  "jacobi_iterations": rec["jacobi_iterations"],
-                  "n_dofs": rec["n_dofs"],
-                  "n_hanging": rec["n_hanging"],
-                  "levels": rec["levels"], "rtol": rec["rtol"],
-                  **extra16,
-                  "elapsed_s": round(time.perf_counter() - T0, 1)})
-        except Exception as e:
-            err_line("3d_adaptive_gmg_cg_solve", e, unit="s")
-    else:
-        skip("3d_adaptive_gmg_cg_solve", "budget")
 
     # ---- 8. secondary apply tiers (attribution only — LAST) ------------
     tier_specs = [("separable", False)]
