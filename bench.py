@@ -607,18 +607,14 @@ def main():
     # over every forest level is the largest compile in this file, but
     # the watchdog guarantees a clean exit if it overruns)
     if left() > 120:
-        try:
-            rec = bmop.bench_adaptive_solve(
-                3, 4 if on_tpu else 2, 4 if on_tpu else 2, 2, dtype,
-                prebuilt=adaptive_pre, bf16_cycle=left() > 240)
-            extra16 = {}
-            if "gmg_bf16cycle_s" in rec:
-                extra16 = {
-                    "gmg_bf16cycle_s": round(rec["gmg_bf16cycle_s"], 4),
-                    "gmg_bf16cycle_iterations":
-                        rec["gmg_bf16cycle_iterations"],
-                    "gmg_bf16cycle_true_rel_res":
-                        rec["gmg_bf16cycle_true_rel_res"]}
+        # the f32 line is emitted via callback BEFORE the bf16-cycle
+        # hierarchy is even built (its V-cycle programs are the largest
+        # compiles in this file) — a budget overrun or compile failure
+        # on the bf16 variant then costs only its own supplement line
+        f32_emitted = [False]
+
+        def _emit_adaptive_f32(rec):
+            f32_emitted[0] = True
             emit({"metric": "3d_adaptive_gmg_cg_solve",
                   "value": round(rec["gmg_s"], 4), "unit": "s",
                   "vs_baseline": round(rec["gmg_s"], 4),
@@ -630,10 +626,37 @@ def main():
                   "n_dofs": rec["n_dofs"],
                   "n_hanging": rec["n_hanging"],
                   "levels": rec["levels"], "rtol": rec["rtol"],
-                  **extra16,
                   "elapsed_s": round(time.perf_counter() - T0, 1)})
+
+        try:
+            want16 = left() > 240
+            rec = bmop.bench_adaptive_solve(
+                3, 4 if on_tpu else 2, 4 if on_tpu else 2, 2, dtype,
+                prebuilt=adaptive_pre, bf16_cycle=want16,
+                emit_cb=_emit_adaptive_f32)
+            if not f32_emitted[0]:
+                _emit_adaptive_f32(rec)
+            if "gmg_bf16cycle_s" in rec:
+                emit({"metric": "3d_adaptive_gmg_bf16cycle_solve",
+                      "value": round(rec["gmg_bf16cycle_s"], 4),
+                      "unit": "s",
+                      "vs_baseline": round(rec["gmg_bf16cycle_s"], 4),
+                      "iterations": rec["gmg_bf16cycle_iterations"],
+                      "converged": rec["gmg_bf16cycle_converged"],
+                      "true_rel_res": rec["gmg_bf16cycle_true_rel_res"],
+                      "gmg_f32_s": round(rec["gmg_s"], 4),
+                      "note": "bf16 V-cycle hierarchy + f32 finest "
+                              "defects under the f32 CG (--precond "
+                              "gmg-bf16)",
+                      "n_dofs": rec["n_dofs"], "rtol": rec["rtol"],
+                      "elapsed_s": round(time.perf_counter() - T0, 1)})
+            elif want16:
+                skip("3d_adaptive_gmg_bf16cycle_solve", "non-f32 dtype")
         except Exception as e:
-            err_line("3d_adaptive_gmg_cg_solve", e, unit="s")
+            if f32_emitted[0]:
+                err_line("3d_adaptive_gmg_bf16cycle_solve", e, unit="s")
+            else:
+                err_line("3d_adaptive_gmg_cg_solve", e, unit="s")
     else:
         skip("3d_adaptive_gmg_cg_solve", "budget")
 

@@ -204,7 +204,8 @@ def bench_distributed(dim, p, refine, steps, dtype, reps, shards):
 
 
 def bench_adaptive_solve(dim, p, refine, steps, dtype, rtol=1e-5,
-                         prebuilt=None, bf16_cycle=False):
+                         prebuilt=None, bf16_cycle=False,
+                         emit_cb=None):
     """Adaptive whole-solve benchmark: Jacobi-CG vs global-coarsening
     GMG-CG on the box tier (the ``poisson_mg`` analogue for adaptively
     refined meshes, tpufem.solvers.box_multigrid).  Both solves run as
@@ -213,7 +214,11 @@ def bench_adaptive_solve(dim, p, refine, steps, dtype, rtol=1e-5,
 
     bf16_cycle additionally times the mixed-precision variant (f32
     outer CG + bf16 V-cycle hierarchy via ``BoxMultigrid(solve_op=)``)
-    and records its true f32 residual alongside."""
+    and records its true f32 residual alongside.  The bf16 hierarchy is
+    only BUILT after the f32 variants complete, and ``emit_cb`` (if
+    given) is called with the partial record first — the V-cycle
+    programs are the largest compiles in the whole bench, so a budget
+    overrun on the bf16 variant must not lose the f32 lines."""
     import time
 
     from tpufem.solvers.box_multigrid import BoxMultigrid
@@ -239,12 +244,20 @@ def bench_adaptive_solve(dim, p, refine, steps, dtype, rtol=1e-5,
         ("gmg", lambda: mg.cg_solve(b, rtol=rtol)),
     ]
     if bf16_cycle and jnp.dtype(dtype) == jnp.float32:
-        mg16 = BoxMultigrid(mesh, dofs, constraints=ac,
-                            dtype="bfloat16", solve_op=op)
-        runs.append(("gmg_bf16cycle",
-                     lambda: mg16.cg_solve(b, rtol=rtol)))
+        mg16_box = []
+
+        def bf16_run():
+            if not mg16_box:  # deferred: built only after f32 lines
+                mg16_box.append(BoxMultigrid(mesh, dofs, constraints=ac,
+                                             dtype="bfloat16",
+                                             solve_op=op))
+            return mg16_box[0].cg_solve(b, rtol=rtol)
+
+        runs.append(("gmg_bf16cycle", bf16_run))
     bnorm = float(jnp.linalg.norm(b))
     for name, run in runs:
+        if name == "gmg_bf16cycle" and emit_cb is not None:
+            emit_cb(dict(out))  # f32 lines are safe before the build
         int(run().iterations)  # compile + warm (iteration fetch = sync)
         t0 = time.perf_counter()
         res = run()
