@@ -341,6 +341,171 @@ def main():
               "note": "first compile >120s: remaining sections run at "
                       "refine 5 (2.1M DoFs) to fit the budget"})
 
+    from tpufem.apps import bmop
+
+    # Section order = ROUND-DELTA VALUE under the watchdog budget:
+    # lines never yet recorded in a BENCH artifact (adaptive bf16
+    # tiers/solves, variable-coefficient, curved, degree sweep) run
+    # BEFORE the stable round-3 solve lines — a bad first-fetch draw
+    # must shed re-measurements, not new deliverables.
+    # ---- 5. adaptive-mesh apply (BASELINE config 4) --------------------
+    # (BASELINE deliverables 5-7 run BEFORE the secondary apply tiers:
+    # the round-3 dry run showed the two attribution-only tiers eating
+    # the last 100 s and budget-skipping all three of these lines)
+    adaptive_pre = None
+    if left() > 90:
+        try:
+            adaptive_pre = bmop.build_adaptive_op(
+                3, 4 if on_tpu else 2, 4 if on_tpu else 2, 2, dtype)
+            rec = bmop.bench_adaptive(
+                3, 4 if on_tpu else 2, 4 if on_tpu else 2, 2, dtype,
+                reps=N_CHAIN if on_tpu else 2, prebuilt=adaptive_pre,
+                bf16_tier=left() > 150)
+            apply_line("3d_adaptive_hanging_nodes_apply",
+                       rec["gdofs_per_s"], rec["scheme"], rec["n_dofs"],
+                       extra={"n_hanging": rec["n_hanging"],
+                              "degree": rec["degree"],
+                              "patch_overhead": rec["patch_overhead"],
+                              "tiers_gdofs": rec["tiers_gdofs"],
+                              "bf16_rel_err": rec.get("bf16_rel_err")})
+        except Exception as e:
+            err_line("3d_adaptive_hanging_nodes_apply", e)
+    else:
+        skip("3d_adaptive_hanging_nodes_apply", "budget")
+
+    # ---- 7. adaptive whole solves: Jacobi-CG vs adaptive GMG-CG -------
+    # (the poisson_mg analogue for adaptive meshes; the V-cycle program
+    # over every forest level is the largest compile in this file, but
+    # the watchdog guarantees a clean exit if it overruns)
+    if left() > 120:
+        # the f32 line is emitted via callback BEFORE the bf16-cycle
+        # hierarchy is even built (its V-cycle programs are the largest
+        # compiles in this file) — a budget overrun or compile failure
+        # on the bf16 variant then costs only its own supplement line
+        f32_emitted = [False]
+
+        def _emit_adaptive_f32(rec):
+            f32_emitted[0] = True
+            emit({"metric": "3d_adaptive_gmg_cg_solve",
+                  "value": round(rec["gmg_s"], 4), "unit": "s",
+                  "vs_baseline": round(rec["gmg_s"], 4),
+                  "iterations": rec["gmg_iterations"],
+                  "converged": rec["gmg_converged"],
+                  "gmg_true_rel_res": rec.get("gmg_true_rel_res"),
+                  "jacobi_s": round(rec["jacobi_s"], 4),
+                  "jacobi_iterations": rec["jacobi_iterations"],
+                  "n_dofs": rec["n_dofs"],
+                  "n_hanging": rec["n_hanging"],
+                  "levels": rec["levels"], "rtol": rec["rtol"],
+                  "elapsed_s": round(time.perf_counter() - T0, 1)})
+
+        try:
+            want16 = left() > 240
+            rec = bmop.bench_adaptive_solve(
+                3, 4 if on_tpu else 2, 4 if on_tpu else 2, 2, dtype,
+                prebuilt=adaptive_pre, bf16_cycle=want16,
+                emit_cb=_emit_adaptive_f32)
+            if not f32_emitted[0]:
+                _emit_adaptive_f32(rec)
+            if "gmg_bf16cycle_s" in rec:
+                emit({"metric": "3d_adaptive_gmg_bf16cycle_solve",
+                      "value": round(rec["gmg_bf16cycle_s"], 4),
+                      "unit": "s",
+                      "vs_baseline": round(rec["gmg_bf16cycle_s"], 4),
+                      "iterations": rec["gmg_bf16cycle_iterations"],
+                      "converged": rec["gmg_bf16cycle_converged"],
+                      "true_rel_res": rec["gmg_bf16cycle_true_rel_res"],
+                      "gmg_f32_s": round(rec["gmg_s"], 4),
+                      "note": "bf16 V-cycle hierarchy + f32 finest "
+                              "defects under the f32 CG (--precond "
+                              "gmg-bf16)",
+                      "n_dofs": rec["n_dofs"], "rtol": rec["rtol"],
+                      "elapsed_s": round(time.perf_counter() - T0, 1)})
+            elif want16:
+                skip("3d_adaptive_gmg_bf16cycle_solve", "non-f32 dtype")
+        except Exception as e:
+            if f32_emitted[0]:
+                err_line("3d_adaptive_gmg_bf16cycle_solve", e, unit="s")
+            else:
+                err_line("3d_adaptive_gmg_cg_solve", e, unit="s")
+    else:
+        skip("3d_adaptive_gmg_cg_solve", "budget")
+
+    # ---- 6b. variable-coefficient apply (BASELINE config 5) ------------
+    # separable smooth coefficient through the exactly-factored terms +
+    # ResidentTerms kernel; per-qpoint structured tier for attribution
+    if left() > 55:
+        try:
+            rec = bmop.bench_varcoef(3, 4 if on_tpu else 2,
+                                     refine if on_tpu else 2, dtype,
+                                     reps=N_CHAIN if on_tpu else 2)
+            apply_line("3d_q4_variable_coef_apply", rec["gdofs_per_s"],
+                       rec["scheme"], rec["n_dofs"],
+                       extra={"coefficient": rec["coefficient"],
+                              "tiers_gdofs": rec["tiers_gdofs"]})
+        except Exception as e:
+            err_line("3d_q4_variable_coef_apply", e)
+    else:
+        skip("3d_q4_variable_coef_apply", "budget")
+
+    # ---- 6. curved-geometry apply (3D shell) ---------------------------
+    # (cheap new-deliverable lines run BEFORE the ~70 s adaptive host
+    # setup so a bad first-fetch draw cannot starve them)
+    if left() > 55:
+        try:
+            rec = bmop.bench_curved(3, 4 if on_tpu else 2,
+                                    5 if on_tpu else 1, dtype,
+                                    reps=N_CHAIN if on_tpu else 2)
+            apply_line("3d_shell_curved_apply", rec["gdofs_per_s"],
+                       rec["scheme"], rec["n_dofs"],
+                       extra={"degree": rec["degree"],
+                              "tiers_gdofs": rec["tiers_gdofs"]})
+        except Exception as e:
+            err_line("3d_shell_curved_apply", e)
+    else:
+        skip("3d_shell_curved_apply", "budget")
+
+    # ---- 7b. fast-tier degree sweep (the reference's bmop north-star is
+    # the per-degree TABLE, not one point — SURVEY.md §2 'Operator
+    # benchmark'; VERDICT r3 missing item 3).  Resident kernel, bf16s
+    # (headline mode), refine per degree to keep 2-17M DoFs; partial
+    # tables are emitted if the budget runs out mid-sweep.
+    if on_tpu and left() > 150:
+        sweep, sweep_err = {}, {}
+        for p_ in (2, 3, 4, 5, 6, 7):
+            if left() < 90:
+                sweep_err[str(p_)] = "budget"
+                continue
+            r_ = 6 if p_ <= 4 else 5
+            try:
+                rec = bmop.bench_resident(p_, r_, dtype, N_CHAIN,
+                                          mode="bf16s")
+                sweep[str(p_)] = {"gdofs": round(rec["gdofs_per_s"], 3),
+                                  "refine": r_, "n_dofs": rec["n_dofs"]}
+            except Exception as e:
+                sweep_err[str(p_)] = f"{type(e).__name__}: {e}"[:120]
+        sweep2d = None
+        if left() > 60:
+            try:
+                # refine 10 (npts 4097, 16.8M DoFs — flagship scale):
+                # the block-tridiagonal x path keeps the operator O(p)
+                # in VMEM, lifting the dense path's npts ~ 600 bound
+                rec = bmop.bench_resident(4, 10, dtype, N_CHAIN,
+                                          mode="bf16s", dim=2)
+                sweep2d = {"gdofs": round(rec["gdofs_per_s"], 3),
+                           "refine": 10, "n_dofs": rec["n_dofs"]}
+            except Exception as e:
+                sweep_err["2d_p4"] = f"{type(e).__name__}: {e}"[:120]
+        val = sweep.get("4", {}).get("gdofs", 0.0)
+        emit({"metric": "resident_degree_sweep", "value": val,
+              "unit": "GDoF/s", "vs_baseline": val,
+              "note": "value = 3D p=4; full per-degree table attached",
+              "mode": "bf16s", "sweep_3d": sweep, "sweep_2d": sweep2d,
+              "errors": sweep_err,
+              "elapsed_s": round(time.perf_counter() - T0, 1)})
+    elif on_tpu:
+        skip("resident_degree_sweep", "budget")
+
     # ---- 2. separable apply + whole-solve benchmarks -------------------
     # (solves FIRST among the non-headline sections: they are a BASELINE
     # deliverable, while the secondary apply tiers only add attribution —
@@ -540,166 +705,6 @@ def main():
     elif on_tpu:
         skip("3d_q4_jacobi_cg_solve_resident", "budget or no GMG state")
         skip("3d_q4_gmg_cg_solve_resident", "budget or no GMG state")
-
-    from tpufem.apps import bmop
-
-    # ---- 6. curved-geometry apply (3D shell) ---------------------------
-    # (cheap new-deliverable lines run BEFORE the ~70 s adaptive host
-    # setup so a bad first-fetch draw cannot starve them)
-    if left() > 55:
-        try:
-            rec = bmop.bench_curved(3, 4 if on_tpu else 2,
-                                    5 if on_tpu else 1, dtype,
-                                    reps=N_CHAIN if on_tpu else 2)
-            apply_line("3d_shell_curved_apply", rec["gdofs_per_s"],
-                       rec["scheme"], rec["n_dofs"],
-                       extra={"degree": rec["degree"],
-                              "tiers_gdofs": rec["tiers_gdofs"]})
-        except Exception as e:
-            err_line("3d_shell_curved_apply", e)
-    else:
-        skip("3d_shell_curved_apply", "budget")
-
-    # ---- 6b. variable-coefficient apply (BASELINE config 5) ------------
-    # separable smooth coefficient through the exactly-factored terms +
-    # ResidentTerms kernel; per-qpoint structured tier for attribution
-    if left() > 55:
-        try:
-            rec = bmop.bench_varcoef(3, 4 if on_tpu else 2,
-                                     refine if on_tpu else 2, dtype,
-                                     reps=N_CHAIN if on_tpu else 2)
-            apply_line("3d_q4_variable_coef_apply", rec["gdofs_per_s"],
-                       rec["scheme"], rec["n_dofs"],
-                       extra={"coefficient": rec["coefficient"],
-                              "tiers_gdofs": rec["tiers_gdofs"]})
-        except Exception as e:
-            err_line("3d_q4_variable_coef_apply", e)
-    else:
-        skip("3d_q4_variable_coef_apply", "budget")
-
-    # ---- 5. adaptive-mesh apply (BASELINE config 4) --------------------
-    # (BASELINE deliverables 5-7 run BEFORE the secondary apply tiers:
-    # the round-3 dry run showed the two attribution-only tiers eating
-    # the last 100 s and budget-skipping all three of these lines)
-    adaptive_pre = None
-    if left() > 90:
-        try:
-            adaptive_pre = bmop.build_adaptive_op(
-                3, 4 if on_tpu else 2, 4 if on_tpu else 2, 2, dtype)
-            rec = bmop.bench_adaptive(
-                3, 4 if on_tpu else 2, 4 if on_tpu else 2, 2, dtype,
-                reps=N_CHAIN if on_tpu else 2, prebuilt=adaptive_pre,
-                bf16_tier=left() > 150)
-            apply_line("3d_adaptive_hanging_nodes_apply",
-                       rec["gdofs_per_s"], rec["scheme"], rec["n_dofs"],
-                       extra={"n_hanging": rec["n_hanging"],
-                              "degree": rec["degree"],
-                              "patch_overhead": rec["patch_overhead"],
-                              "tiers_gdofs": rec["tiers_gdofs"],
-                              "bf16_rel_err": rec.get("bf16_rel_err")})
-        except Exception as e:
-            err_line("3d_adaptive_hanging_nodes_apply", e)
-    else:
-        skip("3d_adaptive_hanging_nodes_apply", "budget")
-
-    # ---- 7. adaptive whole solves: Jacobi-CG vs adaptive GMG-CG -------
-    # (the poisson_mg analogue for adaptive meshes; the V-cycle program
-    # over every forest level is the largest compile in this file, but
-    # the watchdog guarantees a clean exit if it overruns)
-    if left() > 120:
-        # the f32 line is emitted via callback BEFORE the bf16-cycle
-        # hierarchy is even built (its V-cycle programs are the largest
-        # compiles in this file) — a budget overrun or compile failure
-        # on the bf16 variant then costs only its own supplement line
-        f32_emitted = [False]
-
-        def _emit_adaptive_f32(rec):
-            f32_emitted[0] = True
-            emit({"metric": "3d_adaptive_gmg_cg_solve",
-                  "value": round(rec["gmg_s"], 4), "unit": "s",
-                  "vs_baseline": round(rec["gmg_s"], 4),
-                  "iterations": rec["gmg_iterations"],
-                  "converged": rec["gmg_converged"],
-                  "gmg_true_rel_res": rec.get("gmg_true_rel_res"),
-                  "jacobi_s": round(rec["jacobi_s"], 4),
-                  "jacobi_iterations": rec["jacobi_iterations"],
-                  "n_dofs": rec["n_dofs"],
-                  "n_hanging": rec["n_hanging"],
-                  "levels": rec["levels"], "rtol": rec["rtol"],
-                  "elapsed_s": round(time.perf_counter() - T0, 1)})
-
-        try:
-            want16 = left() > 240
-            rec = bmop.bench_adaptive_solve(
-                3, 4 if on_tpu else 2, 4 if on_tpu else 2, 2, dtype,
-                prebuilt=adaptive_pre, bf16_cycle=want16,
-                emit_cb=_emit_adaptive_f32)
-            if not f32_emitted[0]:
-                _emit_adaptive_f32(rec)
-            if "gmg_bf16cycle_s" in rec:
-                emit({"metric": "3d_adaptive_gmg_bf16cycle_solve",
-                      "value": round(rec["gmg_bf16cycle_s"], 4),
-                      "unit": "s",
-                      "vs_baseline": round(rec["gmg_bf16cycle_s"], 4),
-                      "iterations": rec["gmg_bf16cycle_iterations"],
-                      "converged": rec["gmg_bf16cycle_converged"],
-                      "true_rel_res": rec["gmg_bf16cycle_true_rel_res"],
-                      "gmg_f32_s": round(rec["gmg_s"], 4),
-                      "note": "bf16 V-cycle hierarchy + f32 finest "
-                              "defects under the f32 CG (--precond "
-                              "gmg-bf16)",
-                      "n_dofs": rec["n_dofs"], "rtol": rec["rtol"],
-                      "elapsed_s": round(time.perf_counter() - T0, 1)})
-            elif want16:
-                skip("3d_adaptive_gmg_bf16cycle_solve", "non-f32 dtype")
-        except Exception as e:
-            if f32_emitted[0]:
-                err_line("3d_adaptive_gmg_bf16cycle_solve", e, unit="s")
-            else:
-                err_line("3d_adaptive_gmg_cg_solve", e, unit="s")
-    else:
-        skip("3d_adaptive_gmg_cg_solve", "budget")
-
-    # ---- 7b. fast-tier degree sweep (the reference's bmop north-star is
-    # the per-degree TABLE, not one point — SURVEY.md §2 'Operator
-    # benchmark'; VERDICT r3 missing item 3).  Resident kernel, bf16s
-    # (headline mode), refine per degree to keep 2-17M DoFs; partial
-    # tables are emitted if the budget runs out mid-sweep.
-    if on_tpu and left() > 150:
-        sweep, sweep_err = {}, {}
-        for p_ in (2, 3, 4, 5, 6, 7):
-            if left() < 90:
-                sweep_err[str(p_)] = "budget"
-                continue
-            r_ = 6 if p_ <= 4 else 5
-            try:
-                rec = bmop.bench_resident(p_, r_, dtype, N_CHAIN,
-                                          mode="bf16s")
-                sweep[str(p_)] = {"gdofs": round(rec["gdofs_per_s"], 3),
-                                  "refine": r_, "n_dofs": rec["n_dofs"]}
-            except Exception as e:
-                sweep_err[str(p_)] = f"{type(e).__name__}: {e}"[:120]
-        sweep2d = None
-        if left() > 60:
-            try:
-                # refine 10 (npts 4097, 16.8M DoFs — flagship scale):
-                # the block-tridiagonal x path keeps the operator O(p)
-                # in VMEM, lifting the dense path's npts ~ 600 bound
-                rec = bmop.bench_resident(4, 10, dtype, N_CHAIN,
-                                          mode="bf16s", dim=2)
-                sweep2d = {"gdofs": round(rec["gdofs_per_s"], 3),
-                           "refine": 10, "n_dofs": rec["n_dofs"]}
-            except Exception as e:
-                sweep_err["2d_p4"] = f"{type(e).__name__}: {e}"[:120]
-        val = sweep.get("4", {}).get("gdofs", 0.0)
-        emit({"metric": "resident_degree_sweep", "value": val,
-              "unit": "GDoF/s", "vs_baseline": val,
-              "note": "value = 3D p=4; full per-degree table attached",
-              "mode": "bf16s", "sweep_3d": sweep, "sweep_2d": sweep2d,
-              "errors": sweep_err,
-              "elapsed_s": round(time.perf_counter() - T0, 1)})
-    elif on_tpu:
-        skip("resident_degree_sweep", "budget")
 
     # ---- 8. secondary apply tiers (attribution only — LAST) ------------
     tier_specs = [("separable", False)]
