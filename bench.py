@@ -14,7 +14,7 @@ ZERO output because every line was buffered to the end):
   probed in a killable subprocess with CPU fallback (the TPU tunnel was
   observed wedged for hours in round 3 — device init hangs uninterruptibly);
 - every JSON line prints IMMEDIATELY with flush=True, headline first;
-- a global wall-clock budget (TPUFEM_BENCH_BUDGET_S, default 540 s) gates
+- a global wall-clock budget (TPUFEM_BENCH_BUDGET_S, default 720 s) gates
   each section — skipped sections emit an explicit {"skipped": ...} line —
   and a watchdog thread re-prints the best headline line and exits 0 at the
   deadline even if the main thread is stuck in a device call;
@@ -60,7 +60,7 @@ BASELINE_GDOFS = 1.0  # V100-class anchor, BASELINE.md (approximate)
 COPY_FLOOR_GDOFS = {"f32": 21.0, "bf16": 21.0, "bf16s": 42.0}
 MXU_BOUND_GDOFS = 29.0
 T0 = time.perf_counter()
-BUDGET_S = float(os.environ.get("TPUFEM_BENCH_BUDGET_S", "540"))
+BUDGET_S = float(os.environ.get("TPUFEM_BENCH_BUDGET_S", "720"))
 N_CHAIN = 30  # judge's chained-applies protocol
 ROOFLINE_GDOFS = 110.0  # per-chip HBM bound; anything above is bogus
 
@@ -433,11 +433,14 @@ def main():
 
     # ---- 6b. variable-coefficient apply (BASELINE config 5) ------------
     # separable smooth coefficient through the exactly-factored terms +
-    # ResidentTerms kernel; per-qpoint structured tier for attribution
-    if left() > 55:
+    # ResidentTerms kernel; per-qpoint structured tier for attribution.
+    # refine 5 (2.1M DoFs) on chip: the 17M per-qpoint tier's HOST
+    # metric build alone costs ~200 s (cache-immune) — the 17M rates
+    # (3.6 f32 / 7.1 bf16s / 8.8 measured) live in docs/ROOFLINE.md
+    if left() > 110:
         try:
             rec = bmop.bench_varcoef(3, 4 if on_tpu else 2,
-                                     refine if on_tpu else 2, dtype,
+                                     5 if on_tpu else 2, dtype,
                                      reps=N_CHAIN if on_tpu else 2)
             apply_line("3d_q4_variable_coef_apply", rec["gdofs_per_s"],
                        rec["scheme"], rec["n_dofs"],
