@@ -99,6 +99,50 @@ def test_box_gmg_mixed_precision_bf16_cycle():
     rel = float(jnp.linalg.norm(rr)) / float(jnp.linalg.norm(b))
     assert rel < 1e-5
 
+    # recast path: the zero-rebuild mixed hierarchy (shared host build
+    # + f32-estimated Chebyshev scalars cast down) must deliver the
+    # same mixed solve as the native bf16 build
+    mgr = mg.recast("bfloat16")
+    assert mgr.solve_op is op  # defaults to the f32 fine operator
+    for lvl in mgr.levels:
+        assert lvl.op.dt == jnp.bfloat16
+        assert lvl.cheb.theta.dtype == jnp.bfloat16
+    rc = mgr.cg_solve(b, rtol=1e-6)
+    assert bool(rc.converged)
+    assert abs(int(rc.iterations) - int(r16.iterations)) <= 2
+    xc = np.asarray(rc.x, np.float64)
+    assert np.linalg.norm(xc - x32) / np.linalg.norm(x32) < 1e-4
+    # the originals are untouched (fresh caches, params dtypes intact)
+    assert mg.levels[-1].op.dt == jnp.float32
+    assert mg.device_args["levels"][-1]["pr"]["S"].dtype == jnp.float32
+
+
+def test_box_operator_recast_parity():
+    """BoxLaplaceOperator.recast(bf16) must equal a native bf16 build:
+    init casts the same host arrays to the same dtype, so the applies
+    agree to bf16 resolution (f64->f32->bf16 double rounding can move
+    the last bit vs the direct f64->bf16 cast)."""
+    mesh = adaptive_mesh(2, 2, 2)
+    dofs = DoFHandler(mesh, 3)
+    ac = make_hanging_node_constraints(dofs)
+    op32 = BoxLaplaceOperator(mesh, dofs, constraints=ac,
+                              dtype="float32")
+    op16n = BoxLaplaceOperator(mesh, dofs, constraints=ac,
+                               dtype="bfloat16")
+    op16r = op32.recast("bfloat16")
+    assert op16r.dt == jnp.bfloat16
+    assert op16r.n_patch == op32.n_patch
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal(op32.n_patch), jnp.bfloat16)
+    yn = np.asarray(op16n.vmult(x), np.float64)
+    yr = np.asarray(op16r.vmult(x), np.float64)
+    scale = np.abs(yn).max()
+    assert np.abs(yr - yn).max() < 2e-2 * scale  # bf16 resolution class
+    # recast of the recast-source left the f32 operator untouched
+    y32 = op32.vmult(jnp.asarray(rng.standard_normal(op32.n_patch),
+                                 jnp.float32))
+    assert y32.dtype == jnp.float32
+
 
 def test_box_gmg_variable_coefficient():
     coef = lambda x: 1.0 + 10.0 * np.exp(

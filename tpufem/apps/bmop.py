@@ -247,10 +247,11 @@ def bench_adaptive_solve(dim, p, refine, steps, dtype, rtol=1e-5,
         mg16_box = []
 
         def bf16_run():
-            if not mg16_box:  # deferred: built only after f32 lines
-                mg16_box.append(BoxMultigrid(mesh, dofs, constraints=ac,
-                                             dtype="bfloat16",
-                                             solve_op=op))
+            if not mg16_box:  # deferred: derived only after f32 lines
+                # recast shares the f32 hierarchy's host build + cheb
+                # estimates (a fresh bf16 build costs ~380 s at this
+                # size — scripts/adaptive_solve_lab.py)
+                mg16_box.append(mg.recast("bfloat16", solve_op=op))
             return mg16_box[0].cg_solve(b, rtol=rtol)
 
         runs.append(("gmg_bf16cycle", bf16_run))

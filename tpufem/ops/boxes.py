@@ -557,6 +557,42 @@ class BoxLaplaceOperator:
         self._vmult_raw = jax.jit(self._vmult_raw_traced)
 
     # ------------------------------------------------------------------
+    def recast(self, dtype) -> "BoxLaplaceOperator":
+        """Shallow dtype clone: shares ALL host-side structure (boxes,
+        pair metadata, index arrays) and casts only the floating device
+        arrays of the ``params`` pytree (compute precision follows the
+        data dtype — ``axis_mm_precision``).  Equivalent to rebuilding
+        with ``dtype=`` — ``__init__`` casts exactly these arrays from
+        the same host data — at ~zero cost, where the full rebuild
+        repeats ~40 s of host setup at the bench flagship (and the
+        mixed-precision GMG rebuild ~380 s, scripts/adaptive_solve_lab).
+        """
+        import copy
+
+        new = copy.copy(self)
+        new.dt = jnp.dtype(dtype)
+
+        def _cast(a):
+            if hasattr(a, "dtype") and jnp.issubdtype(a.dtype,
+                                                      jnp.floating):
+                return jnp.asarray(a, new.dt)
+            return a
+
+        new.params = jax.tree_util.tree_map(_cast, self.params)
+        # attribute mirrors read outside __init__ (dot, public masks)
+        new.S = new.params["S"]
+        new.D_col = new.params["D_col"]
+        new.interior_mask = new.params["interior_mask"]
+        new.w_owner = new.params["w_owner"]
+        # fresh jit/solver caches: the lazy caches hold dtype-specific
+        # Chebyshev scalars and must not be shared with the original
+        new._vmult = jax.jit(new._vmult_traced)
+        new._vmult_raw = jax.jit(new._vmult_raw_traced)
+        new._solvers_cg = {}
+        new._cheb_cache = {}
+        return new
+
+    # ------------------------------------------------------------------
     @staticmethod
     def _gid_copies(g, live, starts, ends, gids):
         gi = np.searchsorted(gids, g)

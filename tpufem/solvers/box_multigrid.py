@@ -314,6 +314,75 @@ class BoxMultigrid:
         self._solvers: dict = {}
 
     # ------------------------------------------------------------------
+    def recast(self, dtype, solve_op=None,
+               exact_defect=None) -> "BoxMultigrid":
+        """Mixed-precision clone sharing ALL host-side construction.
+
+        Level meshes / DoF handlers / constraints, transfer rules, the
+        Chebyshev eigenvalue estimates (precision-independent — the
+        1.2x safety factor dominates the estimate's own rounding) and
+        the coarse dense inverse are reused; only the device pytrees
+        are cast to ``dtype`` (`BoxLaplaceOperator.recast`).  This is
+        the cheap way to get the fast-tier bf16 V-cycle under an f32
+        CG: ``mg.recast("bfloat16")`` ≡ ``BoxMultigrid(...,
+        dtype="bfloat16", solve_op=fine_f32_op)`` whose full rebuild
+        repeats ~380 s of host setup + per-level bf16 power iterations
+        at the bench flagship (scripts/adaptive_solve_lab.py) — recast
+        is a few array casts.
+
+        solve_op: operator for the outer CG; default = this hierarchy's
+        solve operator (its f32 fine op), which is what mixed precision
+        wants.  exact_defect: default inherits ``self``.
+        """
+        import copy
+
+        new = copy.copy(self)
+        dt = jnp.dtype(dtype)
+        new.solve_op = (solve_op if solve_op is not None
+                        else (self.solve_op if self.solve_op is not None
+                              else self.levels[-1].op))
+        if exact_defect is not None:
+            new._exact_defect = exact_defect
+        new.levels = [
+            dataclasses.replace(
+                lvl, op=lvl.op.recast(dt),
+                cheb=ChebyshevParams(
+                    jnp.asarray(lvl.cheb.theta, dt),
+                    jnp.asarray(lvl.cheb.delta, dt), lvl.cheb.degree))
+            for lvl in self.levels
+        ]
+        coarse = dict(self.device_args["coarse"])
+        for k in ("Ainv", "live"):
+            if k in coarse:
+                coarse[k] = jnp.asarray(coarse[k], dt)
+        if "cheb" in coarse:
+            coarse["cheb"] = tuple(jnp.asarray(c, dt)
+                                   for c in coarse["cheb"])
+        new.device_args = {
+            "levels": [
+                {
+                    "pr": lvl.op.params,
+                    "inv_diag": jnp.asarray(lvl.inv_diag, dt),
+                    "cheb": (lvl.cheb.theta, lvl.cheb.delta),
+                    "nh": jnp.asarray(lvl.nh_mask, dt),
+                }
+                for lvl in new.levels
+            ],
+            "transfers": [
+                () if rules is None else tuple(
+                    () if r["P"] is None else tuple(
+                        jnp.asarray(Pa, dt) for Pa in r["P"])
+                    for r in rules)
+                for rules in self._rules
+            ],
+            "coarse": coarse,
+            "sp": new.solve_op.params,
+        }
+        new._vcycle_jit = None
+        new._solvers = {}
+        return new
+
+    # ------------------------------------------------------------------
     def _seg(self, lvl: BoxMGLevel, u, bi: int):
         b = lvl.op.boxes[bi]
         return u[b.offset : b.offset + b.n_nodes].reshape(
