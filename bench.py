@@ -287,6 +287,24 @@ def main():
     arm_watchdog(BUDGET_S)  # guaranteed final line + exit 0 at deadline
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     start_d2h_warmup()  # overlap the 25-300s first-fetch with compiles
+
+    # overlap the adaptive sections' ~15 s host build (mesh / DoFs /
+    # constraints / box operator — numpy + small H2D puts) with the
+    # first-fetch wait and the headline compiles: on a bad first-fetch
+    # draw the main thread sits blocked in d2h with the CPU idle
+    from tpufem.apps import bmop
+
+    adaptive_box = {}
+
+    def _prefetch_adaptive():
+        try:
+            adaptive_box["pre"] = bmop.build_adaptive_op(
+                3, 4 if on_tpu else 2, 4 if on_tpu else 2, 2, "float32")
+        except Exception as e:  # surfaced by the section that needs it
+            adaptive_box["err"] = e
+
+    pre_thread = threading.Thread(target=_prefetch_adaptive, daemon=True)
+    pre_thread.start()
     refine = int(os.environ.get("TPUFEM_BENCH_REFINE",
                                 "6" if on_tpu else "3"))
     dtype = "float32"
@@ -341,8 +359,6 @@ def main():
               "note": "first compile >120s: remaining sections run at "
                       "refine 5 (2.1M DoFs) to fit the budget"})
 
-    from tpufem.apps import bmop
-
     # Section order = ROUND-DELTA VALUE under the watchdog budget:
     # lines never yet recorded in a BENCH artifact (adaptive bf16
     # tiers/solves, variable-coefficient, curved, degree sweep) run
@@ -355,8 +371,13 @@ def main():
     adaptive_pre = None
     if left() > 90:
         try:
-            adaptive_pre = bmop.build_adaptive_op(
-                3, 4 if on_tpu else 2, 4 if on_tpu else 2, 2, dtype)
+            pre_thread.join(timeout=max(left() - 60, 1.0))
+            if "err" in adaptive_box:
+                raise adaptive_box["err"]
+            adaptive_pre = adaptive_box.get("pre")
+            if adaptive_pre is None:  # prefetch still running: stuck
+                raise TimeoutError("adaptive host-build prefetch did "
+                                   "not finish within the budget")
             rec = bmop.bench_adaptive(
                 3, 4 if on_tpu else 2, 4 if on_tpu else 2, 2, dtype,
                 reps=N_CHAIN if on_tpu else 2, prebuilt=adaptive_pre,

@@ -41,6 +41,13 @@ rtol = 1e-5
 print(f"device={jax.devices()[0]} refine={refine} steps={steps}",
       flush=True)
 
+# pay the platform's first-D2H penalty (25-376 s drawn) up front so it
+# doesn't land inside whichever stage fetches first
+_t = time.perf_counter()
+np.asarray(jnp.zeros(8))
+print(f"  d2h_warmup                   {time.perf_counter() - _t:8.1f} s",
+      flush=True)
+
 T = {}
 
 
