@@ -283,6 +283,77 @@ def _resident_kernel(refine, mode, dtype="float32"):
         interpret=jax.default_backend() == "cpu"), npts**3
 
 
+def bench_heat(refine, dtype="float32", dt=1e-4, nsteps=5, rtol=1e-6):
+    """Implicit-Euler heat stepping on the tensor-product fast tier:
+    every step = one resident mass apply + one Jacobi-CG solve of
+    (M + dt K) through the fused ResidentTerms kernel (4 terms).  Built
+    directly from the 1D factor matrices (no MatrixFree needed: the
+    hyper_cube mask / diagonal / initial state are all separable)."""
+    from functools import reduce
+
+    from tpufem.operators.tensor_product import helmholtz_separable_terms
+    from tpufem.ops.pallas_separable import ResidentTerms
+    from tpufem.solvers.resident import resident_jacobi_cg
+
+    p = 4
+    n_ax = 1 << refine
+    npts = n_ax * p + 1
+    interp = jax.default_backend() == "cpu"
+    h = np.full(3, 1.0 / n_ax)
+    tA = helmholtz_separable_terms(p, 3, p + 1, n_ax, h, 1.0, dt)
+    tM = helmholtz_separable_terms(p, 3, p + 1, n_ax, h, 1.0, 0.0)
+    jdt = jnp.dtype(dtype)
+    A_rk = ResidentTerms(npts, p, tA, dtype, mode="f32", interpret=interp)
+    M_rk = ResidentTerms(npts, p, tM, dtype, mode="f32", interpret=interp)
+    m1 = np.ones(npts)
+    m1[0] = m1[-1] = 0.0
+    mask3 = reduce(np.multiply.outer, [m1] * 3).reshape(-1)
+    diag = sum(
+        reduce(np.multiply.outer, [np.diag(np.asarray(t[b], np.float64))
+                                   for b in (2, 1, 0)])
+        for t in tA).reshape(-1)
+    diag = diag * mask3 + (1.0 - mask3)
+    x1 = np.sin(np.pi * np.linspace(0.0, 1.0, npts))
+    u0 = reduce(np.multiply.outer, [x1] * 3).reshape(-1) * mask3
+    mask = jnp.asarray(mask3, jdt)
+    diag_j = jnp.asarray(diag, jdt)
+    u = jnp.asarray(u0, jdt)
+
+    class _Shim:  # the resident_jacobi_cg operator contract
+        resident = A_rk
+        mf = type("MF", (), {"interior_mask": mask})
+
+        def diagonal(self):
+            return diag_j
+
+    op = _Shim()
+    rhs_fn = jax.jit(
+        lambda m_, v: m_ * M_rk.unpad(M_rk.raw(M_rk.pad(v))))
+
+    def step(v):
+        rhs = rhs_fn(mask, v)
+        res = resident_jacobi_cg(op, rhs, diag=diag_j, rtol=rtol, x0=v)
+        return mask * res.x, int(res.iterations), bool(res.converged)
+
+    t0 = time.perf_counter()
+    u, _, _ = step(u)  # compile + warm
+    jax.block_until_ready(u)
+    comp_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    iters = 0
+    conv = True
+    for _ in range(nsteps):
+        u, it, cv = step(u)
+        iters += it
+        conv = conv and cv
+    jax.block_until_ready(u)
+    el = time.perf_counter() - t0
+    return {"n_dofs": npts**3, "steps_per_s": nsteps / el,
+            "ms_per_step": el / nsteps * 1e3,
+            "iters_per_step": iters / nsteps, "converged": conv,
+            "dt": dt, "rtol": rtol, "compile_s": comp_s}
+
+
 def main():
     arm_watchdog(BUDGET_S)  # guaranteed final line + exit 0 at deadline
     on_tpu = jax.devices()[0].platform not in ("cpu",)
@@ -529,6 +600,30 @@ def main():
               "elapsed_s": round(time.perf_counter() - T0, 1)})
     elif on_tpu:
         skip("resident_degree_sweep", "budget")
+
+    # ---- 6b. implicit heat stepping on the tensor-product fast tier ---
+    # (the mass/Helmholtz family at flagship rates: each implicit-Euler
+    # step = resident mass apply + ~12-iteration Jacobi-CG on M + dt K
+    # through the 4-term ResidentTerms kernel — operators/tensor_product)
+    if left() > 100:
+        try:
+            rec = bench_heat(refine if on_tpu else 2, dtype,
+                             nsteps=5 if on_tpu else 2)
+            emit({"metric": "3d_heat_implicit_step",
+                  "value": round(rec["steps_per_s"], 3),
+                  "unit": "steps/s",
+                  "vs_baseline": round(rec["steps_per_s"], 3),
+                  "ms_per_step": round(rec["ms_per_step"], 2),
+                  "iters_per_step": rec["iters_per_step"],
+                  "converged": rec["converged"],
+                  "n_dofs": rec["n_dofs"], "dt": rec["dt"],
+                  "rtol": rec["rtol"], "tier": "resident-terms+pallas",
+                  "compile_s": round(rec["compile_s"], 1),
+                  "elapsed_s": round(time.perf_counter() - T0, 1)})
+        except Exception as e:
+            err_line("3d_heat_implicit_step", e, unit="steps/s")
+    else:
+        skip("3d_heat_implicit_step", "budget")
 
     # ---- 2. separable apply + whole-solve benchmarks -------------------
     # (solves FIRST among the non-headline sections: they are a BASELINE

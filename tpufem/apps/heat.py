@@ -33,23 +33,35 @@ from tpufem.utils.output import load_checkpoint, save_checkpoint
 def run_heat(
     dim=2, degree=2, refine=4, dt=1e-3, steps=20, dtype="float64",
     checkpoint=None, checkpoint_every=0, resume=None, rtol=None,
-    shards=None,
+    shards=None, resident=False,
 ):
     """shards: run every step's mass apply and Helmholtz solve
     DISTRIBUTED over that many devices (GeneralDistributedOperator with
     the mass/Helmholtz quad-point functors); state stays sharded across
-    steps, checkpoints are written/read in global numbering."""
+    steps, checkpoints are written/read in global numbering.
+
+    resident: ride the tensor-product fast tier
+    (``operators.tensor_product``): M and M + dt K factor exactly into
+    sums of tensor products on the uniform grid, so every step's mass
+    apply and Helmholtz Jacobi-CG run on the separable tier / the fused
+    ResidentTerms Pallas kernel — flagship-class step throughput instead
+    of the gather-based generic tier."""
     from tpufem.apps.poisson import _ensure_dtype
 
     _ensure_dtype(dtype)
     if rtol is None:
         rtol = 1e-10 if dtype == "float64" else 1e-6
+    if resident and shards:
+        raise ValueError("--resident is a single-device fast path; "
+                         "combine with --shards is not supported")
     mesh = Mesh.hyper_cube(dim, refine)
     dofs = DoFHandler(mesh, degree)
-    cfg = FemConfig(dim=dim, degree=degree, dtype=dtype, scatter="incidence")
+    cfg = FemConfig(dim=dim, degree=degree, dtype=dtype,
+                    scatter="incidence", use_pallas=resident)
     mf = MatrixFree.build(mesh, dofs, cfg)
-    M = mass_operator(mf)
-    A = helmholtz_operator(mf, alpha=1.0, beta=dt)  # M + dt K
+    if not resident:
+        M = mass_operator(mf)
+        A = helmholtz_operator(mf, alpha=1.0, beta=dt)  # M + dt K
     mask = mf.interior_mask
 
     # exact solution of u_t = Δu with u0 = prod sin(pi x): decay rate
@@ -113,6 +125,43 @@ def run_heat(
                     step=np.int64(n + 1), **meta)
         u = jnp.asarray(part.to_global(np.asarray(u_l)),
                         jnp.dtype(dtype))
+    elif resident:
+        from tpufem.operators.tensor_product import (
+            helmholtz_tensor_operator,
+            mass_tensor_operator,
+        )
+        from tpufem.solvers.resident import resident_jacobi_cg
+
+        A_t = helmholtz_tensor_operator(mf, alpha=1.0, beta=dt)
+        M_t = mass_tensor_operator(mf)
+        diag = A_t.diagonal()
+        use_rk = A_t.resident is not None
+        if not use_rk:  # tiling constraints unmet: XLA terms tier
+            solve = jax.jit(lambda m, dg, rhs, x0: cg_solve(
+                lambda v: A_t.vmult_with(m, v), rhs,
+                M_inv=lambda r: r / dg, x0=x0, rtol=rtol))
+        for n in range(start, steps):
+            # u is masked, so the constrained mass apply equals
+            # mask * (M u) — the step's right-hand side
+            rhs = M_t.vmult(u)
+            if use_rk:
+                res = resident_jacobi_cg(A_t, rhs, diag=diag, rtol=rtol,
+                                         x0=u)
+            else:
+                res = solve(mask, diag, rhs, u)
+            if not bool(res.converged):
+                import sys
+
+                print(
+                    f"WARNING: step {n}: CG did not converge "
+                    f"(residual {float(res.residual):.3e})",
+                    file=sys.stderr,
+                )
+            u = mask * res.x
+            if (checkpoint and checkpoint_every
+                    and (n + 1) % checkpoint_every == 0):
+                save_checkpoint(checkpoint, u=np.asarray(u),
+                                step=np.int64(n + 1), **meta)
     else:
         # device arrays as jit ARGUMENTS (platform rule: see
         # MatrixFree.device_args)
@@ -158,6 +207,10 @@ def main(argv=None):
     ap.add_argument("--shards", type=int, default=None,
                     help="distribute every step (mass apply + Helmholtz "
                          "CG) over this many devices")
+    ap.add_argument("--resident", action="store_true",
+                    help="tensor-product fast tier: every step's mass "
+                         "apply + Helmholtz CG ride the separable tier / "
+                         "fused ResidentTerms kernel")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
     if args.cpu:
@@ -166,7 +219,7 @@ def main(argv=None):
         dim=args.dim, degree=args.degree, refine=args.refine, dt=args.dt,
         steps=args.steps, dtype=args.dtype, checkpoint=args.checkpoint,
         checkpoint_every=args.checkpoint_every, resume=args.resume,
-        shards=args.shards,
+        shards=args.shards, resident=args.resident,
     )
     print(f"dofs: {r['n_dofs']}  steps: {r['steps']}  t_end: {r['t_end']}")
     print(f"L2 error vs analytic decay: {r['l2_error']:.6e}")

@@ -447,6 +447,17 @@ def _kernel_resident(u_hbm, xkm, wm_y, wk_y, wm_z, wk_z, out, scratch, sem,
         out_dma(t, "wait")
 
 
+def _check_mosaic_dtype(dtype, interpret):
+    """Mosaic compiles f32/bf16 kernels only: a compiled f64 kernel hangs
+    this platform's toolchain at lowering (verified on the live chip via
+    ``heat --resident`` with dtype=float64).  Refuse up front so callers
+    (``_terms_with_kernel``, ``MatrixFree.build``) fall back to the XLA
+    tiers, which handle f64 fine."""
+    if not interpret and jnp.dtype(dtype).itemsize == 8:
+        raise ValueError("Pallas kernels are f32/bf16 only; f64 runs "
+                         "interpret-mode (CPU) or the XLA tiers")
+
+
 class ResidentSeparable:
     """Solver-resident fused apply: halo'd layout in, same layout out.
 
@@ -462,6 +473,7 @@ class ResidentSeparable:
 
     def __init__(self, npts, p, Ks_np, Ms_np, dtype, tile=None, mode="f32",
                  interpret=False, dirichlet=False):
+        _check_mosaic_dtype(dtype, interpret)
         # storage dtype: bf16s keeps the HBM-resident vectors in bf16
         # (halving the DMA floor); compute stays in `dtype` (f32)
         cdt = jnp.dtype(dtype)
@@ -579,6 +591,7 @@ class PallasSeparable:
 
     def __init__(self, dim, npts, p, Ks_np, Ms_np, dtype, tile=None,
                  interpret=False):
+        _check_mosaic_dtype(dtype, interpret)
         self.dim, self.npts, self.p = dim, npts, p
         if tile is None:
             tile = p * max(1, 24 // p)  # b % p == 0 (periodic tap classes)
@@ -838,6 +851,7 @@ class ResidentTerms:
 
     def __init__(self, npts, p, terms_np, dtype, tile=None, mode="f32",
                  interpret=False):
+        _check_mosaic_dtype(dtype, interpret)
         cdt = jnp.dtype(dtype)
         sdt = jnp.dtype(jnp.bfloat16) if mode == "bf16s" else cdt
         sub = 16 if sdt.itemsize == 2 else 8
@@ -1178,6 +1192,7 @@ class ResidentTerms2D:
 
     def __init__(self, npts, p, terms_np, dtype, tile=None, mode="f32",
                  interpret=False, x_mode="auto"):
+        _check_mosaic_dtype(dtype, interpret)
         cdt = jnp.dtype(dtype)
         sdt = jnp.dtype(jnp.bfloat16) if mode == "bf16s" else cdt
         sub = 16 if sdt.itemsize == 2 else 8

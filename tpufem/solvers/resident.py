@@ -87,11 +87,15 @@ def resident_jacobi_cg(
     stall exit then returns the final iterate instead.
 
     op: a ``LaplaceOperator`` whose MatrixFree carries a resident kernel
-    (3D separable + use_pallas).  b/diag/x0 are flat (n_dofs,) vectors;
-    the returned CGResult.x is flat again (one pad per input, one unpad
-    at the end — everything in between stays in the halo'd layout).
+    (3D separable + use_pallas), or any operator carrying its own
+    ``.resident`` kernel (``operators.tensor_product`` mass/Helmholtz).
+    b/diag/x0 are flat (n_dofs,) vectors; the returned CGResult.x is
+    flat again (one pad per input, one unpad at the end — everything in
+    between stays in the halo'd layout).
     """
-    rk = op.mf.resident
+    rk = getattr(op, "resident", None)
+    if rk is None:
+        rk = op.mf.resident
     if rk is None:
         raise ValueError(
             "operator has no resident kernel (needs 3D separable scheme "
