@@ -133,6 +133,39 @@ def assemble_mass(
     ).tocsr()
 
 
+def assemble_convection(
+    dofs: DoFHandler,
+    velocity,
+    quad: Quadrature | None = None,
+) -> sp.csr_matrix:
+    """Assemble the global convection matrix
+    C[i,j] = sum_cells int phi_i (b . grad(phi_j)) dx
+    for a velocity field ``velocity(pts) -> (npts, dim)``.
+
+    Oracle for the nonsymmetric generic operators
+    (tpufem.operators.generic.convection_diffusion_operator).
+    """
+    mesh, p = dofs.mesh, dofs.degree
+    d = mesh.dim
+    if quad is None:
+        quad = Quadrature.gauss(p + 1)
+    metric = compute_metric(mesh, quad, need_points=True)
+    gen = metric.to_general()
+    V = cell_basis_values(p, d, quad)  # (nq, nn)
+    G = cell_basis_gradients(p, d, quad)  # (nq, nn, d)
+    Gp = np.einsum("cqba,qjb->cqja", gen.inv_jac, G)
+    bvals = velocity(gen.quad_points.reshape(-1, d)).reshape(
+        mesh.n_cells, -1, d
+    )  # (nc, nq, d)
+    Ce = np.einsum("qj,cqka,cqa,cq->cjk", V, Gp, bvals, gen.jxw)
+    nn = Ce.shape[1]
+    rows = np.repeat(dofs.cell_dofs, nn, axis=1).ravel()
+    cols = np.tile(dofs.cell_dofs, (1, nn)).ravel()
+    return sp.coo_matrix(
+        (Ce.ravel(), (rows, cols)), shape=(dofs.n_dofs, dofs.n_dofs)
+    ).tocsr()
+
+
 def assemble_rhs(
     dofs: DoFHandler, f, quad: Quadrature | None = None
 ) -> np.ndarray:

@@ -193,3 +193,40 @@ def helmholtz_operator(mf: MatrixFree, alpha=1.0, beta=1.0) -> GenericOperator:
         return alpha * vals, sg
 
     return GenericOperator(mf, qop, needs_values=True, needs_gradients=True)
+
+
+def convection_diffusion_operator(
+    mf: MatrixFree, velocity, nu=1.0
+) -> GenericOperator:
+    """Nonsymmetric a(u,v) = int nu grad(u).grad(v) + (b.grad(u)) v dx.
+
+    ``velocity``: callable ``(npts, dim) -> (npts, dim)`` evaluated at the
+    quadrature points of ``mf``'s rule, or a precomputed ``(nc, dim, nq)``
+    array.  The field enters the traced function as a numpy compile-time
+    constant (the reference caches the coefficient at qpoints the same
+    way, SURVEY.md §2 "Laplace operator"); pair with
+    :func:`tpufem.solvers.bicgstab.bicgstab_solve` — CG is not applicable
+    to this form.
+    """
+    import numpy as np
+
+    from tpufem.fem.mapping import compute_metric
+
+    if callable(velocity):
+        gen = compute_metric(mf.mesh, mf.quad, need_points=True).to_general()
+        d = mf.config.dim
+        bq = velocity(gen.quad_points.reshape(-1, d)).reshape(
+            mf.mesh.n_cells, -1, d
+        )
+        velocity_q = np.ascontiguousarray(np.moveaxis(bq, -1, 1))
+    else:
+        velocity_q = np.asarray(velocity)
+
+    def qop(vals, grads, ctx):
+        sv = jnp.sum(velocity_q * grads, axis=1)  # (nc, nq)
+        sg = nu * grads
+        if ctx.coef_q is not None:
+            sg = sg * ctx.coef_q[:, None, :]
+        return sv, sg
+
+    return GenericOperator(mf, qop, needs_values=False, needs_gradients=True)
