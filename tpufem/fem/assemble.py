@@ -166,6 +166,62 @@ def assemble_convection(
     ).tocsr()
 
 
+def assemble_elasticity(
+    dofs: DoFHandler,
+    mu: float = 1.0,
+    lam: float = 1.0,
+    quad: Quadrature | None = None,
+) -> sp.csr_matrix:
+    """Assemble the global linear-elasticity stiffness matrix for
+    a(u,v) = int 2 mu eps(u):eps(v) + lam (div u)(div v) dx with
+    block-wise component ordering: global index = a * n_dofs + i for
+    component a, scalar dof i (the layout of operators.vector).
+
+    Uses the expanded step-8 identity
+    K[(a i),(b j)] = int mu d_b phi_i d_a phi_j
+                   + mu delta_ab grad(phi_i).grad(phi_j)
+                   + lam d_a phi_i d_b phi_j dx
+    — an independent formulation from the device functor's
+    sigma(eps)-based submission, so agreement cross-checks the algebra.
+    """
+    mesh, p = dofs.mesh, dofs.degree
+    d = mesh.dim
+    if quad is None:
+        quad = Quadrature.gauss(p + 1)
+    gen = compute_metric(mesh, quad).to_general()
+    G = cell_basis_gradients(p, d, quad)  # (nq, nn, d)
+    Gp = np.einsum("cqba,qjb->cqja", gen.inv_jac, G)  # (nc, nq, nn, d)
+    w = gen.jxw  # (nc, nq)
+    # per-cell blocks Ke[c, a, i, b, j]
+    grad_dot = np.einsum("cqia,cqja,cq->cij", Gp, Gp, w)
+    cross = np.einsum("cqib,cqja,cq->cabij", Gp, Gp, w)  # d_b phi_i d_a phi_j
+    nc, _, nn, _ = Gp.shape
+    Ke = np.zeros((nc, d, nn, d, nn))
+    for a in range(d):
+        for b in range(d):
+            blk = mu * cross[:, a, b]  # int mu d_b phi_i d_a phi_j
+            if a == b:
+                blk = blk + mu * grad_dot
+            blk = blk + lam * np.einsum(
+                "cqi,cqj,cq->cij", Gp[..., a], Gp[..., b], w
+            )
+            Ke[:, a, :, b, :] = blk
+    n = dofs.n_dofs
+    cd = dofs.cell_dofs  # (nc, nn)
+    rows = (
+        np.arange(d)[None, :, None, None, None] * n
+        + cd[:, None, :, None, None]
+    )
+    cols = (
+        np.arange(d)[None, None, None, :, None] * n
+        + cd[:, None, None, None, :]
+    )
+    rows, cols = np.broadcast_arrays(rows, cols)
+    return sp.coo_matrix(
+        (Ke.ravel(), (rows.ravel(), cols.ravel())), shape=(d * n, d * n)
+    ).tocsr()
+
+
 def assemble_rhs(
     dofs: DoFHandler, f, quad: Quadrature | None = None
 ) -> np.ndarray:
