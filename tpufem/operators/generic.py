@@ -171,6 +171,65 @@ class GenericOperator:
     __call__ = vmult
 
 
+class NonlinearOperator:
+    """Nonlinear residual operator from a quadrature-point functor.
+
+    ``quad_op`` may be NONLINEAR in values/gradients (quasilinear
+    diffusion, minimal surface, p-Laplacian ...):
+
+      F(u)_i = sum_q [ sv(u_q, grad u_q) phi_i + sg(u_q, grad u_q) .
+               grad phi_i ] JxW  -  b_i      on free rows (0 elsewhere).
+
+    ``make_cell_operator`` assumes nothing about linearity — the same
+    gather/evaluate/functor/integrate/scatter chain IS the nonlinear
+    residual, and the Newton Jacobian is ``jax.linearize`` through it
+    (solvers/newton.py).  The reference's pattern hand-derives and
+    re-assembles the linearized form each step (deal.II step-15 style,
+    SURVEY.md §2 FEEvaluation API); here the linearization is exact by AD
+    and stays matrix-free.
+
+    Dirichlet values ride in the iterate (set via ``u0``); hanging-node
+    rows are zero in both F and J v — a consistent singular system the
+    Krylov solvers handle exactly (the iterate's hanging entries are
+    refreshed by C at every residual and on the returned solution).
+    """
+
+    def __init__(self, mf: MatrixFree, quad_op: Callable,
+                 needs_values: bool = True, needs_gradients: bool = True):
+        self.mf = mf
+        self.device_args = mf.device_args(include_gather=True)
+        self._raw_with = make_cell_operator(mf, quad_op, needs_values,
+                                            needs_gradients)
+
+    def residual_with(self, a, u):
+        """Traced residual for newton_solve: a = (device_args, rhs b)."""
+        dp, b = a
+        m = dp["mask"]
+        uh = distribute_with(dp, u)
+        # condense the whole residual: C^T (R(C u) - b) — the RHS's
+        # hanging rows must credit their masters too
+        r = distribute_transpose_with(dp, self._raw_with(dp, uh) - b)
+        return m * r
+
+    def residual(self, u, b):
+        return self.residual_with((self.device_args, jnp.asarray(b)),
+                                  jnp.asarray(u))
+
+    def solve(self, b, u0=None, **newton_kw):
+        """Newton-Krylov solve of F(u) = 0 (see solvers/newton.py for the
+        keyword surface: rtol, linear="cg"|"gmres"|"bicgstab", ...)."""
+        from tpufem.solvers.newton import newton_solve
+
+        dp = self.device_args
+        b = jnp.asarray(b, dp["mask"].dtype)
+        if u0 is None:
+            u0 = jnp.zeros_like(b)
+        u0 = distribute_with(dp, jnp.asarray(u0, b.dtype))
+        res = newton_solve(self.residual_with, (dp, b), u0,
+                           mask=dp["mask"], **newton_kw)
+        return res._replace(x=distribute_with(dp, res.x))
+
+
 # ------------------------------------------------------------------
 # stock operators
 def mass_operator(mf: MatrixFree, coefficient_q=None) -> GenericOperator:
