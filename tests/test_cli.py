@@ -116,3 +116,21 @@ def test_poisson_cli_distributed_gmg_shards():
     assert rec["l2_error"] < 5e-3
     assert rec["iterations"] <= 12  # GMG-CG, not O(100) Jacobi
     assert 0 < rec["h1_error"] < 0.5
+
+
+def test_nonlinear_cli_quasilinear():
+    r = run(["tpufem.apps.nonlinear", "--cpu", "--dim", "2", "--degree",
+             "2", "--refine", "3", "--json"])
+    assert r.returncode == 0, r.stderr[-500:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["converged"] and rec["newton_iterations"] <= 12
+    assert rec["l2_error"] < 5e-4
+
+
+def test_nonlinear_cli_minimal_surface_gmres():
+    r = run(["tpufem.apps.nonlinear", "--cpu", "--problem",
+             "minimal-surface", "--linear", "gmres", "--refine", "2",
+             "--rtol", "1e-9", "--json"])
+    assert r.returncode == 0, r.stderr[-500:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["converged"]
