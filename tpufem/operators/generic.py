@@ -200,6 +200,7 @@ class NonlinearOperator:
         self.device_args = mf.device_args(include_gather=True)
         self._raw_with = make_cell_operator(mf, quad_op, needs_values,
                                             needs_gradients)
+        self._solve_cache = {}
 
     def residual_with(self, a, u):
         """Traced residual for newton_solve: a = (device_args, rhs b)."""
@@ -217,17 +218,29 @@ class NonlinearOperator:
 
     def solve(self, b, u0=None, **newton_kw):
         """Newton-Krylov solve of F(u) = 0 (see solvers/newton.py for the
-        keyword surface: rtol, linear="cg"|"gmres"|"bicgstab", ...)."""
+        keyword surface: rtol, linear="cg"|"gmres"|"bicgstab", ...).
+
+        The WHOLE Newton iteration is one jitted program (cached per
+        keyword set), with the operator's device arrays as jit arguments
+        — eager while_loop dispatch is unusable over a remote-device
+        runtime (docs/ROOFLINE.md platform rules)."""
         from tpufem.solvers.newton import newton_solve
 
         dp = self.device_args
         b = jnp.asarray(b, dp["mask"].dtype)
         if u0 is None:
             u0 = jnp.zeros_like(b)
-        u0 = distribute_with(dp, jnp.asarray(u0, b.dtype))
-        res = newton_solve(self.residual_with, (dp, b), u0,
-                           mask=dp["mask"], **newton_kw)
-        return res._replace(x=distribute_with(dp, res.x))
+        key = tuple(sorted(newton_kw.items()))
+        if key not in self._solve_cache:
+
+            def run(dp_, b_, u0_):
+                u0c = distribute_with(dp_, u0_)
+                res = newton_solve(self.residual_with, (dp_, b_), u0c,
+                                   mask=dp_["mask"], **newton_kw)
+                return res._replace(x=distribute_with(dp_, res.x))
+
+            self._solve_cache[key] = jax.jit(run)
+        return self._solve_cache[key](dp, b, jnp.asarray(u0, b.dtype))
 
 
 # ------------------------------------------------------------------

@@ -602,6 +602,34 @@ class GeneralDistributedOperator:
         y = self._compress_add(y, ghost_src)
         return m * y + (1.0 - m) * x
 
+    def _local_residual(self, u, b_partial, arrays):
+        """Consistent local u -> consistent masked NONLINEAR residual
+        m * Cᵀ(R(C u) - b), for Newton (quad_op may be nonlinear).
+
+        Differences from ``_local_vmult``: the iterate carries its
+        Dirichlet values (no ``m*x`` pre-mask — distribute acts on the
+        full u), and the RHS is subtracted as an OWNER-PARTIAL
+        (``owned_mask * b``) before Cᵀ/compress so shared and hanging
+        rows credit their masters exactly once globally.
+        """
+        (cell_dofs, inc, interior, ghost_src, con, met, coef) = arrays
+        uh = u
+        if con is not None:
+            cdofs, cmast, cw = con
+            uh = uh.at[cdofs].set(jnp.sum(cw * uh[cmast], axis=1))
+        v_loc = self._cell_apply(uh[cell_dofs], met, coef)
+        flat = jnp.concatenate(
+            [v_loc.reshape(-1), jnp.zeros((1,), v_loc.dtype)]
+        )
+        y = jnp.sum(flat[inc], axis=1) - b_partial
+        if con is not None:
+            cdofs, cmast, cw = con
+            yc = y[cdofs]
+            y = y.at[cdofs].set(0.0)
+            y = y.at[cmast.reshape(-1)].add((cw * yc[:, None]).reshape(-1))
+        y = self._compress_add(y, ghost_src)
+        return interior * y
+
     # ------------------------------------------------------------------
     def _args(self):
         return (
@@ -801,3 +829,78 @@ class GeneralDistributedOperator:
             b_local, diag_local, x0_local, th, dl, self._cell_dofs,
             self._inc, self._interior, self._owned, self._ghost_src,
             self._con, self._met, self._coef)
+
+    def newton_solve(self, b_global, u0_global=None, rtol: float = 1e-10,
+                     atol: float = 0.0, maxiter: int = 30,
+                     linear: str = "cg", linear_rtol=None,
+                     linear_maxiter: int = 2000):
+        """Distributed matrix-free Newton-Krylov (requires ``quad_op``,
+        which may be NONLINEAR in values/gradients).
+
+        The ENTIRE nonlinear solve is one jitted shard_map program: the
+        AD linearization (``jax.linearize`` through the per-shard cell
+        loop INCLUDING the ghost-exchange/compress collectives — the JVP
+        of a ppermute/all_to_all is the same collective), the inner
+        Krylov iteration with per-shard-dot + psum reductions, the
+        Eisenstat-Walker forcing and the backtracking line search.  All
+        Newton/Krylov scalars derive from psum'd dots, so every shard
+        takes the identical trajectory.  Dirichlet values ride in
+        ``u0_global``; hanging rows act as Krylov identity rows and are
+        refreshed by C on the returned solution.
+
+        Returns a global-numbering NewtonResult.
+        """
+        if self.quad_op is None:
+            raise ValueError("newton_solve requires quad_op")
+        import numpy as np
+
+        from tpufem.solvers.newton import NewtonResult
+        from tpufem.solvers.newton import newton_solve as _newton
+
+        p = self.part
+        spec = P(p.axis_name)
+        b_l = self.put_vector(np.asarray(b_global))
+        u0_l = (jnp.zeros_like(b_l) if u0_global is None
+                else self.put_vector(np.asarray(u0_global)))
+        key = ("newton", float(rtol), float(atol), int(maxiter), linear,
+               None if linear_rtol is None else float(linear_rtol),
+               int(linear_maxiter))
+        if key not in self._solvers:
+
+            def body(b, u0, cell_dofs, inc, interior, owned, ghost_src,
+                     con, met, coef):
+                arrays = self._unpack_shard(cell_dofs, inc, interior,
+                                            ghost_src, con, met, coef)
+                owned0 = owned[0]
+                b_partial = owned0 * b[0]
+
+                def residual(bp, u):
+                    return self._local_residual(u, bp, arrays)
+
+                u00 = u0[0]
+                lcon = arrays[4]
+                if lcon is not None:  # start hanging rows consistent
+                    cd, cm, cw = lcon
+                    u00 = u00.at[cd].set(jnp.sum(cw * u00[cm], axis=1))
+                res = _newton(
+                    residual, b_partial, u00, mask=arrays[2],
+                    rtol=rtol, atol=atol, maxiter=maxiter, linear=linear,
+                    linear_rtol=linear_rtol, linear_maxiter=linear_maxiter,
+                    dot=self._ddot(owned0),
+                )
+                x = res.x
+                if lcon is not None:
+                    cd, cm, cw = lcon
+                    x = x.at[cd].set(jnp.sum(cw * x[cm], axis=1))
+                return NewtonResult(x[None], res.iterations, res.residual,
+                                    res.converged, res.linear_iterations)
+
+            self._solvers[key] = jax.jit(jax.shard_map(
+                body,
+                mesh=self.mesh,
+                in_specs=(spec,) * 10,
+                out_specs=NewtonResult(spec, P(), P(), P(), P()),
+            ))
+        res = self._solvers[key](b_l, u0_l, *self._args())
+        x_global = p.to_global(np.asarray(res.x))
+        return res._replace(x=x_global)

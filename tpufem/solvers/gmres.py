@@ -85,10 +85,18 @@ def gmres_solve(
         V, R, cs, sn, g, j, k, res = t
         w = A(M_inv(V[j]))
         hp = jax.lax.Precision.HIGHEST
-        # CGS2: rows > j of V are zero, so h picks up exact zeros there
-        h1 = jnp.einsum("in,n->i", V, w, precision=hp)
+        # CGS2: rows > j of V are zero, so h picks up exact zeros there.
+        # The basis products go through the INJECTED dot (vmapped over
+        # rows): on one device XLA fuses this to the same matmul as an
+        # einsum; on the distributed path each row product is the
+        # owned-masked per-shard dot + psum — a raw einsum would silently
+        # compute per-shard PARTIAL inner products.
+        def basis_dot(wv):
+            return jax.vmap(lambda vi: dot(vi, wv))(V)
+
+        h1 = basis_dot(w)
         w = w - jnp.einsum("in,i->n", V, h1, precision=hp)
-        h2 = jnp.einsum("in,n->i", V, w, precision=hp)
+        h2 = basis_dot(w)
         w = w - jnp.einsum("in,i->n", V, h2, precision=hp)
         h = h1 + h2
         hnext = norm(w)
