@@ -104,3 +104,40 @@ def test_gmres_converged_initial_guess():
                       x0=jnp.asarray(x_ref), rtol=1e-8)
     assert bool(res.converged)
     assert int(res.iterations) == 0
+
+
+def test_gmres_singular_operator_null_space_rhs():
+    """Degenerate Arnoldi breakdown (ADVICE r4): b entirely in the null
+    space of a singular A hits hj ~ hnext ~ 0 at the first step.  The
+    rolled-back cycle must return the last FINITE iterate (here x0 = 0),
+    not a NaN vector from a ~0 pivot inside the least-squares mask."""
+    n = 12
+    d = np.ones(n)
+    d[-1] = 0.0
+    A0 = np.diag(d)
+    b = np.zeros(n)
+    b[-1] = 1.0
+    res = gmres_solve(lambda x: jnp.asarray(A0) @ x, jnp.asarray(b),
+                      rtol=1e-10, maxiter=50)
+    x = np.asarray(res.x)
+    assert np.all(np.isfinite(x))
+    assert not bool(res.converged)
+
+
+def test_gmres_singular_operator_consistent_part():
+    """Singular A, rhs with both a solvable and a null component: the
+    returned iterate is finite and solves the consistent part (residual
+    == the null-space component's norm, 1.0)."""
+    n = 12
+    d = np.ones(n)
+    d[-1] = 0.0
+    A0 = np.diag(d)
+    b = np.zeros(n)
+    b[0] = 1.0
+    b[-1] = 1.0
+    res = gmres_solve(lambda x: jnp.asarray(A0) @ x, jnp.asarray(b),
+                      rtol=1e-10, maxiter=50)
+    x = np.asarray(res.x)
+    assert np.all(np.isfinite(x))
+    assert abs(x[0] - 1.0) < 1e-8  # consistent part solved
+    assert abs(float(res.residual) - 1.0) < 1e-8

@@ -139,3 +139,41 @@ def test_quasilinear_with_hanging_nodes():
     assert np.allclose(x, ac.distribute(x.copy()), atol=1e-12)
     err = integrate_difference(dofs, x, u_exact_2d)
     assert err < 3e-4  # interpolation floor of this mesh is 2.05e-4
+
+
+def test_newton_line_search_stall_flag():
+    """ADVICE r4: when the backtracking line search exhausts ls_max
+    without sufficient decrease, the step must be REJECTED (iterate
+    unchanged) and the result flagged `stalled` — not silently accept a
+    residual-increasing step and cycle to maxiter.  F(u) = (u0^2+1, u1)
+    has no root; near the minimum of ||F|| the Newton direction is a
+    huge overshoot in the rootless component, so every trial increases
+    ||F||."""
+    from tpufem.solvers.newton import newton_solve
+
+    def residual(args, u):
+        return jnp.stack([u[0] ** 2 + 1.0, u[1]])
+
+    u0 = jnp.asarray([0.01, 0.5])
+    res = newton_solve(residual, None, u0, rtol=1e-10, maxiter=30,
+                       linear="gmres")
+    assert bool(res.stalled)
+    assert not bool(res.converged)
+    assert int(res.iterations) <= 2  # stopped at the stall, no cycling
+    assert np.all(np.isfinite(np.asarray(res.x)))
+
+
+def test_newton_eisenstat_walker_still_quadratic():
+    """EW choice-2 forcing: the quasilinear solve converges in the same
+    few Newton steps as tight inner solves (forcing never degrades the
+    outer convergence), with strictly fewer inner Krylov iterations."""
+    dofs, mf = build(2, 2, 3)
+    op = NonlinearOperator(mf, quasilinear_qop)
+    b = jnp.asarray(assemble_rhs(dofs, f_quasilinear_2d))
+    res_ew = op.solve(b, rtol=1e-11)  # linear_rtol=None -> EW
+    res_tight = op.solve(b, rtol=1e-11, linear_rtol=1e-13)
+    assert bool(res_ew.converged) and bool(res_tight.converged)
+    assert int(res_ew.iterations) <= int(res_tight.iterations) + 2
+    assert int(res_ew.linear_iterations) < int(res_tight.linear_iterations)
+    x1, x2 = np.asarray(res_ew.x), np.asarray(res_tight.x)
+    assert np.linalg.norm(x1 - x2) / np.linalg.norm(x2) < 1e-8

@@ -893,13 +893,14 @@ class GeneralDistributedOperator:
                     cd, cm, cw = lcon
                     x = x.at[cd].set(jnp.sum(cw * x[cm], axis=1))
                 return NewtonResult(x[None], res.iterations, res.residual,
-                                    res.converged, res.linear_iterations)
+                                    res.converged, res.linear_iterations,
+                                    res.stalled)
 
             self._solvers[key] = jax.jit(jax.shard_map(
                 body,
                 mesh=self.mesh,
                 in_specs=(spec,) * 10,
-                out_specs=NewtonResult(spec, P(), P(), P(), P()),
+                out_specs=NewtonResult(spec, P(), P(), P(), P(), P()),
             ))
         res = self._solvers[key](b_l, u0_l, *self._args())
         x_global = p.to_global(np.asarray(res.x))

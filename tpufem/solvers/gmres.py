@@ -82,7 +82,7 @@ def gmres_solve(
 
     def arnoldi_step(t):
         """One CGS2 Arnoldi step + Givens update on the new column."""
-        V, R, cs, sn, g, j, k, res = t
+        V, R, cs, sn, g, j, k, res, _ = t
         w = A(M_inv(V[j]))
         hp = jax.lax.Precision.HIGHEST
         # CGS2: rows > j of V are zero, so h picks up exact zeros there.
@@ -100,7 +100,16 @@ def gmres_solve(
         w = w - jnp.einsum("in,i->n", V, h2, precision=hp)
         h = h1 + h2
         hnext = norm(w)
-        V = V.at[j + 1].set(w / jnp.maximum(hnext, eps))
+        # breakdown threshold is RELATIVE to the column scale ||A M^-1 v_j||
+        # (rotations preserve it): rounding leaves ~eps*scale, never ~tiny
+        scale = jnp.sqrt(jnp.sum(h * h) + hnext * hnext)
+        bk = jnp.finfo(dtype).eps * scale
+        # hnext ~ 0 (happy or degenerate breakdown): w/hnext is a noise
+        # direction that can overflow and poison the later 0*V einsum
+        # rows with NaN — store a zero row instead (the row is outside
+        # the live mask either way)
+        V = V.at[j + 1].set(jnp.where(hnext > bk,
+                                      w / jnp.maximum(hnext, eps), 0.0))
 
         # rotate the new column by the accumulated Givens rotations
         def rot(i, hc):
@@ -113,15 +122,24 @@ def gmres_solve(
         h = jax.lax.fori_loop(0, m, rot, h)
         hj = h[j]
         denom = jnp.sqrt(hj * hj + hnext * hnext)
-        c = jnp.where(denom > eps, hj / jnp.maximum(denom, eps), 1.0)
-        s = jnp.where(denom > eps, hnext / jnp.maximum(denom, eps), 0.0)
-        cs = cs.at[j].set(c)
-        sn = sn.at[j].set(s)
+        # degenerate column (hj ~ hnext ~ 0, e.g. the Krylov space hit
+        # the operator's null space): committing it would leave a ~0
+        # pivot inside the least-squares live mask and NaN the cycle's
+        # iterate — instead ROLL the step BACK (j unchanged, so row j
+        # stays outside `live`) and stop this cycle; the outer loop then
+        # returns the last well-defined iterate
+        degen = denom <= bk
+        c = jnp.where(degen, 1.0, hj / jnp.maximum(denom, eps))
+        s = jnp.where(degen, 0.0, hnext / jnp.maximum(denom, eps))
+        cs = jnp.where(degen, cs, cs.at[j].set(c))
+        sn = jnp.where(degen, sn, sn.at[j].set(s))
         h = h.at[j].set(denom)
-        R = R.at[:, j].set(h[:m])
-        res_new = jnp.abs(-s * g[j])
-        g = g.at[j + 1].set(-s * g[j]).at[j].set(c * g[j])
-        return (V, R, cs, sn, g, j + 1, k + 1, res_new)
+        R = jnp.where(degen, R, R.at[:, j].set(h[:m]))
+        res_new = jnp.where(degen, res, jnp.abs(-s * g[j]))
+        g = jnp.where(degen, g,
+                      g.at[j + 1].set(-s * g[j]).at[j].set(c * g[j]))
+        j = jnp.where(degen, j, j + 1)
+        return (V, R, cs, sn, g, j, k + 1, res_new, degen)
 
     def cycle(x, k):
         """One restart cycle: Arnoldi to m (or convergence), then the
@@ -136,13 +154,15 @@ def gmres_solve(
         g = jnp.zeros((m + 1,), dtype).at[0].set(beta)
 
         def icond(t):
-            j, k_, res = t[5], t[6], t[7]
+            j, k_, res, stop = t[5], t[6], t[7], t[8]
             ok = jnp.logical_and(j < m, k_ < maxiter)
             ok = jnp.logical_and(ok, res > tol)
+            ok = jnp.logical_and(ok, ~stop)
             return jnp.logical_and(ok, jnp.isfinite(res))
 
-        t0 = (V, R, cs, sn, g, jnp.int32(0), k, beta)
-        V, R, cs, sn, g, j, k, _ = jax.lax.while_loop(icond, arnoldi_step, t0)
+        t0 = (V, R, cs, sn, g, jnp.int32(0), k, beta, jnp.asarray(False))
+        V, R, cs, sn, g, j, k, _, _ = jax.lax.while_loop(
+            icond, arnoldi_step, t0)
 
         # masked m x m triangular solve: rows >= j become identity/0 rhs
         idx = jnp.arange(m)

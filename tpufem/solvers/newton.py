@@ -36,6 +36,7 @@ class NewtonResult(NamedTuple):
     residual: jnp.ndarray  # final ||F(x)||
     converged: jnp.ndarray  # bool: residual <= tol
     linear_iterations: jnp.ndarray  # int32: total inner Krylov steps
+    stalled: jnp.ndarray  # bool: line search found no decreasing step
 
 
 def newton_solve(
@@ -66,12 +67,19 @@ def newton_solve(
 
     ``linear``: "cg" (symmetric Jacobians — gradient-form nonlinearities),
     "gmres", or "bicgstab".  ``linear_rtol=None`` enables Eisenstat-Walker
-    forcing (eta_k = clip(sqrt(||F_k||/||F_0||), 1e-12, 1e-2)): loose early
-    solves, tight near the root — preserves quadratic convergence without
-    over-solving the first steps.
+    choice-2 forcing: eta_k = gamma (||F_k||/||F_{k-1}||)^2 with gamma=0.9,
+    safeguarded by eta_k >= gamma eta_{k-1}^2 whenever that is > 0.1 (so a
+    slow step cannot be followed by a spuriously tight solve) and by
+    eta_k >= 0.5 tol/||F_k|| (no over-solving past the outer tolerance),
+    clipped to [1e-12, 0.1] — loose early solves, quadratically tightening
+    near the root.
 
     Globalization: backtracking (halving) line search with an Armijo-style
-    sufficient-decrease test on ||F||; each trial costs one residual apply.
+    sufficient-decrease test on ||F||; each trial costs one residual apply
+    and the accepted trial's residual vector is carried (no re-evaluation).
+    If ``ls_max`` halvings find no decreasing step the step is REJECTED
+    (alpha = 0), the iteration stops, and ``stalled`` is set in the result
+    so callers can distinguish line-search failure from slow convergence.
     """
     u0 = jnp.asarray(u0)
     dtype = u0.dtype
@@ -90,9 +98,10 @@ def newton_solve(
     f0, f0n = fnorm_of(u0)
     tol = jnp.maximum(rtol * f0n, atol)
     small = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    ew_gamma, ew_max = 0.9, 0.1
 
     def body(s):
-        u, f, fn, k, lin_total = s
+        u, f, fn, fn_prev, eta_prev, k, lin_total, _ = s
         # exact Gateaux derivative of the discrete residual, by AD
         _, jvp = jax.linearize(lambda v: residual(args, v), u)
 
@@ -100,44 +109,62 @@ def newton_solve(
             return mask * jvp(v) + (1.0 - mask) * v
 
         if linear_rtol is None:
-            eta = jnp.clip(jnp.sqrt(fn / jnp.maximum(f0n, small)),
-                           1e-12, 1e-2)
+            # Eisenstat-Walker choice 2 (see docstring)
+            eta = ew_gamma * (fn / jnp.maximum(fn_prev, small)) ** 2
+            safe = ew_gamma * eta_prev**2
+            eta = jnp.where(safe > ew_max, jnp.maximum(eta, safe), eta)
+            eta = jnp.maximum(eta, 0.5 * tol / jnp.maximum(fn, small))
+            eta = jnp.clip(eta, 1e-12, ew_max)
         else:
-            eta = linear_rtol
+            eta = jnp.asarray(linear_rtol, dtype)
         res = lin_solve(J, -f, rtol=eta, maxiter=linear_maxiter, dot=dot)
         delta = res.x
         lin_total = lin_total + res.iterations
 
-        # backtracking line search on ||F||
+        # backtracking line search on ||F||; the trial's residual VECTOR
+        # is carried so the accepted step needs no re-evaluation
         def trial(alpha):
-            _, t = fnorm_of(u + alpha * delta)
-            return t
+            return fnorm_of(u + alpha * delta)
 
         one = jnp.ones((), dtype)
 
+        def decrease_ok(alpha, fn_t):
+            return jnp.logical_and(jnp.isfinite(fn_t),
+                                   fn_t <= (1.0 - 1e-4 * alpha) * fn)
+
         def ls_cond(t):
-            alpha, fn_t, j = t
-            need = fn_t > (1.0 - 1e-4 * alpha) * fn
-            need = jnp.logical_or(need, ~jnp.isfinite(fn_t))
-            return jnp.logical_and(need, j < ls_max)
+            alpha, _, fn_t, j = t
+            return jnp.logical_and(~decrease_ok(alpha, fn_t), j < ls_max)
 
         def ls_body(t):
-            alpha, _, j = t
+            alpha, _, _, j = t
             alpha = 0.5 * alpha
-            return (alpha, trial(alpha), j + 1)
+            f_t, fn_t = trial(alpha)
+            return (alpha, f_t, fn_t, j + 1)
 
-        alpha, fn_new, _ = jax.lax.while_loop(
-            ls_cond, ls_body, (one, trial(one), jnp.int32(0))
+        f1, fn1 = trial(one)
+        alpha, f_t, fn_t, _ = jax.lax.while_loop(
+            ls_cond, ls_body, (one, f1, fn1, jnp.int32(0))
         )
-        u = u + alpha * delta
-        f_new = residual(args, u)
-        return (u, f_new, fn_new, k + 1, lin_total)
+        # exhausted without sufficient decrease -> reject the step
+        # (alpha = 0) and flag the stall; accepting a residual-increasing
+        # step would let the iteration cycle without progress
+        ok = decrease_ok(alpha, fn_t)
+        u_new = jnp.where(ok, u + alpha * delta, u)
+        f_new = jnp.where(ok, f_t, f)
+        fn_new = jnp.where(ok, fn_t, fn)
+        return (u_new, f_new, fn_new, fn, eta, k + 1, lin_total, ~ok)
 
     def cond(s):
-        fn, k = s[2], s[3]
+        fn, k, stalled = s[2], s[5], s[7]
         ok = jnp.logical_and(fn > tol, k < maxiter)
-        return jnp.logical_and(ok, jnp.isfinite(fn))
+        ok = jnp.logical_and(ok, jnp.isfinite(fn))
+        return jnp.logical_and(ok, ~stalled)
 
-    s0 = (u0, f0, f0n, jnp.int32(0), jnp.int32(0))
-    u, _, fn, k, lin_total = jax.lax.while_loop(cond, body, s0)
-    return NewtonResult(u, k, fn, fn <= tol, lin_total)
+    # eta_prev starts at ew_max so the first step's forcing is exactly
+    # the cap (fn == fn_prev == ||F_0|| -> ratio 1 -> clipped to 0.1)
+    s0 = (u0, f0, f0n, f0n, jnp.asarray(ew_max, dtype), jnp.int32(0),
+          jnp.int32(0), jnp.asarray(False))
+    u, _, fn, _, _, k, lin_total, stalled = jax.lax.while_loop(
+        cond, body, s0)
+    return NewtonResult(u, k, fn, fn <= tol, lin_total, stalled)
