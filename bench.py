@@ -49,7 +49,13 @@ import sys
 import threading
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
+# the env var is ignored on this machine (see tpufem/utils/cache.py) but
+# set it anyway for subprocess sections; the config API call below is the
+# one that takes.  The default cache dir lives INSIDE the repo so it
+# survives the driver's fresh bench container (VERDICT r4 item 1a).
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
 BASELINE_GDOFS = 1.0  # V100-class anchor, BASELINE.md (approximate)
 # Roofline anchors for the headline roofline_pct field (docs/ROOFLINE.md,
