@@ -134,3 +134,32 @@ def test_nonlinear_cli_minimal_surface_gmres():
     assert r.returncode == 0, r.stderr[-500:]
     rec = json.loads(r.stdout.strip().splitlines()[-1])
     assert rec["converged"]
+
+
+def test_elasticity_cli_gmg():
+    """step-8 analogue: GMG-preconditioned elasticity solve, few
+    iterations, manufactured L2 error at the discretization level."""
+    r = run(["tpufem.apps.elasticity", "--cpu", "--dim", "2", "--degree",
+             "2", "--refine", "3", "--precond", "gmg", "--json"])
+    assert r.returncode == 0, r.stderr[-500:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["converged"] and rec["iterations"] <= 15
+    assert rec["l2_error"] < 5e-4
+    assert rec["n_components"] == 2
+
+
+def test_elasticity_cli_distributed():
+    """--shards 8: the distributed vector operator through the CLI."""
+    import os
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
+    r = subprocess.run(
+        [sys.executable, "-m", "tpufem.apps.elasticity", "--cpu", "--dim",
+         "2", "--degree", "2", "--refine", "3", "--shards", "8", "--json"],
+        capture_output=True, text=True, timeout=240, env=env)
+    assert r.returncode == 0, r.stderr[-500:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["converged"]
+    assert rec["l2_error"] < 5e-4
+    assert "distributed" in rec["precond"]

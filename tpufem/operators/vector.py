@@ -212,15 +212,10 @@ class VectorOperator:
         return m[None] * diag + (1.0 - m[None])
 
 
-def elasticity_operator(mf: MatrixFree, mu=1.0, lam=1.0) -> VectorOperator:
-    """Linear elasticity a(u,v) = int 2 mu eps(u):eps(v)
-    + lam (div u)(div v) dx — the deal.II step-8 form, as a
-    component-coupling quadrature functor: submit_grad[c] = sigma(u)[c,:]
-    with sigma = 2 mu eps + lam tr(grad u) I.
-
-    SPD for mu > 0, lam >= 0 under Dirichlet constraints — solve with
-    ``cg_solve(op.vmult_flat, ...)``."""
-    dim = mf.config.dim
+def elasticity_qop(dim: int, mu=1.0, lam=1.0) -> Callable:
+    """The step-8 stress functor, reusable by the single-device
+    ``VectorOperator`` and the distributed vector operator alike:
+    submit_grad[c] = sigma(u)[c,:] with sigma = 2 mu eps + lam tr I."""
 
     def qop(vals, grads, ctx):
         # grads: (C=dim, nc, dim, nq); eps[c,:,a,:] = (d_a u_c + d_c u_a)/2
@@ -230,5 +225,17 @@ def elasticity_operator(mf: MatrixFree, mu=1.0, lam=1.0) -> VectorOperator:
         sg = 2.0 * mu * eps + lam * tr[None, :, None, :] * eye
         return None, sg
 
-    return VectorOperator(mf, qop, n_components=dim,
+    return qop
+
+
+def elasticity_operator(mf: MatrixFree, mu=1.0, lam=1.0) -> VectorOperator:
+    """Linear elasticity a(u,v) = int 2 mu eps(u):eps(v)
+    + lam (div u)(div v) dx — the deal.II step-8 form, as a
+    component-coupling quadrature functor (``elasticity_qop``).
+
+    SPD for mu > 0, lam >= 0 under Dirichlet constraints — solve with
+    ``cg_solve(op.vmult_flat, ...)``."""
+    dim = mf.config.dim
+    return VectorOperator(mf, elasticity_qop(dim, mu, lam),
+                          n_components=dim,
                           needs_values=False, needs_gradients=True)

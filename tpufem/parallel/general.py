@@ -434,6 +434,14 @@ class GeneralDistributedOperator:
         self._vmult = None  # built lazily (jit cache)
         self._solvers: dict = {}  # jitted CG programs per (rtol, ...)
 
+    # hooks the vector-valued subclass overrides (component axis)
+    @property
+    def _global_shape(self):
+        return (self.part.n_dofs,)
+
+    def _to_global(self, arr):
+        return self.part.to_global(arr)
+
     def exchange_traffic(self) -> dict:
         """Elements shipped per shard per ghost update, from the PLAN
         arrays (what the lowered collectives actually move):
@@ -708,7 +716,7 @@ class GeneralDistributedOperator:
         p = self.part
         spec = P(p.axis_name)
         rng = np.random.default_rng(0)
-        v0 = self.put_vector(rng.standard_normal(p.n_dofs))
+        v0 = self.put_vector(rng.standard_normal(self._global_shape))
         d_l = self.put_vector(np.asarray(diag_global))
 
         def body(v, diag, cell_dofs, inc, interior, owned, ghost_src,
@@ -761,7 +769,7 @@ class GeneralDistributedOperator:
                                   cheb_degree=cheb_degree,
                                   cheb_params=cheb_params,
                                   diag_global=diag_global)
-        x_global = p.to_global(np.asarray(res.x))
+        x_global = self._to_global(np.asarray(res.x))
         return x_global, int(res.iterations), float(res.residual)
 
     def cg_solve_local(self, b_local, diag_local, x0_local=None,
