@@ -112,8 +112,9 @@ from tpufem.utils.cache import enable_persistent_cache
 
 # the JAX_COMPILATION_CACHE_DIR env var is ignored on this machine; the
 # config API works (measured) — without this every driver bench run is
-# cache-cold
-enable_persistent_cache()
+# cache-cold.  Per-platform subdir: CPU smoke runs must not inflate the
+# TPU warm/cold probe.
+enable_persistent_cache(platform="cpu" if _want_cpu else "tpu")
 
 if _want_cpu:
     # the axon TPU plugin ignores JAX_PLATFORMS; this always works
@@ -234,7 +235,10 @@ def chain_rate(apply_fn, x, n_dofs, n_chain=N_CHAIN, n_calls=2,
     return med, vals, compile_s
 
 
-def apply_line(metric, gdofs, tier, n_dofs, extra=None):
+def apply_line(metric, gdofs, tier, n_dofs, extra=None, headline=True):
+    """headline=True marks a 3D Q4 Laplace apply tier eligible for the
+    re-printed headline line; adaptive/curved/2D/vector lines pass False
+    so a fast side-metric can never masquerade as the headline."""
     rec = {"metric": metric, "value": round(gdofs, 4), "unit": "GDoF/s",
            "vs_baseline": round(gdofs / BASELINE_GDOFS, 4), "tier": tier,
            "n_dofs": n_dofs,
@@ -243,7 +247,7 @@ def apply_line(metric, gdofs, tier, n_dofs, extra=None):
         rec["suspect"] = "above HBM roofline — timing artifact"
     if extra:
         rec.update(extra)
-    if "suspect" not in rec and (
+    if headline and "suspect" not in rec and (
             _BEST["rec"] is None or gdofs > _BEST["rec"]["value"]):
         best = dict(rec)
         best["metric"] = "3d_q4_laplace_matrix_free_apply"
@@ -365,7 +369,40 @@ def main():
     on_tpu = jax.devices()[0].platform not in ("cpu",)
     start_d2h_warmup()  # overlap the 25-300s first-fetch with compiles
 
-    # overlap the adaptive sections' ~15 s host build (mesh / DoFs /
+    # ---- cold-start ladder (VERDICT r4 item 1) -------------------------
+    # A cold compile cache is catastrophic on this platform: ONE 17M-DoF
+    # chain compile was measured to block the (exclusive) TPU tunnel for
+    # >20 minutes, and BENCH_r04 recorded 1 of 14 metrics because of it.
+    # Probe the persistent cache (which lives in the repo and is primed
+    # by builder sessions); when cold, run EVERY section at small scale
+    # first — a complete small table beats one big number — then attempt
+    # the 17M headline only with leftover budget.
+    from tpufem.utils.cache import DEFAULT_DIR as _CACHE_DIR
+
+    _cache_sub = os.path.join(_CACHE_DIR, "cpu" if not on_tpu else "tpu")
+    try:
+        n_cache = len(os.listdir(_cache_sub))
+    except OSError:
+        n_cache = 0
+    warm = n_cache >= 40
+    emit({"metric": "cache_state", "value": float(n_cache),
+          "unit": "entries", "vs_baseline": 0.0, "warm": warm,
+          "dir": _cache_sub})
+
+    refine = int(os.environ.get("TPUFEM_BENCH_REFINE", "0"))
+    if refine == 0:
+        refine = 3 if not on_tpu else (6 if warm else 4)
+    big = on_tpu and refine >= 6  # full-scale sizes for the side sections
+    # (adaptive p/refine, varcoef refine, curved refine, heat refine)
+    ap_, ar_ = (4, 4) if big else ((4, 2) if on_tpu else (2, 2))
+    # varcoef at 17M: the "~200 s host metric build" that pinned this to
+    # refine 5 in round 4 measures 7.2 s this round (re-verified in the
+    # round-5 builder session) — the line runs at flagship scale now
+    vr_ = 6 if big else (3 if on_tpu else 2)
+    cr_ = 5 if big else (3 if on_tpu else 1)
+    hr_ = refine if big else (4 if on_tpu else 2)
+
+    # overlap the adaptive sections' host build (mesh / DoFs /
     # constraints / box operator — numpy + small H2D puts) with the
     # first-fetch wait and the headline compiles: on a bad first-fetch
     # draw the main thread sits blocked in d2h with the CPU idle
@@ -376,14 +413,12 @@ def main():
     def _prefetch_adaptive():
         try:
             adaptive_box["pre"] = bmop.build_adaptive_op(
-                3, 4 if on_tpu else 2, 4 if on_tpu else 2, 2, "float32")
+                3, ap_, ar_, 2, "float32")
         except Exception as e:  # surfaced by the section that needs it
             adaptive_box["err"] = e
 
     pre_thread = threading.Thread(target=_prefetch_adaptive, daemon=True)
     pre_thread.start()
-    refine = int(os.environ.get("TPUFEM_BENCH_REFINE",
-                                "6" if on_tpu else "3"))
     dtype = "float32"
     n_dofs = ((1 << refine) * 4 + 1) ** 3
     reps_note = {"protocol": f"in-jit chain of {N_CHAIN} applies, "
@@ -456,7 +491,7 @@ def main():
                 raise TimeoutError("adaptive host-build prefetch did "
                                    "not finish within the budget")
             rec = bmop.bench_adaptive(
-                3, 4 if on_tpu else 2, 4 if on_tpu else 2, 2, dtype,
+                3, ap_, ar_, 2, dtype,
                 reps=N_CHAIN if on_tpu else 2, prebuilt=adaptive_pre,
                 bf16_tier=left() > 150)
             apply_line("3d_adaptive_hanging_nodes_apply",
@@ -465,7 +500,8 @@ def main():
                               "degree": rec["degree"],
                               "patch_overhead": rec["patch_overhead"],
                               "tiers_gdofs": rec["tiers_gdofs"],
-                              "bf16_rel_err": rec.get("bf16_rel_err")})
+                              "bf16_rel_err": rec.get("bf16_rel_err")},
+                       headline=False)
         except Exception as e:
             err_line("3d_adaptive_hanging_nodes_apply", e)
     else:
@@ -500,7 +536,7 @@ def main():
         try:
             want16 = left() > 240
             rec = bmop.bench_adaptive_solve(
-                3, 4 if on_tpu else 2, 4 if on_tpu else 2, 2, dtype,
+                3, ap_, ar_, 2, dtype,
                 prebuilt=adaptive_pre, bf16_cycle=want16,
                 emit_cb=_emit_adaptive_f32)
             if not f32_emitted[0]:
@@ -537,13 +573,13 @@ def main():
     # (3.6 f32 / 7.1 bf16s / 8.8 measured) live in docs/ROOFLINE.md
     if left() > 110:
         try:
-            rec = bmop.bench_varcoef(3, 4 if on_tpu else 2,
-                                     5 if on_tpu else 2, dtype,
+            rec = bmop.bench_varcoef(3, 4 if on_tpu else 2, vr_, dtype,
                                      reps=N_CHAIN if on_tpu else 2)
             apply_line("3d_q4_variable_coef_apply", rec["gdofs_per_s"],
                        rec["scheme"], rec["n_dofs"],
                        extra={"coefficient": rec["coefficient"],
-                              "tiers_gdofs": rec["tiers_gdofs"]})
+                              "tiers_gdofs": rec["tiers_gdofs"]},
+                       headline=False)
         except Exception as e:
             err_line("3d_q4_variable_coef_apply", e)
     else:
@@ -554,13 +590,13 @@ def main():
     # setup so a bad first-fetch draw cannot starve them)
     if left() > 55:
         try:
-            rec = bmop.bench_curved(3, 4 if on_tpu else 2,
-                                    5 if on_tpu else 1, dtype,
+            rec = bmop.bench_curved(3, 4 if on_tpu else 2, cr_, dtype,
                                     reps=N_CHAIN if on_tpu else 2)
             apply_line("3d_shell_curved_apply", rec["gdofs_per_s"],
                        rec["scheme"], rec["n_dofs"],
                        extra={"degree": rec["degree"],
-                              "tiers_gdofs": rec["tiers_gdofs"]})
+                              "tiers_gdofs": rec["tiers_gdofs"]},
+                       headline=False)
         except Exception as e:
             err_line("3d_shell_curved_apply", e)
     else:
@@ -577,7 +613,7 @@ def main():
             if left() < 90:
                 sweep_err[str(p_)] = "budget"
                 continue
-            r_ = 6 if p_ <= 4 else 5
+            r_ = (6 if p_ <= 4 else 5) if big else 3
             try:
                 rec = bmop.bench_resident(p_, r_, dtype, N_CHAIN,
                                           mode="bf16s")
@@ -585,27 +621,33 @@ def main():
                                   "refine": r_, "n_dofs": rec["n_dofs"]}
             except Exception as e:
                 sweep_err[str(p_)] = f"{type(e).__name__}: {e}"[:120]
-        sweep2d = None
-        if left() > 60:
-            try:
-                # refine 10 (npts 4097, 16.8M DoFs — flagship scale):
-                # the block-tridiagonal x path keeps the operator O(p)
-                # in VMEM, lifting the dense path's npts ~ 600 bound
-                rec = bmop.bench_resident(4, 10, dtype, N_CHAIN,
-                                          mode="bf16s", dim=2)
-                sweep2d = {"gdofs": round(rec["gdofs_per_s"], 3),
-                           "refine": 10, "n_dofs": rec["n_dofs"]}
-            except Exception as e:
-                sweep_err["2d_p4"] = f"{type(e).__name__}: {e}"[:120]
         val = sweep.get("4", {}).get("gdofs", 0.0)
         emit({"metric": "resident_degree_sweep", "value": val,
               "unit": "GDoF/s", "vs_baseline": val,
               "note": "value = 3D p=4; full per-degree table attached",
-              "mode": "bf16s", "sweep_3d": sweep, "sweep_2d": sweep2d,
+              "mode": "bf16s", "sweep_3d": sweep,
               "errors": sweep_err,
               "elapsed_s": round(time.perf_counter() - T0, 1)})
     elif on_tpu:
         skip("resident_degree_sweep", "budget")
+
+    # ---- 7c. 2D p=4 resident apply, its own recorded line (VERDICT r4
+    # item 7: BASELINE's "2D & 3D" parity language deserves a 2D rate on
+    # the record).  refine 10 = npts 4097, 16.8M DoFs — flagship scale;
+    # the block-tridiagonal x sweep keeps the operator O(p) in VMEM.
+    if on_tpu and left() > 90:
+        try:
+            r2 = 10 if big else 7
+            rec = bmop.bench_resident(4, r2, dtype, N_CHAIN,
+                                      mode="bf16s", dim=2)
+            apply_line("apply_2d_resident", rec["gdofs_per_s"],
+                       "resident-bf16s+pallas (2D)", rec["n_dofs"],
+                       extra={"degree": 4, "refine": r2},
+                       headline=False)
+        except Exception as e:
+            err_line("apply_2d_resident", e)
+    elif on_tpu:
+        skip("apply_2d_resident", "budget")
 
     # ---- 6b. implicit heat stepping on the tensor-product fast tier ---
     # (the mass/Helmholtz family at flagship rates: each implicit-Euler
@@ -613,8 +655,7 @@ def main():
     # through the 4-term ResidentTerms kernel — operators/tensor_product)
     if left() > 100:
         try:
-            rec = bench_heat(refine if on_tpu else 2, dtype,
-                             nsteps=5 if on_tpu else 2)
+            rec = bench_heat(hr_, dtype, nsteps=5 if on_tpu else 2)
             emit({"metric": "3d_heat_implicit_step",
                   "value": round(rec["steps_per_s"], 3),
                   "unit": "steps/s",
@@ -630,6 +671,68 @@ def main():
             err_line("3d_heat_implicit_step", e, unit="steps/s")
     else:
         skip("3d_heat_implicit_step", "budget")
+
+    # ---- 6c. nonlinear Newton-Krylov whole solve (VERDICT r4 item 2b:
+    # the round-4 solver family on the driver-visible record).  The 3D
+    # quasilinear problem through NonlinearOperator: AD Jacobian, EW
+    # forcing, line search — one jitted program (apps/nonlinear.py).
+    if left() > 150:
+        try:
+            from tpufem.apps.nonlinear import run_nonlinear
+
+            nr_ = 6 if big else (4 if on_tpu else 2)
+            out, _ = run_nonlinear(dim=3, degree=2, refine=nr_,
+                                   problem="quasilinear", linear="cg",
+                                   rtol=1e-6, dtype=dtype)
+            emit({"metric": "3d_nonlinear_newton_solve",
+                  "value": round(out["solve_s"], 4), "unit": "s",
+                  "vs_baseline": round(out["solve_s"], 4),
+                  "newton_iterations": out["newton_iterations"],
+                  "linear_iterations": out["linear_iterations"],
+                  "converged": out["converged"],
+                  "residual": out["residual"],
+                  "l2_error": out.get("l2_error"),
+                  "n_dofs": out["n_dofs"], "rtol": 1e-6,
+                  "setup_s": round(out["setup_s"], 1),
+                  "elapsed_s": round(time.perf_counter() - T0, 1)})
+        except Exception as e:
+            err_line("3d_nonlinear_newton_solve", e, unit="s")
+    else:
+        skip("3d_nonlinear_newton_solve", "budget")
+
+    # ---- 6d. vector-valued elasticity apply (VERDICT r4 items 2b/3) ---
+    if left() > 90:
+        try:
+            from tpufem.fem.dof_handler import DoFHandler
+            from tpufem.fem.mesh import Mesh
+            from tpufem.operators.vector import elasticity_operator
+            from tpufem.ops.matrix_free import MatrixFree
+            from tpufem.utils.config import FemConfig
+
+            er_ = 6 if big else (4 if on_tpu else 2)
+            mesh_e = Mesh.hyper_cube(3, er_)
+            dofs_e = DoFHandler(mesh_e, 2)
+            mf_e = MatrixFree.build(
+                mesh_e, dofs_e,
+                FemConfig(3, 2, dtype=dtype, scatter="incidence"))
+            op_e = elasticity_operator(mf_e, mu=0.8, lam=1.7)
+            xe = jnp.ones((3, dofs_e.n_dofs), jnp.dtype(dtype))
+            dpe = op_e.device_args
+            gd, vals_e, comp_s = chain_rate(
+                lambda v: op_e.vmult_raw_with(dpe, v), xe,
+                3 * dofs_e.n_dofs)
+            apply_line("3d_elasticity_apply", gd, "vector-incidence",
+                       3 * dofs_e.n_dofs,
+                       extra={"degree": 2, "n_components": 3,
+                              "values": vals_e,
+                              "compile_s": round(comp_s, 1)},
+                       headline=False)
+            del op_e, mf_e, xe, dpe
+            gc.collect()
+        except Exception as e:
+            err_line("3d_elasticity_apply", e)
+    else:
+        skip("3d_elasticity_apply", "budget")
 
     # ---- 2. separable apply + whole-solve benchmarks -------------------
     # (solves FIRST among the non-headline sections: they are a BASELINE
@@ -854,8 +957,52 @@ def main():
             tier_errors[name] = f"{type(e).__name__}: {e}"[:300]
             err_line(f"apply_{name}", e)
 
+    # ---- cold-ladder upgrade: with the complete small table recorded,
+    # attempt the flagship 17M headline on the remaining budget.  The
+    # watchdog re-prints the best completed line and exits 0 if this
+    # compile overruns the deadline (measured: a cold 17M chain compile
+    # can block the exclusive TPU tunnel for >20 min).
+    # Progressive: refine 5 (2.1M) first — its compile was seconds-class
+    # at refine 4 and the cost grows with the kernel's npts; attempt the
+    # 17M shape only if the 2.1M compile stayed cheap AND ample budget
+    # remains (a cold 17M chain compile measured >20 min).
+    if on_tpu and not warm and refine < 5:
+        for r_up, need in ((5, 200), (6, 420)):
+            if left() < need:
+                break
+            try:
+                rk, nd = _resident_kernel(r_up, "bf16s", dtype)
+                xr = rk.pad(jnp.ones(nd, jnp.dtype(dtype)))
+                gd, vals, comp_s = chain_rate(rk.raw, xr, nd, n_repeats=3)
+                tiers[f"resident-bf16s+pallas@r{r_up}"] = round(gd, 4)
+                apply_line(
+                    "3d_q4_laplace_matrix_free_apply", gd,
+                    "resident-bf16s+pallas", nd,
+                    extra={**reps_note, "partial": True, "values": vals,
+                           "scale": f"refine-{r_up} upgrade after cold "
+                                    "ladder",
+                           "roofline_pct": {
+                               "vs_copy_floor": round(
+                                   100 * gd / COPY_FLOOR_GDOFS["bf16s"],
+                                   1),
+                               "vs_mxu_bound": round(
+                                   100 * gd / MXU_BOUND_GDOFS, 1)},
+                           "compile_s": round(comp_s, 1)})
+                del rk, xr
+                gc.collect()
+                if comp_s > 90:  # the next shape up will only be worse
+                    break
+            except Exception as e:
+                tier_errors[f"upgrade-r{r_up}"] = (
+                    f"{type(e).__name__}: {e}"[:300])
+                err_line(f"apply_resident-bf16s@r{r_up}", e)
+                break
+
     # ---- headline line LAST (driver parses the last line) --------------
-    if not tiers:
+    # Re-emit the best headline-eligible record VERBATIM (it carries the
+    # pinned protocol: values[], roofline_pct, compile_s — VERDICT r4
+    # item 1c) plus the tier table.
+    if _BEST["rec"] is None:
         emit({"metric": "3d_q4_laplace_matrix_free_apply", "value": 0.0,
               "unit": "GDoF/s", "vs_baseline": 0.0,
               "error": ("no apply tier completed (budget/skips)"
@@ -863,11 +1010,13 @@ def main():
                         f"all apply tiers failed: {tier_errors}"[:300]),
               "elapsed_s": round(time.perf_counter() - T0, 1)})
         sys.exit(0 if not tier_errors else 1)
-    best_tier = max(tiers, key=tiers.get)
-    apply_line("3d_q4_laplace_matrix_free_apply", tiers[best_tier],
-               best_tier, n_dofs,
-               extra={**reps_note, "tiers": tiers,
-                      "tier_errors": tier_errors})
+    rec = dict(_BEST["rec"])
+    rec.update(reps_note)
+    rec["tiers"] = tiers
+    rec["tier_errors"] = tier_errors
+    rec["cache_entries_at_start"] = n_cache
+    rec["elapsed_s"] = round(time.perf_counter() - T0, 1)
+    emit(rec)
 
 
 def resident_jacobi():

@@ -345,3 +345,45 @@ def test_distributed_newton_gmres_minimal_surface():
     assert np.array_equal(xd[bd], u0[bd])
     xr = np.asarray(ref.x)
     assert np.linalg.norm(xd - xr) <= 1e-8 * max(np.linalg.norm(xr), 1.0)
+
+
+def test_distributed_mapping_q_perturbed_adaptive():
+    """MappingQ x distributed composition (VERDICT r4 item 8): a
+    perturbed-support-point ADAPTIVE mesh (discrete polynomial geometry,
+    general per-qpoint metric) through GeneralDistributedOperator — CG
+    iteration count equality + 1e-9 solution parity vs single-device.
+    The metric arrays ride _args() like any other general metric."""
+
+    def perturb(pts):
+        bump = 0.04 * np.prod(np.sin(np.pi * pts), axis=1)
+        out = pts.copy()
+        for a in range(pts.shape[1]):
+            out[:, a] = pts[:, a] + bump * (1.0 + 0.3 * a)
+        return out
+
+    mesh = Mesh.hyper_cube(2, 3)
+    centers = (mesh.origins + mesh.sizes[:, None] * 0.5) / mesh.U
+    mesh = mesh.refine(np.linalg.norm(centers - 0.3, axis=1) < 0.4)
+    mesh = mesh.set_mapping_q(2, perturb=perturb)
+    dofs = DoFHandler(mesh, 2)
+    ac = make_hanging_node_constraints(dofs)
+    assert len(ac.lines) > 0
+    mf = MatrixFree.build(mesh, dofs, FemConfig(2, 2, scatter="incidence"),
+                          constraints=ac)
+    assert mf.metric_kind == "general"  # the MappingQ per-qpoint metric
+
+    op = LaplaceOperator(mf)
+    diag = np.asarray(op.diagonal())
+    rng = np.random.default_rng(5)
+    b = np.asarray(mf.interior_mask) * rng.standard_normal(dofs.n_dofs)
+    ref = cg_solve(op.vmult, jnp.asarray(b),
+                   M_inv=make_jacobi(jnp.asarray(diag)), rtol=1e-10,
+                   maxiter=1000)
+    assert bool(ref.converged)
+
+    part = GeneralPartitioner.build(mf, 8)
+    dop = GeneralDistributedOperator(part)
+    x_d, iters, _ = dop.cg_solve(b, diag, rtol=1e-10, maxiter=1000)
+    assert iters == int(ref.iterations)
+    x_r = np.asarray(ref.x)
+    assert np.linalg.norm(x_d - x_r) <= 1e-9 * np.linalg.norm(x_r)

@@ -24,9 +24,17 @@ DEFAULT_DIR = os.environ.get(
     "TPUFEM_CACHE_DIR", os.path.join(_REPO, ".jax_cache"))
 
 
-def enable_persistent_cache(path: str = DEFAULT_DIR,
-                            min_compile_s: float = 0.5) -> bool:
+def enable_persistent_cache(path: str | None = None,
+                            min_compile_s: float = 0.5,
+                            platform: str = "tpu") -> bool:
     """Point jax's persistent compilation cache at ``path``.
+
+    ``platform`` picks a SUBDIRECTORY of DEFAULT_DIR when path is None:
+    CPU-backend entries must not share the TPU dir, because bench.py's
+    warm/cold probe counts directory entries (a pile of CPU entries
+    from test runs would fake a warm TPU cache and skip the cold-start
+    ladder).  The caller knows the intended platform BEFORE backend init
+    (asking jax would initialize — and lock — the backend too early).
 
     Returns True when the config took; False (never raises) on any
     failure — the cache is an optimization, not a dependency.
@@ -34,6 +42,8 @@ def enable_persistent_cache(path: str = DEFAULT_DIR,
     try:
         import jax
 
+        if path is None:
+            path = os.path.join(DEFAULT_DIR, platform)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs",
                           min_compile_s)
