@@ -967,7 +967,11 @@ def main():
     # 17M shape only if the 2.1M compile stayed cheap AND ample budget
     # remains (a cold 17M chain compile measured >20 min).
     if on_tpu and not warm and refine < 5:
-        for r_up, need in ((5, 200), (6, 420)):
+        # gates measured cold on chip: refine 5 costs ~65 s end-to-end
+        # (compile 8 s); refine 6 (17M) measured >20 min cold — attempt
+        # it only with a large tail, relying on the watchdog to re-print
+        # the best line at the deadline if it never finishes
+        for r_up, need in ((5, 110), (6, 420)):
             if left() < need:
                 break
             try:

@@ -54,11 +54,14 @@ def main():
             continue
         if not r.get("pass", False):
             failures.append(f"{name}: pass={r.get('pass')}")
-        if "iterations" in g:
-            if r.get("iterations") != g["iterations"]:
-                failures.append(
-                    f"{name}: iterations {r.get('iterations')} != golden "
-                    f"{g['iterations']}")
+        for key in g:
+            # any *iterations field is an exact-match count record
+            # (iterations, newton_iterations, linear_iterations, ...)
+            if key.endswith("iterations"):
+                if r.get(key) != g[key]:
+                    failures.append(
+                        f"{name}: {key} {r.get(key)} != golden "
+                        f"{g[key]}")
         if g.get("bitwise_identical_solutions"):
             if not r.get("bitwise_identical_solutions"):
                 failures.append(f"{name}: solutions not bitwise identical")
