@@ -968,10 +968,12 @@ def main():
     # remains (a cold 17M chain compile measured >20 min).
     if on_tpu and not warm and refine < 5:
         # gates measured cold on chip: refine 5 costs ~65 s end-to-end
-        # (compile 8 s); refine 6 (17M) measured >20 min cold — attempt
-        # it only with a large tail, relying on the watchdog to re-print
-        # the best line at the deadline if it never finishes
-        for r_up, need in ((5, 110), (6, 420)):
+        # (compile 8 s); refine 6 (17M) compiles in ~12 s on an IDLE
+        # machine but was measured >20 min when other processes starve
+        # the compile — attempt it after the safe refine-5 line, relying
+        # on the watchdog to re-print the best completed line at the
+        # deadline if it stalls
+        for r_up, need in ((5, 110), (6, 150)):
             if left() < need:
                 break
             try:

@@ -216,7 +216,7 @@ def _kernel(u_hbm, xkm, *args, b, L, X, p, dim, corr, nt, n_grid):
 
 def _kernel_resident(u_hbm, xkm, wm_y, wk_y, wm_z, wk_z, out, scratch, sem,
                      osc, osem, *, b, L, LY, X, p, H, npts, corr, nt, mode,
-                     dirichlet=False):
+                     dirichlet=False, interleave=1):
     """Solver-resident fused apply (kernel-lab winner "v17", 3D).
 
     Input AND output live in the same halo'd layout (sz, sy, X) with data
@@ -345,13 +345,6 @@ def _kernel_resident(u_hbm, xkm, wm_y, wk_y, wm_z, wk_z, out, scratch, sem,
     wm_z_t, wk_z_t = sel_phase(wm_z, iz), sel_phase(wk_z, iz)
     wm_y_t, wk_y_t = sel_phase(wm_y, iy), sel_phase(wk_y, iy)
 
-    def band_z(tt_, w9):
-        acc = None
-        for o in range(nb):
-            c = tt_[o : o + b] * w9[o]
-            acc = c if acc is None else acc + c
-        return acc
-
     def band_y(tt_, w9):
         acc = None
         for o in range(nb):
@@ -364,14 +357,6 @@ def _kernel_resident(u_hbm, xkm, wm_y, wk_y, wm_z, wk_z, out, scratch, sem,
     oh0 = (ii == 0).astype(u.dtype)
     oh1 = (ii == i_last_c).astype(u.dtype)
 
-    def corr_z(t_in, acc, d0, d1):
-        c0 = jnp.where(iz == 0, d0, 0.0).astype(u.dtype)
-        c1 = jnp.where(iz == t_last, d1, 0.0).astype(u.dtype)
-        return (acc
-                + (c0 * oh0).reshape(b, 1, 1) * t_in[p : p + 1]
-                + (c1 * oh1).reshape(b, 1, 1)
-                * t_in[p + i_last_c : p + i_last_c + 1])
-
     def corr_y(t_in, acc, d0, d1):
         c0 = jnp.where(iy == 0, d0, 0.0).astype(u.dtype)
         c1 = jnp.where(iy == t_last, d1, 0.0).astype(u.dtype)
@@ -379,67 +364,100 @@ def _kernel_resident(u_hbm, xkm, wm_y, wk_y, wm_z, wk_z, out, scratch, sem,
                 + (c0 * oh0) * t_in[:, H : H + 1, :]
                 + (c1 * oh1) * t_in[:, H + i_last_c : H + i_last_c + 1, :])
 
-    s = corr_z(u, band_z(u, wm_z_t), dm0[2], dm1[2])
-    q1 = corr_y(s, band_y(s, wm_y_t), dm0[1], dm1[1])
-    q2 = corr_y(s, band_y(s, wk_y_t), dk0[1], dk1[1])
-    tq = corr_z(u, band_z(u, wk_z_t), dk0[2], dk1[2])
-    q3 = corr_y(tq, band_y(tq, wm_y_t), dm0[1], dm1[1])
-    qq = jnp.concatenate([q1, q2 + q3], axis=2)  # (b, b, 2X)
-
-    if mode in ("bf16", "bf16s"):
-        # bf16x3: a ~= hi + lo exactly in bf16 pairs; lo*lo term dropped.
-        # bf16s inputs are already bf16-quantized, so the lo terms carry
-        # no information — a single native bf16 MXU pass suffices.
-        qh = qq.astype(jnp.bfloat16)
-        xh = xkm[:].astype(jnp.bfloat16)
-
-        def mm(a, bb):
-            return jax.lax.dot_general(
-                a, bb, dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=qq.dtype,
-                precision=jax.lax.Precision.DEFAULT)
-
-        if mode == "bf16s":
-            res = mm(qh, xh)
-        else:
-            ql = (qq - qh.astype(qq.dtype)).astype(jnp.bfloat16)
-            xl = (xkm[:] - xh.astype(qq.dtype)).astype(jnp.bfloat16)
-            res = mm(qh, xh) + (mm(qh, xl) + mm(ql, xh))
-    else:
-        res = jax.lax.dot_general(
-            qq, xkm[:], dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=qq.dtype,
-            precision=jax.lax.Precision.HIGHEST)
-
-    # mask the tiling overhang (rows beyond npts-1) on the last tiles
-    mz = jnp.where(iz == nt - 1,
-                   (ii <= i_last).astype(u.dtype), 1.0).reshape(b, 1, 1)
-    my = jnp.where(iy == nt - 1,
-                   (ii <= i_last).astype(u.dtype), 1.0).reshape(1, b, 1)
-    res = res * mz * my
-
-    if dirichlet:
-        # output combine y = m·res + (1-m)·u on the center block (global
-        # interior coords of center row r: z = iz*b + r, y = iy*b + r)
-        rz = jax.lax.broadcasted_iota(jnp.int32, (b, 1, 1), 0) + iz * b
-        ry = jax.lax.broadcasted_iota(jnp.int32, (1, b, 1), 1) + iy * b
-        rx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, X), 2)
-        mc = (
-            jnp.logical_and(rz != 0, rz != npts - 1)
-            & jnp.logical_and(ry != 0, ry != npts - 1)
-            & jnp.logical_and(rx != 0, rx != npts - 1)
-        ).astype(u.dtype)
-        uc = u_full[p : p + b, H : H + b, :]
-        res = mc * res + (1.0 - mc) * (uc * mz * my)
-    res = res.astype(osc.dtype)
-
     # single-buffered out scratch: the previous tile's out copy had this
-    # tile's whole compute time to drain; wait just before overwriting
+    # tile's whole compute time to drain; wait before the first chunk
+    # store overwrites it
     @pl.when(t >= 1)
     def _():
         out_dma(t - 1, "wait")
 
-    osc[0, p : p + b, H : H + b, :] = res
+    # ---- compute, in `interleave` z-row chunks ------------------------
+    # Round-5 restructure: the VPU band stages and the MXU x-matmul of
+    # ONE chunk are dependent, but chunk k's matmul and chunk k+1's
+    # bands are not — emitted back-to-back in straight-line code (no
+    # pl.when parity branches, the round-2 v19 mistake), the Mosaic
+    # scheduler co-issues the two units (measured overlap 0.71,
+    # scripts/toolchain_probe.py; docs/ROOFLINE.md round-5 section).
+    # interleave=1 reproduces the round-4 single-block schedule.
+    nchunks = interleave if interleave > 0 and b % interleave == 0 else 1
+    cb = b // nchunks
+    for k in range(nchunks):
+        r0 = k * cb
+        iic = jax.lax.broadcasted_iota(jnp.int32, (cb, 1), 0) + r0
+        ohz0 = (iic == 0).astype(u.dtype)
+        ohz1 = (iic == i_last_c).astype(u.dtype)
+
+        def band_z_c(tt_, w9, r0=r0):
+            acc = None
+            for o in range(nb):
+                c = tt_[r0 + o : r0 + o + cb] * w9[o][r0 : r0 + cb]
+                acc = c if acc is None else acc + c
+            return acc
+
+        def corr_z_c(t_in, acc, d0, d1, ohz0=ohz0, ohz1=ohz1):
+            c0 = jnp.where(iz == 0, d0, 0.0).astype(u.dtype)
+            c1 = jnp.where(iz == t_last, d1, 0.0).astype(u.dtype)
+            return (acc
+                    + (c0 * ohz0).reshape(cb, 1, 1) * t_in[p : p + 1]
+                    + (c1 * ohz1).reshape(cb, 1, 1)
+                    * t_in[p + i_last_c : p + i_last_c + 1])
+
+        s = corr_z_c(u, band_z_c(u, wm_z_t), dm0[2], dm1[2])
+        q1 = corr_y(s, band_y(s, wm_y_t), dm0[1], dm1[1])
+        q2 = corr_y(s, band_y(s, wk_y_t), dk0[1], dk1[1])
+        tq = corr_z_c(u, band_z_c(u, wk_z_t), dk0[2], dk1[2])
+        q3 = corr_y(tq, band_y(tq, wm_y_t), dm0[1], dm1[1])
+        qq = jnp.concatenate([q1, q2 + q3], axis=2)  # (cb, b, 2X)
+
+        if mode in ("bf16", "bf16s"):
+            # bf16x3: a ~= hi + lo exactly in bf16 pairs; lo*lo dropped.
+            # bf16s inputs are already bf16-quantized, so the lo terms
+            # carry no information — one native bf16 MXU pass suffices.
+            qh = qq.astype(jnp.bfloat16)
+            xh = xkm[:].astype(jnp.bfloat16)
+
+            def mm(a, bb):
+                return jax.lax.dot_general(
+                    a, bb, dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=qq.dtype,
+                    precision=jax.lax.Precision.DEFAULT)
+
+            if mode == "bf16s":
+                res = mm(qh, xh)
+            else:
+                ql = (qq - qh.astype(qq.dtype)).astype(jnp.bfloat16)
+                xl = (xkm[:] - xh.astype(qq.dtype)).astype(jnp.bfloat16)
+                res = mm(qh, xh) + (mm(qh, xl) + mm(ql, xh))
+        else:
+            res = jax.lax.dot_general(
+                qq, xkm[:], dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=qq.dtype,
+                precision=jax.lax.Precision.HIGHEST)
+
+        # mask the tiling overhang (rows beyond npts-1) on the last tiles
+        mz = jnp.where(iz == nt - 1,
+                       (iic <= i_last).astype(u.dtype),
+                       1.0).reshape(cb, 1, 1)
+        my = jnp.where(iy == nt - 1,
+                       (ii <= i_last).astype(u.dtype), 1.0).reshape(1, b, 1)
+        res = res * mz * my
+
+        if dirichlet:
+            # output combine y = m·res + (1-m)·u on the chunk (global
+            # interior coords of row r: z = iz*b + r, y = iy*b + r)
+            rz = (jax.lax.broadcasted_iota(jnp.int32, (cb, 1, 1), 0)
+                  + iz * b + r0)
+            ry = jax.lax.broadcasted_iota(jnp.int32, (1, b, 1), 1) + iy * b
+            rx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, X), 2)
+            mc = (
+                jnp.logical_and(rz != 0, rz != npts - 1)
+                & jnp.logical_and(ry != 0, ry != npts - 1)
+                & jnp.logical_and(rx != 0, rx != npts - 1)
+            ).astype(u.dtype)
+            uc = u_full[p + r0 : p + r0 + cb, H : H + b, :]
+            res = mc * res + (1.0 - mc) * (uc * mz * my)
+        osc[0, p + r0 : p + r0 + cb, H : H + b, :] = res.astype(osc.dtype)
+
     out_dma(t, "start")
 
     @pl.when(t == n_grid - 1)
@@ -472,7 +490,11 @@ class ResidentSeparable:
     """
 
     def __init__(self, npts, p, Ks_np, Ms_np, dtype, tile=None, mode="f32",
-                 interpret=False, dirichlet=False):
+                 interpret=False, dirichlet=False, interleave=None):
+        """``interleave``: number of z-row chunks the per-tile compute is
+        split into (chunk k's MXU matmul co-issues with chunk k+1's VPU
+        bands — round-5 toolchain re-probe; docs/ROOFLINE.md).  None =
+        per-mode default; 1 = the round-4 single-block schedule."""
         _check_mosaic_dtype(dtype, interpret)
         # storage dtype: bf16s keeps the HBM-resident vectors in bf16
         # (halving the DMA floor); compute stays in `dtype` (f32)
@@ -553,9 +575,22 @@ class ResidentSeparable:
                 np.asarray(wm[2][:, :, :, None, None], cdt),
                 np.asarray(wk[2][:, :, :, None, None], cdt)]
         self.dirichlet = bool(dirichlet)
+        if interleave is None:
+            # chip-swept at the 17M flagship (A/B alternating, same
+            # process): f32 5.27->5.94, bf16 6.02->6.48, bf16s
+            # 8.35->8.52 GDoF/s (docs/ROOFLINE.md round-5 section)
+            default_il = {"f32": 6, "bf16": 6, "bf16s": 12}[mode]
+            interleave = int(os.environ.get("TPUFEM_RESIDENT_INTERLEAVE",
+                                            str(default_il)))
+        # pick the largest divisor of b not exceeding the request so any
+        # tile size composes
+        while interleave > 1 and b % interleave:
+            interleave -= 1
+        self.interleave = interleave
         kern = functools.partial(
             _kernel_resident, b=b, L=L, LY=LY, X=X, p=p, H=H, npts=npts,
-            corr=corr, nt=nt, mode=mode, dirichlet=self.dirichlet)
+            corr=corr, nt=nt, mode=mode, dirichlet=self.dirichlet,
+            interleave=interleave)
         full = pl.BlockSpec(memory_space=pltpu.VMEM)
         pc = pl.pallas_call(
             kern, grid=(nt * nt,),
