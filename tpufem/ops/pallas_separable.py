@@ -728,7 +728,7 @@ class PallasSeparable:
 
 def _kernel_resident_terms(u_hbm, xkm, wz, wy, out, scratch, sem,
                            osc, osem, *, b, L, LY, X, p, H, npts,
-                           n_terms, nt, mode):
+                           n_terms, nt, mode, interleave=1):
     """Solver-resident fused apply for sum-of-tensor-product operators
     (see :class:`ResidentTerms`).  Same halo'd layout / DMA machinery as
     ``_kernel_resident``; band weights are EXACT per-row tables selected
@@ -804,13 +804,6 @@ def _kernel_resident_terms(u_hbm, xkm, wz, wy, out, scratch, sem,
     wz_t = wz[0]  # (n_terms, nb, b, 1)
     wy_t = wy[0]  # (n_terms, nb, b, 1)
 
-    def band_z(tt_, w9):
-        acc = None
-        for o in range(nb):
-            c = tt_[o : o + b] * w9[o][..., None]
-            acc = c if acc is None else acc + c
-        return acc
-
     def band_y(tt_, w9):
         acc = None
         for o in range(nb):
@@ -818,40 +811,55 @@ def _kernel_resident_terms(u_hbm, xkm, wz, wy, out, scratch, sem,
             acc = c if acc is None else acc + c
         return acc
 
-    qs = []
-    for a in range(n_terms):
-        ta = band_z(u, wz_t[a])      # (b, LY, X)
-        qs.append(band_y(ta, wy_t[a]))  # (b, b, X)
-    qq = jnp.concatenate(qs, axis=2)  # (b, b, n_terms*X)
-
-    if mode in ("bf16", "bf16s"):
-        qh = qq.astype(jnp.bfloat16)
-        xh = xkm[:].astype(jnp.bfloat16)
-
-        def mm(a, bb):
-            return jax.lax.dot_general(
-                a, bb, dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=qq.dtype,
-                precision=jax.lax.Precision.DEFAULT)
-
-        if mode == "bf16s":
-            res = mm(qh, xh)
-        else:
-            ql = (qq - qh.astype(qq.dtype)).astype(jnp.bfloat16)
-            xl = (xkm[:] - xh.astype(qq.dtype)).astype(jnp.bfloat16)
-            res = mm(qh, xh) + (mm(qh, xl) + mm(ql, xh))
-    else:
-        res = jax.lax.dot_general(
-            qq, xkm[:], dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=qq.dtype,
-            precision=jax.lax.Precision.HIGHEST)
-    res = res.astype(osc.dtype)
-
     @pl.when(t >= 1)
     def _():
         out_dma(t - 1, "wait")
 
-    osc[0, p : p + b, H : H + b, :] = res
+    # z-row chunks emitted in straight-line code: chunk k's MXU matmul
+    # co-issues with chunk k+1's VPU bands (the round-5 interleave — see
+    # _kernel_resident and docs/ROOFLINE.md round-5 section)
+    nchunks = interleave if interleave > 0 and b % interleave == 0 else 1
+    cb = b // nchunks
+    for k in range(nchunks):
+        r0 = k * cb
+
+        def band_z_c(tt_, w9, r0=r0):
+            acc = None
+            for o in range(nb):
+                c = (tt_[r0 + o : r0 + o + cb]
+                     * w9[o][r0 : r0 + cb][..., None])
+                acc = c if acc is None else acc + c
+            return acc
+
+        qs = []
+        for a in range(n_terms):
+            ta = band_z_c(u, wz_t[a])      # (cb, LY, X)
+            qs.append(band_y(ta, wy_t[a]))  # (cb, b, X)
+        qq = jnp.concatenate(qs, axis=2)  # (cb, b, n_terms*X)
+
+        if mode in ("bf16", "bf16s"):
+            qh = qq.astype(jnp.bfloat16)
+            xh = xkm[:].astype(jnp.bfloat16)
+
+            def mm(a, bb):
+                return jax.lax.dot_general(
+                    a, bb, dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=qq.dtype,
+                    precision=jax.lax.Precision.DEFAULT)
+
+            if mode == "bf16s":
+                res = mm(qh, xh)
+            else:
+                ql = (qq - qh.astype(qq.dtype)).astype(jnp.bfloat16)
+                xl = (xkm[:] - xh.astype(qq.dtype)).astype(jnp.bfloat16)
+                res = mm(qh, xh) + (mm(qh, xl) + mm(ql, xh))
+        else:
+            res = jax.lax.dot_general(
+                qq, xkm[:], dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=qq.dtype,
+                precision=jax.lax.Precision.HIGHEST)
+        osc[0, p + r0 : p + r0 + cb, H : H + b, :] = res.astype(osc.dtype)
+
     out_dma(t, "start")
 
     @pl.when(t == n_grid - 1)
@@ -885,7 +893,7 @@ class ResidentTerms:
     """
 
     def __init__(self, npts, p, terms_np, dtype, tile=None, mode="f32",
-                 interpret=False):
+                 interpret=False, interleave=None):
         _check_mosaic_dtype(dtype, interpret)
         cdt = jnp.dtype(dtype)
         sdt = jnp.dtype(jnp.bfloat16) if mode == "bf16s" else cdt
@@ -955,9 +963,19 @@ class ResidentTerms:
         mats = [np.asarray(xkm, cdt),
                 np.asarray(wz.transpose(1, 0, 2, 3)[..., None], cdt),
                 np.asarray(wy.transpose(1, 0, 2, 3)[..., None], cdt)]
+        if interleave is None:
+            # same per-mode defaults as ResidentSeparable (round-5
+            # interleave; chip-swept — docs/ROOFLINE.md)
+            default_il = {"f32": 6, "bf16": 6, "bf16s": 12}[mode]
+            interleave = int(os.environ.get("TPUFEM_RESIDENT_INTERLEAVE",
+                                            str(default_il)))
+        while interleave > 1 and b % interleave:
+            interleave -= 1
+        self.interleave = interleave
         kern = functools.partial(
             _kernel_resident_terms, b=b, L=L, LY=LY, X=X, p=p, H=H,
-            npts=npts, n_terms=n_terms, nt=nt, mode=mode)
+            npts=npts, n_terms=n_terms, nt=nt, mode=mode,
+            interleave=interleave)
         full = pl.BlockSpec(memory_space=pltpu.VMEM)
         tab_blk = (1, n_terms, nb, b, 1)
         wz_spec = pl.BlockSpec(tab_blk, lambda t: (t // nt, 0, 0, 0, 0))
