@@ -680,10 +680,14 @@ def main():
         try:
             from tpufem.apps.nonlinear import run_nonlinear
 
-            nr_ = 6 if big else (4 if on_tpu else 2)
+            # refine 5 (274k DoFs): refine 6's UNPRECONDITIONED-era inner
+            # CG measured >300 s and stalled the priming run; with
+            # --precond jacobi and this size the section is ~20 s
+            nr_ = 5 if big else (4 if on_tpu else 2)
             out, _ = run_nonlinear(dim=3, degree=2, refine=nr_,
                                    problem="quasilinear", linear="cg",
-                                   rtol=1e-6, dtype=dtype)
+                                   rtol=1e-6, dtype=dtype,
+                                   precond="jacobi")
             emit({"metric": "3d_nonlinear_newton_solve",
                   "value": round(out["solve_s"], 4), "unit": "s",
                   "vs_baseline": round(out["solve_s"], 4),

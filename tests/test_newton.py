@@ -177,3 +177,21 @@ def test_newton_eisenstat_walker_still_quadratic():
     assert int(res_ew.linear_iterations) < int(res_tight.linear_iterations)
     x1, x2 = np.asarray(res_ew.x), np.asarray(res_tight.x)
     assert np.linalg.norm(x1 - x2) / np.linalg.norm(x2) < 1e-8
+
+
+def test_newton_jacobi_preconditioned_inner_solves():
+    """M_inv plumbing (round 5): a fixed Jacobi preconditioner on the
+    inner CG solves — same solution, strictly fewer inner iterations on
+    a graded problem."""
+    from tpufem.operators.laplace import LaplaceOperator
+
+    dofs, mf = build(2, 2, 4)
+    op = NonlinearOperator(mf, quasilinear_qop)
+    b = jnp.asarray(assemble_rhs(dofs, f_quasilinear_2d))
+    diag = LaplaceOperator(mf).diagonal()
+    res_p = op.solve(b, rtol=1e-11, jacobi_diag=diag)
+    res_u = op.solve(b, rtol=1e-11)
+    assert bool(res_p.converged) and bool(res_u.converged)
+    xp, xu = np.asarray(res_p.x), np.asarray(res_u.x)
+    assert np.linalg.norm(xp - xu) / np.linalg.norm(xu) < 1e-8
+    assert int(res_p.linear_iterations) < int(res_u.linear_iterations)

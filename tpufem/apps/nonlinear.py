@@ -71,7 +71,7 @@ def minimal_surface_problem(dim):
 
 def run_nonlinear(dim=2, degree=2, refine=4, problem="quasilinear",
                   linear="cg", rtol=1e-10, adaptive_steps=0,
-                  dtype="float64"):
+                  dtype="float64", precond="none"):
     from tpufem.apps.poisson import _ensure_dtype
 
     _ensure_dtype(dtype)
@@ -99,10 +99,22 @@ def run_nonlinear(dim=2, degree=2, refine=4, problem="quasilinear",
         b = jnp.zeros(dofs.n_dofs)
         g = np.sin(2 * np.pi * dofs.dof_coords[:, 0])
         u0 = jnp.asarray(np.where(dofs.boundary_mask, g, 0.0))
+    jacobi_diag = None
+    if precond == "jacobi":
+        # FIXED Jacobi from the linear-Laplace diagonal: spectrally
+        # equivalent for these coefficient-bounded quasilinear forms
+        # (1 <= 1+u^2 <= 1+max u^2), threaded through the jitted Newton
+        # program as an argument (operators/generic.py)
+        from tpufem.operators.laplace import LaplaceOperator
+
+        jacobi_diag = LaplaceOperator(mf).diagonal()
+    elif precond != "none":
+        raise ValueError(f"unknown precond {precond!r}")
     setup = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    res = op.solve(b, u0=u0, rtol=rtol, linear=linear)
+    res = op.solve(b, u0=u0, rtol=rtol, linear=linear,
+                   jacobi_diag=jacobi_diag)
     res.x.block_until_ready()
     solve = time.perf_counter() - t0
 
@@ -111,6 +123,7 @@ def run_nonlinear(dim=2, degree=2, refine=4, problem="quasilinear",
         "n_cells": mesh.n_cells,
         "problem": problem,
         "linear": linear,
+        "precond": precond,
         "newton_iterations": int(res.iterations),
         "linear_iterations": int(res.linear_iterations),
         "residual": float(res.residual),
@@ -136,6 +149,7 @@ def main(argv=None):
                     choices=["cg", "gmres", "bicgstab"])
     ap.add_argument("--rtol", type=float, default=1e-10)
     ap.add_argument("--adaptive-steps", type=int, default=0)
+    ap.add_argument("--precond", default="none", choices=["none", "jacobi"])
     ap.add_argument("--dtype", default="float64")
     ap.add_argument("--json", action="store_true")
     ap.add_argument("--cpu", action="store_true")
@@ -148,6 +162,7 @@ def main(argv=None):
         dim=args.dim, degree=args.degree, refine=args.refine,
         problem=args.problem, linear=args.linear, rtol=args.rtol,
         adaptive_steps=args.adaptive_steps, dtype=args.dtype,
+        precond=args.precond,
     )
     if args.json:
         print(json.dumps(out))

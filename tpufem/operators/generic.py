@@ -216,9 +216,16 @@ class NonlinearOperator:
         return self.residual_with((self.device_args, jnp.asarray(b)),
                                   jnp.asarray(u))
 
-    def solve(self, b, u0=None, **newton_kw):
+    def solve(self, b, u0=None, jacobi_diag=None, **newton_kw):
         """Newton-Krylov solve of F(u) = 0 (see solvers/newton.py for the
         keyword surface: rtol, linear="cg"|"gmres"|"bicgstab", ...).
+
+        ``jacobi_diag``: optional (n_dofs,) diagonal used as a FIXED
+        Jacobi preconditioner for every inner Krylov solve (e.g. the
+        linearization's diagonal at u0, or the linear-problem diagonal
+        — spectrally equivalent for coefficient-bounded quasilinear
+        forms).  It rides the jitted program as an ARGUMENT (platform
+        rule: no device closure constants).
 
         The WHOLE Newton iteration is one jitted program (cached per
         keyword set), with the operator's device arrays as jit arguments
@@ -230,17 +237,31 @@ class NonlinearOperator:
         b = jnp.asarray(b, dp["mask"].dtype)
         if u0 is None:
             u0 = jnp.zeros_like(b)
-        key = tuple(sorted(newton_kw.items()))
+        key = tuple(sorted(newton_kw.items())) + (jacobi_diag is None,)
         if key not in self._solve_cache:
+            if jacobi_diag is None:
 
-            def run(dp_, b_, u0_):
-                u0c = distribute_with(dp_, u0_)
-                res = newton_solve(self.residual_with, (dp_, b_), u0c,
-                                   mask=dp_["mask"], **newton_kw)
-                return res._replace(x=distribute_with(dp_, res.x))
+                def run(dp_, b_, u0_):
+                    u0c = distribute_with(dp_, u0_)
+                    res = newton_solve(self.residual_with, (dp_, b_), u0c,
+                                       mask=dp_["mask"], **newton_kw)
+                    return res._replace(x=distribute_with(dp_, res.x))
+            else:
+
+                def run(dp_, b_, u0_, inv_d_):
+                    u0c = distribute_with(dp_, u0_)
+                    res = newton_solve(self.residual_with, (dp_, b_), u0c,
+                                       mask=dp_["mask"],
+                                       M_inv=lambda r: inv_d_ * r,
+                                       **newton_kw)
+                    return res._replace(x=distribute_with(dp_, res.x))
 
             self._solve_cache[key] = jax.jit(run)
-        return self._solve_cache[key](dp, b, jnp.asarray(u0, b.dtype))
+        args = (dp, b, jnp.asarray(u0, b.dtype))
+        if jacobi_diag is not None:
+            d = jnp.asarray(jacobi_diag, b.dtype)
+            args += (jnp.where(d != 0, 1.0 / d, 1.0),)
+        return self._solve_cache[key](*args)
 
 
 # ------------------------------------------------------------------

@@ -52,6 +52,7 @@ def newton_solve(
     linear_maxiter: int = 2000,
     ls_max: int = 10,
     dot: Callable = _default_dot,
+    M_inv: Optional[Callable] = None,
 ) -> NewtonResult:
     """Solve F(u) = 0 by inexact Newton with an AD matrix-free Jacobian.
 
@@ -64,6 +65,11 @@ def newton_solve(
     ``J_c v = mask * J v + (1-mask) * v`` so constrained rows act as
     identity; with a masked residual the update is exactly zero there and
     Dirichlet values set in ``u0`` are preserved bit-exactly.
+
+    ``M_inv``: optional traced preconditioner for the inner Krylov
+    solves (a FIXED linear operator across Newton steps — e.g. the
+    linear-problem diagonal or a GMG V-cycle; for "gmres" it is applied
+    on the right, so no symmetry requirement).
 
     ``linear``: "cg" (symmetric Jacobians — gradient-form nonlinearities),
     "gmres", or "bicgstab".  ``linear_rtol=None`` enables Eisenstat-Walker
@@ -117,7 +123,8 @@ def newton_solve(
             eta = jnp.clip(eta, 1e-12, ew_max)
         else:
             eta = jnp.asarray(linear_rtol, dtype)
-        res = lin_solve(J, -f, rtol=eta, maxiter=linear_maxiter, dot=dot)
+        res = lin_solve(J, -f, rtol=eta, maxiter=linear_maxiter, dot=dot,
+                        M_inv=M_inv)
         delta = res.x
         lin_total = lin_total + res.iterations
 
