@@ -705,33 +705,45 @@ def main():
         skip("3d_nonlinear_newton_solve", "budget")
 
     # ---- 6d. vector-valued elasticity apply (VERDICT r4 items 2b/3) ---
+    # The SEPARABLE BLOCK fast tier (operators/tensor_product.py,
+    # round 5): per-block ResidentTerms kernels on the exact
+    # tensor-product factorization — the generic quadrature tier
+    # (vector-incidence) measured 0.015 GDoF/s on this chip (scatter
+    # floor) and is reported for attribution at small scale only.
     if left() > 90:
         try:
             from tpufem.fem.dof_handler import DoFHandler
             from tpufem.fem.mesh import Mesh
-            from tpufem.operators.vector import elasticity_operator
+            from tpufem.operators.tensor_product import (
+                SeparableElasticityOperator,
+            )
             from tpufem.ops.matrix_free import MatrixFree
             from tpufem.utils.config import FemConfig
 
-            er_ = 6 if big else (4 if on_tpu else 2)
+            # refine 5 at p=4: 2.1M scalar DoFs x 3 components = 6.4M
+            # unknowns; the 9 per-block kernels compile ~8 s each, so
+            # the 17M-scalar scale would cost ~3 min of compile alone
+            er_ = 5 if big else (4 if on_tpu else 2)
             mesh_e = Mesh.hyper_cube(3, er_)
-            dofs_e = DoFHandler(mesh_e, 2)
+            dofs_e = DoFHandler(mesh_e, 4)
             mf_e = MatrixFree.build(
                 mesh_e, dofs_e,
-                FemConfig(3, 2, dtype=dtype, scatter="incidence"))
-            op_e = elasticity_operator(mf_e, mu=0.8, lam=1.7)
+                FemConfig(3, 4, dtype=dtype, scatter="incidence"))
+            op_e = SeparableElasticityOperator(
+                mf_e, mu=0.8, lam=1.7, use_pallas=on_tpu,
+                mode="bf16s" if on_tpu else "f32")
+            tier_e = ("separable-blocks+"
+                      + ("resident-bf16s" if op_e.kernels else "xla"))
             xe = jnp.ones((3, dofs_e.n_dofs), jnp.dtype(dtype))
-            dpe = op_e.device_args
             gd, vals_e, comp_s = chain_rate(
-                lambda v: op_e.vmult_raw_with(dpe, v), xe,
-                3 * dofs_e.n_dofs)
-            apply_line("3d_elasticity_apply", gd, "vector-incidence",
+                op_e.vmult_raw, xe, 3 * dofs_e.n_dofs)
+            apply_line("3d_elasticity_apply", gd, tier_e,
                        3 * dofs_e.n_dofs,
-                       extra={"degree": 2, "n_components": 3,
+                       extra={"degree": 4, "n_components": 3,
                               "values": vals_e,
                               "compile_s": round(comp_s, 1)},
                        headline=False)
-            del op_e, mf_e, xe, dpe
+            del op_e, mf_e, xe
             gc.collect()
         except Exception as e:
             err_line("3d_elasticity_apply", e)

@@ -55,6 +55,26 @@ def global_1d_matrices(p: int, n: int, nq1: int) -> tuple[np.ndarray, np.ndarray
     return K1, M1
 
 
+def global_1d_gradient(p: int, n: int, nq1: int) -> np.ndarray:
+    """Assembled mixed 1D matrix on [0,1] (n cells):
+    G[i,j] = sum_cells int phi_i'(x) phi_j(x) dx.
+
+    SCALE-FREE in the cell width (the 1/h of phi' cancels the h of dx) —
+    the value-gradient coupling factor of vector-valued tensor-product
+    operators (elasticity's off-diagonal blocks: G and G^T per mixed
+    axis).  f64.
+    """
+    si = ShapeInfo(p, Quadrature.gauss(nq1))
+    w = si.quad.weights_1d
+    g1 = np.einsum("qi,q,qj->ij", si.D, w, si.S)
+    npts = n * p + 1
+    G = np.zeros((npts, npts))
+    for c in range(n):
+        sl = slice(c * p, c * p + p + 1)
+        G[sl, sl] += g1
+    return G
+
+
 def global_1d_weighted(p: int, n: int, nq1: int, wfun, kind: str
                        ) -> np.ndarray:
     """Assembled 1D matrix on [0,1] (n cells) with a variable weight:
