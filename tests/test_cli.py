@@ -163,3 +163,15 @@ def test_elasticity_cli_distributed():
     assert rec["converged"]
     assert rec["l2_error"] < 5e-4
     assert "distributed" in rec["precond"]
+
+
+def test_elasticity_cli_fast_tier():
+    """--fast: the separable block tensor-product tier — same L2 error
+    as the generic path (exact factorization)."""
+    r = run(["tpufem.apps.elasticity", "--cpu", "--dim", "2", "--degree",
+             "2", "--refine", "3", "--fast", "--json"])
+    assert r.returncode == 0, r.stderr[-500:]
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["converged"]
+    assert rec["l2_error"] < 5e-4
+    assert "fast tier" in rec["precond"]

@@ -66,7 +66,7 @@ def _fdot(a, b):
 
 def run_elasticity(dim=2, degree=2, refine=4, precond="jacobi",
                    mu=1.0, lam=1.0, rtol=1e-10, dtype="float64",
-                   shards=0):
+                   shards=0, fast=False, use_pallas=False):
     from tpufem.apps.poisson import _ensure_dtype
 
     _ensure_dtype(dtype)
@@ -89,7 +89,17 @@ def run_elasticity(dim=2, degree=2, refine=4, precond="jacobi",
         mf = MatrixFree.build(
             mesh, dofs,
             FemConfig(dim, degree, scatter="incidence", dtype=dtype))
-        op = elasticity_operator(mf, mu=mu, lam=lam)
+        if fast:
+            # exact block tensor-product factorization (the separable
+            # fast tier — ~145x the generic quadrature path on chip)
+            from tpufem.operators.tensor_product import (
+                SeparableElasticityOperator,
+            )
+
+            op = SeparableElasticityOperator(mf, mu=mu, lam=lam,
+                                             use_pallas=use_pallas)
+        else:
+            op = elasticity_operator(mf, mu=mu, lam=lam)
 
     mask = np.asarray(mf.interior_mask, np.float64)
     b = np.stack([mask * assemble_rhs(dofs, lambda p, c=c: f_component(c, p))
@@ -111,6 +121,11 @@ def run_elasticity(dim=2, degree=2, refine=4, precond="jacobi",
         tier = f"distributed-{pr} ({shards} shards)"
     else:
         bj = jnp.asarray(b, jnp.dtype(dtype))
+        # the fast tier's vmult_with takes the scalar interior MASK as
+        # its threaded argument; the generic tier takes its device-arg
+        # pytree (both: no device closure constants)
+        op_arg = mf.interior_mask if fast else op.device_args
+        apply_v = lambda v: op.vmult_with(op_arg, v)
         if precond == "gmg":
             M_inv = lambda r: mg.preconditioner_with(mg.device_args, r)
         elif precond == "chebyshev":
@@ -120,25 +135,23 @@ def run_elasticity(dim=2, degree=2, refine=4, precond="jacobi",
             )
 
             cheb = make_chebyshev_params(
-                lambda dp, xf: op.vmult_with(dp, xf.reshape(dim, -1)
+                lambda a_, xf: op.vmult_with(a_, xf.reshape(dim, -1)
                                              ).reshape(-1),
                 jnp.asarray(diag).reshape(-1), dim * dofs.n_dofs,
-                dp=op.device_args)
+                dp=op_arg)
             inv_diag = 1.0 / diag
 
             def M_inv(r):
-                return chebyshev_smooth(
-                    lambda v: op.vmult_with(op.device_args, v),
-                    inv_diag, cheb, r)
+                return chebyshev_smooth(apply_v, inv_diag, cheb, r)
         else:
             M_inv = make_jacobi(jnp.asarray(diag))
-        res = cg_solve(lambda v: op.vmult_with(op.device_args, v), bj,
+        res = cg_solve(apply_v, bj,
                        M_inv=M_inv, rtol=rtol, maxiter=10000, dot=_fdot)
         x = np.asarray(res.x)
         iters = int(res.iterations)
         resid = float(res.residual)
         converged = bool(res.converged)
-        tier = precond
+        tier = precond + (" (separable fast tier)" if fast else "")
     solve = time.perf_counter() - t0
 
     err2 = sum(
@@ -170,6 +183,9 @@ def main(argv=None):
     ap.add_argument("--rtol", type=float, default=1e-10)
     ap.add_argument("--dtype", default="float64")
     ap.add_argument("--shards", type=int, default=0)
+    ap.add_argument("--fast", action="store_true",
+                    help="separable block fast tier (uniform grids; "
+                         "Pallas kernels on TPU)")
     ap.add_argument("--json", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
@@ -178,7 +194,8 @@ def main(argv=None):
     out, _ = run_elasticity(
         dim=args.dim, degree=args.degree, refine=args.refine,
         precond=args.precond, mu=args.mu, lam=args.lam, rtol=args.rtol,
-        dtype=args.dtype, shards=args.shards)
+        dtype=args.dtype, shards=args.shards, fast=args.fast,
+        use_pallas=not args.cpu and args.fast)
     if args.json:
         print(json.dumps(out))
     else:
