@@ -565,6 +565,84 @@ def main():
     else:
         skip("3d_adaptive_gmg_cg_solve", "budget")
 
+    # ---- 6c. nonlinear Newton-Krylov whole solve (VERDICT r4 item 2b:
+    # the round-4 solver family on the driver-visible record).  The 3D
+    # quasilinear problem through NonlinearOperator: AD Jacobian, EW
+    # forcing, line search — one jitted program (apps/nonlinear.py).
+    if left() > 150:
+        try:
+            from tpufem.apps.nonlinear import run_nonlinear
+
+            # refine 5 (274k DoFs): refine 6's UNPRECONDITIONED-era inner
+            # CG measured >300 s and stalled the priming run; with
+            # --precond jacobi and this size the section is ~20 s
+            nr_ = 5 if big else (4 if on_tpu else 2)
+            out, _ = run_nonlinear(dim=3, degree=2, refine=nr_,
+                                   problem="quasilinear", linear="cg",
+                                   rtol=1e-6, dtype=dtype,
+                                   precond="jacobi")
+            emit({"metric": "3d_nonlinear_newton_solve",
+                  "value": round(out["solve_s"], 4), "unit": "s",
+                  "vs_baseline": round(out["solve_s"], 4),
+                  "newton_iterations": out["newton_iterations"],
+                  "linear_iterations": out["linear_iterations"],
+                  "converged": out["converged"],
+                  "residual": out["residual"],
+                  "l2_error": out.get("l2_error"),
+                  "n_dofs": out["n_dofs"], "rtol": 1e-6,
+                  "setup_s": round(out["setup_s"], 1),
+                  "elapsed_s": round(time.perf_counter() - T0, 1)})
+        except Exception as e:
+            err_line("3d_nonlinear_newton_solve", e, unit="s")
+    else:
+        skip("3d_nonlinear_newton_solve", "budget")
+
+    # ---- 6d. vector-valued elasticity apply (VERDICT r4 items 2b/3) ---
+    # The SEPARABLE BLOCK fast tier (operators/tensor_product.py,
+    # round 5): per-block ResidentTerms kernels on the exact
+    # tensor-product factorization — the generic quadrature tier
+    # (vector-incidence) measured 0.015 GDoF/s on this chip (scatter
+    # floor) and is reported for attribution at small scale only.
+    if left() > 90:
+        try:
+            from tpufem.fem.dof_handler import DoFHandler
+            from tpufem.fem.mesh import Mesh
+            from tpufem.operators.tensor_product import (
+                SeparableElasticityOperator,
+            )
+            from tpufem.ops.matrix_free import MatrixFree
+            from tpufem.utils.config import FemConfig
+
+            # refine 5 at p=4: 2.1M scalar DoFs x 3 components = 6.4M
+            # unknowns; the 9 per-block kernels compile ~8 s each, so
+            # the 17M-scalar scale would cost ~3 min of compile alone
+            er_ = 5 if big else (4 if on_tpu else 2)
+            mesh_e = Mesh.hyper_cube(3, er_)
+            dofs_e = DoFHandler(mesh_e, 4)
+            mf_e = MatrixFree.build(
+                mesh_e, dofs_e,
+                FemConfig(3, 4, dtype=dtype, scatter="incidence"))
+            op_e = SeparableElasticityOperator(
+                mf_e, mu=0.8, lam=1.7, use_pallas=on_tpu,
+                mode="bf16s" if on_tpu else "f32")
+            tier_e = ("separable-blocks+"
+                      + ("resident-bf16s" if op_e.kernels else "xla"))
+            xe = jnp.ones((3, dofs_e.n_dofs), jnp.dtype(dtype))
+            gd, vals_e, comp_s = chain_rate(
+                op_e.vmult_raw, xe, 3 * dofs_e.n_dofs)
+            apply_line("3d_elasticity_apply", gd, tier_e,
+                       3 * dofs_e.n_dofs,
+                       extra={"degree": 4, "n_components": 3,
+                              "values": vals_e,
+                              "compile_s": round(comp_s, 1)},
+                       headline=False)
+            del op_e, mf_e, xe
+            gc.collect()
+        except Exception as e:
+            err_line("3d_elasticity_apply", e)
+    else:
+        skip("3d_elasticity_apply", "budget")
+
     # ---- 6b. variable-coefficient apply (BASELINE config 5) ------------
     # separable smooth coefficient through the exactly-factored terms +
     # ResidentTerms kernel; per-qpoint structured tier for attribution.
@@ -573,8 +651,15 @@ def main():
     # (3.6 f32 / 7.1 bf16s / 8.8 measured) live in docs/ROOFLINE.md
     if left() > 110:
         try:
+            # at 17M, measure the exact-class f32 and the fast bf16s
+            # tiers only: each extra mode costs a 17M MatrixFree build +
+            # kernel H2D (~60 s) and the bf16 middle mode adds no
+            # deliverable (its rate sits between the two)
             rec = bmop.bench_varcoef(3, 4 if on_tpu else 2, vr_, dtype,
-                                     reps=N_CHAIN if on_tpu else 2)
+                                     reps=N_CHAIN if on_tpu else 2,
+                                     modes=("f32", "bf16s") if big
+                                     else None,
+                                     attr_refine=5 if big else None)
             apply_line("3d_q4_variable_coef_apply", rec["gdofs_per_s"],
                        rec["scheme"], rec["n_dofs"],
                        extra={"coefficient": rec["coefficient"],
@@ -672,83 +757,6 @@ def main():
     else:
         skip("3d_heat_implicit_step", "budget")
 
-    # ---- 6c. nonlinear Newton-Krylov whole solve (VERDICT r4 item 2b:
-    # the round-4 solver family on the driver-visible record).  The 3D
-    # quasilinear problem through NonlinearOperator: AD Jacobian, EW
-    # forcing, line search — one jitted program (apps/nonlinear.py).
-    if left() > 150:
-        try:
-            from tpufem.apps.nonlinear import run_nonlinear
-
-            # refine 5 (274k DoFs): refine 6's UNPRECONDITIONED-era inner
-            # CG measured >300 s and stalled the priming run; with
-            # --precond jacobi and this size the section is ~20 s
-            nr_ = 5 if big else (4 if on_tpu else 2)
-            out, _ = run_nonlinear(dim=3, degree=2, refine=nr_,
-                                   problem="quasilinear", linear="cg",
-                                   rtol=1e-6, dtype=dtype,
-                                   precond="jacobi")
-            emit({"metric": "3d_nonlinear_newton_solve",
-                  "value": round(out["solve_s"], 4), "unit": "s",
-                  "vs_baseline": round(out["solve_s"], 4),
-                  "newton_iterations": out["newton_iterations"],
-                  "linear_iterations": out["linear_iterations"],
-                  "converged": out["converged"],
-                  "residual": out["residual"],
-                  "l2_error": out.get("l2_error"),
-                  "n_dofs": out["n_dofs"], "rtol": 1e-6,
-                  "setup_s": round(out["setup_s"], 1),
-                  "elapsed_s": round(time.perf_counter() - T0, 1)})
-        except Exception as e:
-            err_line("3d_nonlinear_newton_solve", e, unit="s")
-    else:
-        skip("3d_nonlinear_newton_solve", "budget")
-
-    # ---- 6d. vector-valued elasticity apply (VERDICT r4 items 2b/3) ---
-    # The SEPARABLE BLOCK fast tier (operators/tensor_product.py,
-    # round 5): per-block ResidentTerms kernels on the exact
-    # tensor-product factorization — the generic quadrature tier
-    # (vector-incidence) measured 0.015 GDoF/s on this chip (scatter
-    # floor) and is reported for attribution at small scale only.
-    if left() > 90:
-        try:
-            from tpufem.fem.dof_handler import DoFHandler
-            from tpufem.fem.mesh import Mesh
-            from tpufem.operators.tensor_product import (
-                SeparableElasticityOperator,
-            )
-            from tpufem.ops.matrix_free import MatrixFree
-            from tpufem.utils.config import FemConfig
-
-            # refine 5 at p=4: 2.1M scalar DoFs x 3 components = 6.4M
-            # unknowns; the 9 per-block kernels compile ~8 s each, so
-            # the 17M-scalar scale would cost ~3 min of compile alone
-            er_ = 5 if big else (4 if on_tpu else 2)
-            mesh_e = Mesh.hyper_cube(3, er_)
-            dofs_e = DoFHandler(mesh_e, 4)
-            mf_e = MatrixFree.build(
-                mesh_e, dofs_e,
-                FemConfig(3, 4, dtype=dtype, scatter="incidence"))
-            op_e = SeparableElasticityOperator(
-                mf_e, mu=0.8, lam=1.7, use_pallas=on_tpu,
-                mode="bf16s" if on_tpu else "f32")
-            tier_e = ("separable-blocks+"
-                      + ("resident-bf16s" if op_e.kernels else "xla"))
-            xe = jnp.ones((3, dofs_e.n_dofs), jnp.dtype(dtype))
-            gd, vals_e, comp_s = chain_rate(
-                op_e.vmult_raw, xe, 3 * dofs_e.n_dofs)
-            apply_line("3d_elasticity_apply", gd, tier_e,
-                       3 * dofs_e.n_dofs,
-                       extra={"degree": 4, "n_components": 3,
-                              "values": vals_e,
-                              "compile_s": round(comp_s, 1)},
-                       headline=False)
-            del op_e, mf_e, xe
-            gc.collect()
-        except Exception as e:
-            err_line("3d_elasticity_apply", e)
-    else:
-        skip("3d_elasticity_apply", "budget")
 
     # ---- 2. separable apply + whole-solve benchmarks -------------------
     # (solves FIRST among the non-headline sections: they are a BASELINE

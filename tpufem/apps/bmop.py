@@ -381,7 +381,8 @@ def bench_curved(dim, p, refine, dtype, reps):
     }
 
 
-def bench_varcoef(dim, p, refine, dtype, reps):
+def bench_varcoef(dim, p, refine, dtype, reps, modes=None,
+                  attr_refine=None):
     """Variable-coefficient apply benchmark (BASELINE config 5): a
     SEPARABLE smooth coefficient c(x) = prod_a c_a(x_a) — genuinely
     varying along every axis — rides the exactly-factored weighted-1D
@@ -405,8 +406,11 @@ def bench_varcoef(dim, p, refine, dtype, reps):
         return out
 
     mesh = Mesh.hyper_cube(dim, refine)
-    dofs = DoFHandler(mesh, p)
-    x = jnp.ones(dofs.n_dofs, jnp.dtype(dtype))
+    # the kernel path needs only the grid arithmetic — the 17M
+    # DoFHandler build (~30 s host) is skipped unless a non-kernel tier
+    # actually enumerates DoFs
+    nd_g = ((1 << refine) * p + 1) ** dim
+    x = jnp.ones(nd_g, jnp.dtype(dtype))
     n_chain = max(reps, 2)
     tiers = {}
 
@@ -432,40 +436,85 @@ def bench_varcoef(dim, p, refine, dtype, reps):
     on_tpu = jax.default_backend() not in ("cpu",)
     # bf16s fits at 17M since the vmem-limit raise + streamed band
     # tables (chip-swept: terms bf16s tile 48 = 7.1 GDoF/s chained)
-    modes = ("f32", "bf16", "bf16s") if (dim == 3 and on_tpu) else ("f32",)
-    for mode in modes:
-        try:
-            mf = MatrixFree.build(
-                mesh, dofs,
-                FemConfig(dim=dim, degree=p, dtype=dtype,
-                          scatter="separable", use_pallas=True,
-                          pallas_mode=mode),
-                coefficient_axes=cax)
-            rk = mf.resident
-            if rk is None:
-                raise ValueError("no resident terms kernel")
-            tiers[f"resident-terms-{mode}+pallas"] = chain_rate(
-                rk.raw, rk.pad(x))
-        except Exception:
-            pass
-    # per-qpoint structured tier, same operator (exact fallback)
+    if modes is None:
+        modes = (("f32", "bf16", "bf16s")
+                 if (dim == 3 and on_tpu) else ("f32",))
+    if on_tpu and dim == 3:
+        # build the exactly-factored terms ONCE and one ResidentTerms
+        # kernel per mode: the full MatrixFree.build per mode costs
+        # ~80 s of host work at 17M (cell maps/incidence it never uses)
+        # and was the varcoef section's whole budget at flagship scale
+        from tpufem.ops.pallas_separable import ResidentTerms
+        from tpufem.ops.separable import cartesian_coef_terms
+
+        n_ax = 1 << refine
+        npts = n_ax * p + 1
+        terms = cartesian_coef_terms(p, dim, p + 1, n_ax, mesh.lower,
+                                     mesh.upper, cax, np.float64)
+        for mode in modes:
+            try:
+                rk = ResidentTerms(npts, p, terms, dtype, mode=mode)
+                tiers[f"resident-terms-{mode}+pallas"] = chain_rate(
+                    rk.raw, rk.pad(x))
+                del rk
+            except Exception:
+                pass
+    else:
+        dofs = DoFHandler(mesh, p)
+        for mode in modes:
+            try:
+                mf = MatrixFree.build(
+                    mesh, dofs,
+                    FemConfig(dim=dim, degree=p, dtype=dtype,
+                              scatter="separable", use_pallas=True,
+                              pallas_mode=mode),
+                    coefficient_axes=cax)
+                rk = mf.resident
+                if rk is None:
+                    raise ValueError("no resident terms kernel")
+                tiers[f"resident-terms-{mode}+pallas"] = chain_rate(
+                    rk.raw, rk.pad(x))
+            except Exception:
+                pass
+    # per-qpoint structured tier, same operator (exact fallback for
+    # non-separable coefficients).  ``attr_refine`` runs this
+    # ATTRIBUTION tier at a smaller mesh: at 17M its blocked-metric H2D
+    # + program load cost ~140 s of the bench budget while its rate is
+    # scale-flat (HBM-bound) — the tier label carries its own n_dofs.
+    ar = refine if attr_refine is None else attr_refine
+    mesh_a = mesh if ar == refine else Mesh.hyper_cube(dim, ar)
+    dofs_a = DoFHandler(mesh_a, p)
+    x_a = jnp.ones(dofs_a.n_dofs, jnp.dtype(dtype))
+    akey = ("structured(per-qpoint)" if ar == refine
+            else f"structured(per-qpoint)@refine{ar}")
     mf_s = MatrixFree.build(
-        mesh, dofs,
+        mesh_a, dofs_a,
         FemConfig(dim=dim, degree=p, dtype=dtype, scatter="structured"),
         coefficient=coef)
     op_s = LaplaceOperator(mf_s)
     dp = op_s.device_args
-    tiers["structured(per-qpoint)"] = chain_rate(
-        lambda v: op_s.vmult_raw_with(dp, v), x)
+    tiers_gdofs = {k: nd_g / v / 1e9 for k, v in tiers.items()}
+    tiers_gdofs[akey] = dofs_a.n_dofs / chain_rate(
+        lambda v: op_s.vmult_raw_with(dp, v), x_a) / 1e9
+    if not tiers:  # no kernel tier (CPU path): report the structured one
+        return {
+            "bench": "bmop-varcoef", "dim": dim, "degree": p,
+            "refine": ar, "n_dofs": dofs_a.n_dofs, "scheme": akey,
+            "coefficient":
+                "separable: (1+.5 sin(2.1 pi x))(1.3+y^2)e^{z/2}",
+            "tiers_gdofs": tiers_gdofs, "dtype": dtype,
+            "s_per_apply": dofs_a.n_dofs / tiers_gdofs[akey] / 1e9,
+            "gdofs_per_s": tiers_gdofs[akey],
+        }
     best = min(tiers, key=tiers.get)
     return {
         "bench": "bmop-varcoef", "dim": dim, "degree": p,
-        "refine": refine, "n_dofs": dofs.n_dofs, "scheme": best,
+        "refine": refine, "n_dofs": nd_g, "scheme": best,
         "coefficient": "separable: (1+.5 sin(2.1 pi x))(1.3+y^2)e^{z/2}",
-        "tiers_gdofs": {k: dofs.n_dofs / v / 1e9 for k, v in tiers.items()},
+        "tiers_gdofs": tiers_gdofs,
         "dtype": dtype,
         "s_per_apply": tiers[best],
-        "gdofs_per_s": dofs.n_dofs / tiers[best] / 1e9,
+        "gdofs_per_s": nd_g / tiers[best] / 1e9,
     }
 
 
