@@ -643,6 +643,47 @@ def main():
     else:
         skip("3d_elasticity_apply", "budget")
 
+    # ---- 7c. 2D p=4 resident apply, its own recorded line (VERDICT r4
+    # item 7: BASELINE's "2D & 3D" parity language deserves a 2D rate on
+    # the record).  refine 10 = npts 4097, 16.8M DoFs — flagship scale;
+    # the block-tridiagonal x sweep keeps the operator O(p) in VMEM.
+    if on_tpu and left() > 90:
+        try:
+            r2 = 10 if big else 7
+            rec = bmop.bench_resident(4, r2, dtype, N_CHAIN,
+                                      mode="bf16s", dim=2)
+            apply_line("apply_2d_resident", rec["gdofs_per_s"],
+                       "resident-bf16s+pallas (2D)", rec["n_dofs"],
+                       extra={"degree": 4, "refine": r2},
+                       headline=False)
+        except Exception as e:
+            err_line("apply_2d_resident", e)
+    elif on_tpu:
+        skip("apply_2d_resident", "budget")
+
+    # ---- 6b. implicit heat stepping on the tensor-product fast tier ---
+    # (the mass/Helmholtz family at flagship rates: each implicit-Euler
+    # step = resident mass apply + ~12-iteration Jacobi-CG on M + dt K
+    # through the 4-term ResidentTerms kernel — operators/tensor_product)
+    if left() > 100:
+        try:
+            rec = bench_heat(hr_, dtype, nsteps=5 if on_tpu else 2)
+            emit({"metric": "3d_heat_implicit_step",
+                  "value": round(rec["steps_per_s"], 3),
+                  "unit": "steps/s",
+                  "vs_baseline": round(rec["steps_per_s"], 3),
+                  "ms_per_step": round(rec["ms_per_step"], 2),
+                  "iters_per_step": rec["iters_per_step"],
+                  "converged": rec["converged"],
+                  "n_dofs": rec["n_dofs"], "dt": rec["dt"],
+                  "rtol": rec["rtol"], "tier": "resident-terms+pallas",
+                  "compile_s": round(rec["compile_s"], 1),
+                  "elapsed_s": round(time.perf_counter() - T0, 1)})
+        except Exception as e:
+            err_line("3d_heat_implicit_step", e, unit="steps/s")
+    else:
+        skip("3d_heat_implicit_step", "budget")
+
     # ---- 6b. variable-coefficient apply (BASELINE config 5) ------------
     # separable smooth coefficient through the exactly-factored terms +
     # ResidentTerms kernel; per-qpoint structured tier for attribution.
@@ -687,75 +728,8 @@ def main():
     else:
         skip("3d_shell_curved_apply", "budget")
 
-    # ---- 7b. fast-tier degree sweep (the reference's bmop north-star is
-    # the per-degree TABLE, not one point — SURVEY.md §2 'Operator
-    # benchmark'; VERDICT r3 missing item 3).  Resident kernel, bf16s
-    # (headline mode), refine per degree to keep 2-17M DoFs; partial
-    # tables are emitted if the budget runs out mid-sweep.
-    if on_tpu and left() > 150:
-        sweep, sweep_err = {}, {}
-        for p_ in (2, 3, 4, 5, 6, 7):
-            if left() < 90:
-                sweep_err[str(p_)] = "budget"
-                continue
-            r_ = (6 if p_ <= 4 else 5) if big else 3
-            try:
-                rec = bmop.bench_resident(p_, r_, dtype, N_CHAIN,
-                                          mode="bf16s")
-                sweep[str(p_)] = {"gdofs": round(rec["gdofs_per_s"], 3),
-                                  "refine": r_, "n_dofs": rec["n_dofs"]}
-            except Exception as e:
-                sweep_err[str(p_)] = f"{type(e).__name__}: {e}"[:120]
-        val = sweep.get("4", {}).get("gdofs", 0.0)
-        emit({"metric": "resident_degree_sweep", "value": val,
-              "unit": "GDoF/s", "vs_baseline": val,
-              "note": "value = 3D p=4; full per-degree table attached",
-              "mode": "bf16s", "sweep_3d": sweep,
-              "errors": sweep_err,
-              "elapsed_s": round(time.perf_counter() - T0, 1)})
-    elif on_tpu:
-        skip("resident_degree_sweep", "budget")
 
-    # ---- 7c. 2D p=4 resident apply, its own recorded line (VERDICT r4
-    # item 7: BASELINE's "2D & 3D" parity language deserves a 2D rate on
-    # the record).  refine 10 = npts 4097, 16.8M DoFs — flagship scale;
-    # the block-tridiagonal x sweep keeps the operator O(p) in VMEM.
-    if on_tpu and left() > 90:
-        try:
-            r2 = 10 if big else 7
-            rec = bmop.bench_resident(4, r2, dtype, N_CHAIN,
-                                      mode="bf16s", dim=2)
-            apply_line("apply_2d_resident", rec["gdofs_per_s"],
-                       "resident-bf16s+pallas (2D)", rec["n_dofs"],
-                       extra={"degree": 4, "refine": r2},
-                       headline=False)
-        except Exception as e:
-            err_line("apply_2d_resident", e)
-    elif on_tpu:
-        skip("apply_2d_resident", "budget")
 
-    # ---- 6b. implicit heat stepping on the tensor-product fast tier ---
-    # (the mass/Helmholtz family at flagship rates: each implicit-Euler
-    # step = resident mass apply + ~12-iteration Jacobi-CG on M + dt K
-    # through the 4-term ResidentTerms kernel — operators/tensor_product)
-    if left() > 100:
-        try:
-            rec = bench_heat(hr_, dtype, nsteps=5 if on_tpu else 2)
-            emit({"metric": "3d_heat_implicit_step",
-                  "value": round(rec["steps_per_s"], 3),
-                  "unit": "steps/s",
-                  "vs_baseline": round(rec["steps_per_s"], 3),
-                  "ms_per_step": round(rec["ms_per_step"], 2),
-                  "iters_per_step": rec["iters_per_step"],
-                  "converged": rec["converged"],
-                  "n_dofs": rec["n_dofs"], "dt": rec["dt"],
-                  "rtol": rec["rtol"], "tier": "resident-terms+pallas",
-                  "compile_s": round(rec["compile_s"], 1),
-                  "elapsed_s": round(time.perf_counter() - T0, 1)})
-        except Exception as e:
-            err_line("3d_heat_implicit_step", e, unit="steps/s")
-    else:
-        skip("3d_heat_implicit_step", "budget")
 
 
     # ---- 2. separable apply + whole-solve benchmarks -------------------
@@ -957,6 +931,35 @@ def main():
     elif on_tpu:
         skip("3d_q4_jacobi_cg_solve_resident", "budget or no GMG state")
         skip("3d_q4_gmg_cg_solve_resident", "budget or no GMG state")
+
+    # ---- 7b. fast-tier degree sweep (the reference's bmop north-star is
+    # the per-degree TABLE, not one point — SURVEY.md §2 'Operator
+    # benchmark'; VERDICT r3 missing item 3).  Resident kernel, bf16s
+    # (headline mode), refine per degree to keep 2-17M DoFs; partial
+    # tables are emitted if the budget runs out mid-sweep.
+    if on_tpu and left() > 150:
+        sweep, sweep_err = {}, {}
+        for p_ in (2, 3, 4, 5, 6, 7):
+            if left() < 90:
+                sweep_err[str(p_)] = "budget"
+                continue
+            r_ = (6 if p_ <= 4 else 5) if big else 3
+            try:
+                rec = bmop.bench_resident(p_, r_, dtype, N_CHAIN,
+                                          mode="bf16s")
+                sweep[str(p_)] = {"gdofs": round(rec["gdofs_per_s"], 3),
+                                  "refine": r_, "n_dofs": rec["n_dofs"]}
+            except Exception as e:
+                sweep_err[str(p_)] = f"{type(e).__name__}: {e}"[:120]
+        val = sweep.get("4", {}).get("gdofs", 0.0)
+        emit({"metric": "resident_degree_sweep", "value": val,
+              "unit": "GDoF/s", "vs_baseline": val,
+              "note": "value = 3D p=4; full per-degree table attached",
+              "mode": "bf16s", "sweep_3d": sweep,
+              "errors": sweep_err,
+              "elapsed_s": round(time.perf_counter() - T0, 1)})
+    elif on_tpu:
+        skip("resident_degree_sweep", "budget")
 
     # ---- 8. secondary apply tiers (attribution only — LAST) ------------
     tier_specs = [("separable", False)]
